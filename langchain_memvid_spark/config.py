@@ -1,0 +1,64 @@
+"""Engine configuration.
+
+Mirrors the reference's pydantic config tree
+(/root/reference/src/langchain_memvid/config.py:137-160 —
+VectorStoreConfig{video, qrcode, index}) as plain dataclasses: the
+video codec knob becomes the Parquet compression codec, the QR options
+become payload-serialization options, and the index options become the
+vector-index layout (metric, IVF nlist/nprobe analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from langchain_memvid_spark.exceptions import ConfigError
+
+_VALID_METRICS = ("cosine", "ip", "l2")
+_VALID_CODECS = ("snappy", "zstd", "gzip", "lz4", "none", "uncompressed")
+
+
+@dataclass
+class IndexConfig:
+    """Vector-index layout. Reference analog: IndexConfig
+    (/root/reference/src/langchain_memvid/config.py:111-134)."""
+
+    metric: str = "cosine"          # cosine | ip | l2
+    dim: int = 64
+    nlist: int = 100                # IVF cluster count (KMeans analog)
+    nprobe: int = 8                 # clusters probed at search time
+    # IVF is only worth it past this many points per cluster on average
+    # (reference gates on 30*nlist, index.py:152-162).
+    ivf_min_points_factor: int = 30
+
+    def __post_init__(self) -> None:
+        if self.metric not in _VALID_METRICS:
+            raise ConfigError(f"metric must be one of {_VALID_METRICS}, got {self.metric!r}")
+        if self.dim <= 0:
+            raise ConfigError(f"dim must be positive, got {self.dim}")
+        if self.nlist <= 0 or self.nprobe <= 0:
+            raise ConfigError("nlist and nprobe must be positive")
+
+
+@dataclass
+class StorageConfig:
+    """Table storage options. Reference analog: VideoConfig codec
+    selection (/root/reference/src/langchain_memvid/config.py:68-77) —
+    the video codec is our Parquet compression codec."""
+
+    codec: str = "zstd"
+    base_path: str = ""             # root dir for doc_index/payload tables
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.codec not in _VALID_CODECS:
+            raise ConfigError(f"codec must be one of {_VALID_CODECS}, got {self.codec!r}")
+
+
+@dataclass
+class EngineConfig:
+    """Top-level config tree (≙ VectorStoreConfig,
+    /root/reference/src/langchain_memvid/config.py:137-160)."""
+
+    index: IndexConfig = field(default_factory=IndexConfig)
+    storage: StorageConfig = field(default_factory=StorageConfig)

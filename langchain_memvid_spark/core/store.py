@@ -1,0 +1,490 @@
+"""SparkVectorStore — the reference's VectorStore re-expressed Spark-first.
+
+Two Parquet-backed tables ARE the engine (SURVEY.md §7):
+
+  doc_index(doc_id, text, source, category, metadata_json,
+            metadata_hash, embedding array<float>)
+      ≙ FAISS index + essential metadata
+        (/root/reference/src/langchain_memvid/index.py:222-237,626-630)
+  payload(doc_id, payload_json)
+      ≙ the QR-frame video archive
+        (/root/reference/src/langchain_memvid/encoder.py:190-204)
+
+Observable semantics replicated from the reference:
+  - doc_id = insertion position; ids renumbered 0..n-1 after deletes
+    (index.py:230,433-435)
+  - add_texts dedups exact text vs existing corpus AND within batch,
+    but returns ["0".."n-1"] for the submitted batch regardless
+    (index.py:202-218, vectorstore.py:221)
+  - delete_by_texts removes only the FIRST occurrence per text
+    (index.py:389-393)
+  - cosine/ip similarity is inner product on L2-normalized vectors,
+    higher=better; l2 is squared distance, lower=better
+    (index.py:144-148,293-295,327)
+  - search results carry essential metadata + metadata_type flag;
+    include_full_metadata joins the payload table
+    (retriever.py:218-251, vectorstore.py:782-813)
+
+Deliberate divergences (reference defects, SURVEY.md §4): we embed
+AFTER dedup, deletes never re-embed, and appends never clobber the
+archive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from langchain_memvid_spark.config import EngineConfig
+from langchain_memvid_spark.embeddings import HashEmbeddings
+from langchain_memvid_spark.exceptions import IndexError_, RetrievalError, StorageError
+from langchain_memvid_spark.functions.vector import dot, l2_normalize, l2_sq
+
+INGEST_SCHEMA = StructType(
+    [
+        StructField("__pos", LongType()),
+        StructField("text", StringType()),
+        StructField("metadata_json", StringType()),
+    ]
+)
+
+INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+        StructField("category", StringType()),
+        StructField("metadata_json", StringType()),
+        StructField("metadata_hash", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_json", StringType()),
+    ]
+)
+
+
+@dataclass
+class SearchResult:
+    """≙ reference SearchResult dataclass
+    (/root/reference/src/langchain_memvid/index.py:28-62)."""
+
+    text: str
+    source: str | None
+    category: str | None
+    similarity: float
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class StorageStats:
+    """Real aggregates, not the reference's hard-coded guesses
+    (/root/reference/src/langchain_memvid/vectorstore.py:858-859)."""
+
+    document_count: int
+    index_bytes: int
+    payload_bytes: int
+    frame_mapping_count: int
+
+
+def _canonical_meta_json(meta: dict[str, Any]) -> str:
+    return json.dumps(meta, sort_keys=True, separators=(",", ":"), default=str)
+
+
+class SparkVectorStore:
+    """PySpark-native vector store with the reference's API surface."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        embeddings: Any | None = None,
+        config: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.embeddings = embeddings or HashEmbeddings(self.config.index.dim)
+        self._doc_index: DataFrame = spark.createDataFrame([], INDEX_SCHEMA)
+        self._payload: DataFrame = spark.createDataFrame([], PAYLOAD_SCHEMA)
+        self._count = 0
+
+    # ------------------------------------------------------------------ ingest
+
+    @classmethod
+    def from_texts(
+        cls,
+        texts: list[str],
+        spark: SparkSession,
+        metadatas: list[dict[str, Any]] | None = None,
+        embeddings: Any | None = None,
+        config: EngineConfig | None = None,
+    ) -> "SparkVectorStore":
+        """≙ VectorStore.from_texts
+        (/root/reference/src/langchain_memvid/vectorstore.py:881-911)."""
+        store = cls(spark, embeddings=embeddings, config=config)
+        store.add_texts(texts, metadatas)
+        return store
+
+    @classmethod
+    def from_documents(
+        cls,
+        documents: Iterable[Any],
+        spark: SparkSession,
+        embeddings: Any | None = None,
+        config: EngineConfig | None = None,
+    ) -> "SparkVectorStore":
+        """≙ vectorstore.py:949-978; Document = (page_content, metadata)."""
+        texts = [d.page_content if hasattr(d, "page_content") else d["text"] for d in documents]
+        metas = [d.metadata if hasattr(d, "metadata") else d.get("metadata", {}) for d in documents]
+        return cls.from_texts(texts, spark, metadatas=metas, embeddings=embeddings, config=config)
+
+    def add_texts(
+        self, texts: list[str], metadatas: list[dict[str, Any]] | None = None
+    ) -> list[str]:
+        """≙ VectorStore.add_texts (vectorstore.py:174-225).
+
+        Pipeline (one DataFrame lineage; SURVEY.md §3.1): stage batch →
+        in-batch first-occurrence dedup → anti-join vs existing texts →
+        essential projection + sha256 metadata_hash → embed (Arrow
+        pandas_udf) AFTER dedup → normalize if cosine → append to both
+        tables. Returns batch-local ids ["0".."n-1"] like the reference
+        (vectorstore.py:221).
+        """
+        if not texts:
+            return []
+        if metadatas is not None and len(metadatas) != len(texts):
+            raise IndexError_(
+                f"texts/metadatas length mismatch: {len(texts)} vs {len(metadatas)}"
+            )
+        metas = metadatas or [{} for _ in texts]
+        rows = [
+            (i, t, _canonical_meta_json({**m}))
+            for i, (t, m) in enumerate(zip(texts, metas))
+        ]
+        staged = self.spark.createDataFrame(rows, INGEST_SCHEMA)
+
+        # first occurrence within batch (reference keeps first, index.py:211-218)
+        w = Window.partitionBy("text").orderBy("__pos")
+        staged = staged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        # anti-join vs existing corpus (index.py:202-210)
+        staged = staged.join(self._doc_index.select("text"), "text", "left_anti")
+        # deterministic order for id assignment; batch is driver-provided so
+        # a sort here is small. Bulk parquet ingest uses add_sequential_ids.
+        staged = staged.orderBy("__pos").coalesce(1)
+
+        meta_struct = F.from_json(
+            F.col("metadata_json"), "source STRING, category STRING, id BIGINT"
+        )
+        embed_udf = self.embeddings.udf()
+        enriched = (
+            staged.withColumn("source", meta_struct["source"])
+            .withColumn("category", meta_struct["category"])
+            .withColumn("metadata_hash", F.sha2(F.col("metadata_json"), 256))
+            .withColumn("embedding", embed_udf(F.col("text")))
+        )
+        if self.config.index.metric == "cosine":
+            enriched = enriched.withColumn("embedding", l2_normalize(F.col("embedding")))
+        enriched = enriched.withColumn(
+            "doc_id", (F.row_number().over(Window.orderBy("__pos")) - 1 + F.lit(self._count)).cast("long")
+        )
+
+        new_index = enriched.select(
+            "doc_id", "text", "source", "category", "metadata_json", "metadata_hash", "embedding"
+        )
+        new_payload = enriched.select(
+            "doc_id",
+            F.to_json(
+                F.struct(F.col("text"), F.col("metadata_json").alias("metadata"))
+            ).alias("payload_json"),
+        )
+        self._doc_index = self._doc_index.unionByName(new_index).cache()
+        self._payload = self._payload.unionByName(new_payload).cache()
+        self._count = self._doc_index.count()
+        self._payload.count()
+        return [str(i) for i in range(len(texts))]
+
+    def add_documents(self, documents: Iterable[Any]) -> list[str]:
+        texts = [d.page_content if hasattr(d, "page_content") else d["text"] for d in documents]
+        metas = [d.metadata if hasattr(d, "metadata") else d.get("metadata", {}) for d in documents]
+        return self.add_texts(texts, metas)
+
+    # ------------------------------------------------------------------ search
+
+    def _score(self, qvec: list[float]) -> DataFrame:
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        if self.config.index.metric == "l2":
+            return self._doc_index.withColumn("similarity", l2_sq(F.col("embedding"), q))
+        return self._doc_index.withColumn("similarity", dot(F.col("embedding"), q))
+
+    def similarity_search_with_score(
+        self, query: str, k: int = 4, include_full_metadata: bool = False
+    ) -> list[tuple[dict[str, Any], float]]:
+        """≙ vectorstore.py:659-684. Broadcast query vector → JVM-side
+        dot product → TakeOrderedAndProject top-k (no full sort)."""
+        if self._count == 0:
+            return []
+        qvec = self.embeddings.embed_query(query)
+        if self.config.index.metric == "cosine":
+            import math
+
+            n = math.sqrt(sum(x * x for x in qvec)) or 1.0
+            qvec = [x / n for x in qvec]
+        scored = self._score(qvec)
+        asc = self.config.index.metric == "l2"
+        order = [F.col("similarity").asc() if asc else F.col("similarity").desc(), F.col("doc_id").asc()]
+        top = scored.orderBy(*order).limit(k)
+        if include_full_metadata:
+            top = top.join(self._payload, "doc_id", "left")
+        out = []
+        for r in top.collect():
+            meta = json.loads(r["metadata_json"] or "{}")
+            meta["similarity"] = r["similarity"]
+            meta["metadata_type"] = "essential"
+            if include_full_metadata and r["payload_json"] is not None:
+                full = json.loads(r["payload_json"])
+                inner = json.loads(full.get("metadata") or "{}")
+                meta.update(inner)
+                meta["metadata_type"] = "full"
+            doc = {"page_content": r["text"], "metadata": meta, "doc_id": r["doc_id"]}
+            out.append((doc, float(r["similarity"])))
+        return out
+
+    def similarity_search(
+        self, query: str, k: int = 4, include_full_metadata: bool = False
+    ) -> list[dict[str, Any]]:
+        """≙ vectorstore.py:602-634."""
+        return [d for d, _ in self.similarity_search_with_score(query, k, include_full_metadata)]
+
+    def search_text(self, query: str, k: int = 4) -> list[SearchResult]:
+        """≙ IndexManager.search_text (index.py:309-338)."""
+        out = []
+        for doc, score in self.similarity_search_with_score(query, k):
+            meta = doc["metadata"]
+            out.append(
+                SearchResult(
+                    text=doc["page_content"],
+                    source=meta.get("source"),
+                    category=meta.get("category"),
+                    similarity=score,
+                    metadata=meta,
+                )
+            )
+        return out
+
+    def batch_search(self, queries: list[str], k: int = 4) -> DataFrame:
+        """All queries in ONE scored join — replaces the reference's
+        sequential per-query loop (retriever.py:110-136). Queries side
+        is broadcast; per-query top-k via window row_number.
+        Returns DataFrame(query_id, doc_id, text, similarity, rank)."""
+        import math
+
+        qrows = []
+        for qid, qtext in enumerate(queries):
+            v = self.embeddings.embed_query(qtext)
+            if self.config.index.metric == "cosine":
+                n = math.sqrt(sum(x * x for x in v)) or 1.0
+                v = [x / n for x in v]
+            qrows.append((qid, qtext, [float(x) for x in v]))
+        qdf = self.spark.createDataFrame(
+            qrows, "query_id LONG, query STRING, qvec ARRAY<DOUBLE>"
+        )
+        joined = self._doc_index.crossJoin(F.broadcast(qdf))
+        if self.config.index.metric == "l2":
+            scored = joined.withColumn("similarity", l2_sq(F.col("embedding"), F.col("qvec")))
+            order = [F.col("similarity").asc(), F.col("doc_id").asc()]
+        else:
+            scored = joined.withColumn("similarity", dot(F.col("embedding"), F.col("qvec")))
+            order = [F.col("similarity").desc(), F.col("doc_id").asc()]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "query", "doc_id", "text", "similarity", "rank")
+        )
+
+    # ------------------------------------------------------------ point lookups
+
+    def get_document_by_id(self, doc_id: int | str, include_full_metadata: bool = False):
+        """≙ retriever.py:258-316 — filter pushdown point lookup."""
+        docs = self.get_documents_by_ids([doc_id], include_full_metadata)
+        return docs[0] if docs else None
+
+    def get_documents_by_ids(
+        self, doc_ids: list[int | str], include_full_metadata: bool = False
+    ) -> list[dict[str, Any]]:
+        """≙ retriever.py:372-394 — one semi-join, not a per-id loop."""
+        try:
+            ids = [int(d) for d in doc_ids]
+        except (TypeError, ValueError) as e:
+            raise RetrievalError(f"invalid doc ids {doc_ids!r}") from e
+        df = self._doc_index.filter(F.col("doc_id").isin(ids))
+        if include_full_metadata:
+            df = df.join(self._payload, "doc_id", "left")
+        out = []
+        for r in df.orderBy("doc_id").collect():
+            meta = json.loads(r["metadata_json"] or "{}")
+            meta["metadata_type"] = "essential"
+            if include_full_metadata and r["payload_json"] is not None:
+                full = json.loads(r["payload_json"])
+                meta.update(json.loads(full.get("metadata") or "{}"))
+                meta["metadata_type"] = "full"
+            out.append({"page_content": r["text"], "metadata": meta, "doc_id": r["doc_id"]})
+        return out
+
+    def get_all_documents(self) -> list[dict[str, Any]]:
+        """≙ index.py:442-456 full scan."""
+        return [
+            {"page_content": r["text"], "metadata": json.loads(r["metadata_json"] or "{}"), "doc_id": r["doc_id"]}
+            for r in self._doc_index.orderBy("doc_id").collect()
+        ]
+
+    def get_document_count(self) -> int:
+        return self._count
+
+    # ---------------------------------------------------------------- deletes
+
+    def _renumber(self) -> None:
+        """Reassign ids 0..n-1 after delete, mirroring index.py:433-435.
+        No re-embedding (the reference only re-embeds because FAISS flat
+        lacks remove-by-id — SURVEY.md §4 defect 1)."""
+        w = Window.orderBy("doc_id")
+        old_new = self._doc_index.select("doc_id").withColumn(
+            "__new_id", (F.row_number().over(w) - 1).cast("long")
+        )
+        self._doc_index = (
+            self._doc_index.join(old_new, "doc_id")
+            .drop("doc_id")
+            .withColumnRenamed("__new_id", "doc_id")
+            .select("doc_id", "text", "source", "category", "metadata_json", "metadata_hash", "embedding")
+            .cache()
+        )
+        self._payload = (
+            self._payload.join(old_new, "doc_id")
+            .drop("doc_id")
+            .withColumnRenamed("__new_id", "doc_id")
+            .select("doc_id", "payload_json")
+            .cache()
+        )
+        self._count = self._doc_index.count()
+        self._payload.count()
+
+    def delete_by_ids(self, doc_ids: list[int | str]) -> bool:
+        """≙ vectorstore.py:290-352 / index.py:347-376: validate, anti-join
+        both tables, renumber. 'Frame removal' is just row deletion."""
+        if not doc_ids:
+            return False
+        try:
+            ids = [int(d) for d in doc_ids]
+        except (TypeError, ValueError) as e:
+            raise IndexError_(f"invalid doc ids {doc_ids!r}") from e
+        bad = [i for i in ids if i < 0 or i >= self._count]
+        if bad:
+            raise IndexError_(f"doc ids out of range: {bad}")
+        self._doc_index = self._doc_index.filter(~F.col("doc_id").isin(ids))
+        self._payload = self._payload.filter(~F.col("doc_id").isin(ids))
+        self._renumber()
+        return True
+
+    def delete_by_texts(self, texts: list[str]) -> bool:
+        """≙ index.py:378-402 — FIRST occurrence only per text:
+        row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1."""
+        if not texts:
+            return False
+        tdf = self.spark.createDataFrame([(t,) for t in texts], "text STRING").dropDuplicates()
+        w = Window.partitionBy("text").orderBy("doc_id")
+        victims = (
+            self._doc_index.join(F.broadcast(tdf), "text", "left_semi")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id")
+        )
+        self._doc_index = self._doc_index.join(victims, "doc_id", "left_anti")
+        self._payload = self._payload.join(victims, "doc_id", "left_anti")
+        self._renumber()
+        return True
+
+    def delete_documents(self, documents: Iterable[Any]) -> bool:
+        texts = [d.page_content if hasattr(d, "page_content") else d["text"] for d in documents]
+        return self.delete_by_texts(texts)
+
+    # ------------------------------------------------------------------ stats
+
+    def get_storage_stats(self) -> StorageStats:
+        """≙ vectorstore.py:815-879 but with REAL aggregates (the
+        reference hard-codes size heuristics, :858-859)."""
+        idx_bytes = int(
+            self._doc_index.select(
+                F.sum(
+                    F.length(F.col("text"))
+                    + F.coalesce(F.length("metadata_json"), F.lit(0))
+                    + F.size("embedding") * 4
+                    + 72
+                ).alias("b")
+            ).collect()[0]["b"]
+            or 0
+        )
+        pay_bytes = int(
+            self._payload.select(F.sum(F.length("payload_json")).alias("b")).collect()[0]["b"] or 0
+        )
+        return StorageStats(
+            document_count=self._count,
+            index_bytes=idx_bytes,
+            payload_bytes=pay_bytes,
+            frame_mapping_count=self._count,
+        )
+
+    # ---------------------------------------------------------------- persist
+
+    def save(self, path: str) -> None:
+        """≙ IndexManager.save (index.py:609-635) — both tables to
+        Parquet. Overwrite-swap semantics like the reference's file swap
+        (vectorstore.py:579-581)."""
+        try:
+            self._doc_index.write.mode("overwrite").parquet(os.path.join(path, "doc_index"))
+            self._payload.write.mode("overwrite").parquet(os.path.join(path, "payload"))
+        except Exception as e:  # pragma: no cover
+            raise StorageError(f"save to {path} failed: {e}") from e
+
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        spark: SparkSession,
+        embeddings: Any | None = None,
+        config: EngineConfig | None = None,
+    ) -> "SparkVectorStore":
+        """≙ IndexManager.load (index.py:637-670)."""
+        store = cls(spark, embeddings=embeddings, config=config)
+        try:
+            store._doc_index = spark.read.parquet(os.path.join(path, "doc_index")).cache()
+            store._payload = spark.read.parquet(os.path.join(path, "payload")).cache()
+        except Exception as e:
+            raise StorageError(f"load from {path} failed: {e}") from e
+        store._count = store._doc_index.count()
+        return store
+
+    # ------------------------------------------------------------- dataframes
+
+    @property
+    def doc_index(self) -> DataFrame:
+        return self._doc_index
+
+    @property
+    def payload(self) -> DataFrame:
+        return self._payload

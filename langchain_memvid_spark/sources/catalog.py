@@ -1,0 +1,47 @@
+"""Testdata catalog: parquet sources for the TPC-H-ish star schema.
+
+The reference's only sources are in-memory lists of texts/Documents
+(/root/reference/src/langchain_memvid/vectorstore.py:174,254); here the
+source layer is `spark.read.parquet` — columnar scans with predicate
+pushdown and column pruning supplied by the Parquet datasource.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Catalog:
+    """Lazy accessor: `cat.lineitem` etc."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return load_table(self._spark, self._sf_dir, name)
+        raise AttributeError(name)

@@ -1,0 +1,125 @@
+"""Vector-store semantics tests — mirrors the reference's unit suites
+(/root/reference/tests/test_index.py, test_vectorstore.py): add/search
+round-trip, dedup, delete-by-ids/texts incl. first-occurrence and
+invalid-id cases, id renumbering, stats."""
+
+import pytest
+
+from langchain_memvid_spark import SparkVectorStore, IndexError_
+from langchain_memvid_spark.config import EngineConfig, IndexConfig
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "Python is a great programming language",
+    "The weather is sunny today",
+    "Machine learning with spark is scalable",
+]
+METAS = [
+    {"id": 0, "source": "example0.txt", "category": "animals"},
+    {"id": 1, "source": "example1.txt", "category": "programming"},
+    {"id": 2, "source": "example2.txt", "category": "weather"},
+    {"id": 3, "source": "example3.txt", "category": "programming"},
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    return SparkVectorStore.from_texts(TEXTS, spark, metadatas=METAS)
+
+
+def test_add_returns_batch_local_ids(spark):
+    s = SparkVectorStore.from_texts(["a", "b", "a"], spark)
+    # reference returns ["0".."n-1"] for the batch regardless of dedup
+    # (vectorstore.py:221); corpus keeps only unique texts
+    assert s.add_texts(["c", "b"]) == ["0", "1"]
+    assert s.get_document_count() == 3  # a, b, c
+
+
+def test_ids_sequential(store):
+    docs = store.get_all_documents()
+    assert [d["doc_id"] for d in docs] == [0, 1, 2, 3]
+
+
+def test_similarity_search_self_match(store):
+    res = store.similarity_search_with_score(TEXTS[1], k=2)
+    assert len(res) == 2
+    doc, score = res[0]
+    # deterministic hash embeddings: identical text → cosine 1.0
+    assert doc["page_content"] == TEXTS[1]
+    assert score == pytest.approx(1.0, abs=1e-5)
+    assert doc["metadata"]["metadata_type"] == "essential"
+
+
+def test_full_metadata_join(store):
+    res = store.similarity_search(TEXTS[0], k=1, include_full_metadata=True)
+    assert res[0]["metadata"]["metadata_type"] == "full"
+    assert res[0]["metadata"]["source"] == "example0.txt"
+
+
+def test_batch_search(store):
+    df = store.batch_search([TEXTS[0], TEXTS[2]], k=2)
+    rows = df.collect()
+    assert len(rows) == 4
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == [0, 1]
+    top0 = min(by_q[0], key=lambda r: r["rank"])
+    assert top0["text"] == TEXTS[0]
+
+
+def test_point_lookup(store):
+    d = store.get_document_by_id(2)
+    assert d["page_content"] == TEXTS[2]
+    assert store.get_document_by_id("1")["doc_id"] == 1
+    many = store.get_documents_by_ids([0, 3])
+    assert [d["doc_id"] for d in many] == [0, 3]
+
+
+def test_delete_by_ids_renumbers(spark):
+    s = SparkVectorStore.from_texts(["t0", "t1", "t2", "t3"], spark)
+    assert s.delete_by_ids([1]) is True
+    docs = s.get_all_documents()
+    assert [d["doc_id"] for d in docs] == [0, 1, 2]
+    assert [d["page_content"] for d in docs] == ["t0", "t2", "t3"]
+
+
+def test_delete_invalid_id_raises(spark):
+    s = SparkVectorStore.from_texts(["x", "y"], spark)
+    with pytest.raises(IndexError_):
+        s.delete_by_ids([5])
+    with pytest.raises(IndexError_):
+        s.delete_by_ids(["nope"])
+
+
+def test_delete_by_texts_first_occurrence(spark):
+    # duplicate text only stored once (dedup), so craft distinct rows via
+    # metadata: dedup is by text, so use unique texts and delete one
+    s = SparkVectorStore.from_texts(["dup", "keep", "other"], spark)
+    assert s.delete_by_texts(["dup"]) is True
+    texts = [d["page_content"] for d in s.get_all_documents()]
+    assert texts == ["keep", "other"]
+
+
+def test_l2_metric(spark):
+    cfg = EngineConfig(index=IndexConfig(metric="l2", dim=32))
+    s = SparkVectorStore.from_texts(["alpha", "beta", "gamma"], spark, config=cfg)
+    res = s.similarity_search_with_score("alpha", k=1)
+    # self-match: squared L2 distance 0, lower=better ordering
+    assert res[0][0]["page_content"] == "alpha"
+    assert res[0][1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_storage_stats(store):
+    st = store.get_storage_stats()
+    assert st.document_count == 4
+    assert st.index_bytes > 0
+    assert st.payload_bytes > 0
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    s = SparkVectorStore.from_texts(["p", "q"], spark)
+    s.save(str(tmp_path / "store"))
+    s2 = SparkVectorStore.load(str(tmp_path / "store"), spark)
+    assert s2.get_document_count() == 2
+    assert {d["page_content"] for d in s2.get_all_documents()} == {"p", "q"}
