@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+Each query is materialized with a cheap count() of the final result
+(results are small aggregates / top-k outputs, so this measures the
+compute, not driver collection overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from langchain_memvid_spark.plans.registry import QUERIES  # noqa: E402
+from langchain_memvid_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the
+# scale-sensitive ones (joins, window aggs, dedup pipelines, ANN).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "running_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "knn_topk",
+    "knn_batch",
+    "ivf_search",
+    "ngram_jaccard",
+    "minhash_band_pairs",
+    "simhash",
+    "embedding_cosine_pairs",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("memvid-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = QUERIES[name]
+        t0 = time.time()
+        df = qd.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup generalizes the reference's ingest-time text dedup
+(/root/reference/src/langchain_memvid/index.py:202-218) to corpus
+scale; the near-dup family (MinHash+LSH, SimHash, n-gram Jaccard,
+embedding cosine) is the standard LLM-data stack, built shuffle-aware:
+
+  - shingling/hashing are pure Catalyst expressions (no UDFs),
+  - candidate generation joins on shingle/band/bucket keys (equi-joins
+    that AQE can re-plan), never all-pairs,
+  - only the scoring of *candidates* touches pair space.
+
+All hashes go through stable_hash64 (sha256-prefix), which the DuckDB
+oracle reproduces bit-for-bit, so signatures are correctness-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from langchain_memvid_spark.functions.hashing import stable_hash64
+from langchain_memvid_spark.functions.text import fingerprint, tokens, word_shingles
+from langchain_memvid_spark.functions.vector import cosine_sim
+
+# MinHash permutations h_j = (a*h + b) mod P over 60-bit base hashes.
+# a ≤ 7 keeps a*h < 2^63 (no overflow under ANSI mode); P = 2^61-1.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (1, 3),
+    (2, 5),
+    (3, 7),
+    (4, 11),
+    (5, 13),
+    (6, 17),
+    (7, 19),
+    (7, 23),
+)
+MINHASH_P = (1 << 61) - 1
+SIMHASH_BITS = 16
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text,
+    keeping the smallest doc_id (reference keeps first occurrence,
+    index.py:211-218). Map-side partial agg → single shuffle."""
+    return (
+        documents.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def shingle_table(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the base of Jaccard/MinHash."""
+    return (
+        documents.select("doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 3, top_n: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-N most similar doc pairs by exact Jaccard over k-word
+    shingle sets. Candidates come from an equi-join on shingle (docs
+    sharing ≥1 shingle), so disjoint docs never enter pair space."""
+    sh = shingle_table(documents, k, text_col).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = (
+        shared.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+    )
+    return (
+        jac.orderBy(F.col("jaccard").desc(), F.col("a_id").asc(), F.col("b_id").asc())
+        .limit(top_n)
+        .select("a_id", "b_id", "shared", "na", "nb", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """MinHash signatures (doc_id, mh0..mh7): min over shingles of each
+    permuted 60-bit shingle hash. One groupBy — the min() aggregates are
+    map-side-combined, so the shuffle carries 8 longs per doc."""
+    sh = shingle_table(documents, k, text_col)
+    hashed = sh.withColumn("h", stable_hash64(F.col("sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_pairs(
+    documents: DataFrame, k: int = 3, rows_per_band: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (bands of `rows_per_band`
+    values), bucket docs by (band_id, band values), join within buckets.
+    The join key is the band hash — the classic shingle→minhash→band→
+    bucket-join pipeline, one equi-join shuffle."""
+    sig = minhash_signatures(documents, k, text_col)
+    n = len(MINHASH_PERMS)
+    bands = []
+    for band_id in range(0, n // rows_per_band):
+        cols = [F.col(f"mh{band_id * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band_id).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
+            )
+        )
+    bucketed = bands[0]
+    for bdf in bands[1:]:
+        bucketed = bucketed.unionByName(bdf)
+    a = bucketed.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = bucketed.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates()
+    )
+
+
+def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct word-token hashes: bit b is set when
+    the sum of ±1 votes from each token's bit b is positive. Pure
+    aggregate — 16 conditional sums in one groupBy."""
+    tok = (
+        documents.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+        .dropDuplicates(["doc_id", "t"])
+        .withColumn("h", stable_hash64(F.col("t")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ threshold — exact, via
+    block-matrix multiply.
+
+    Row-at-a-time pair scoring (crossJoin + per-pair HOF dot product)
+    evaluates O(N²·dim) Catalyst expressions — ~40× slower than BLAS
+    and unshippable at scale. Instead: range-block the ids (block i
+    holds ids [i·B, (i+1)·B)), build one row per block with its id/
+    vector arrays, equi-free join blocks with blk_a ≤ blk_b (the id
+    ranges make a_id < b_id automatic across blocks), and score each
+    block pair with one float64 GEMM inside mapInPandas. Work is
+    N²/B² independent block-pair tasks — embarrassingly parallel
+    across executors, each task BLAS-bound.
+
+    Exact all-pairs is inherently quadratic; at 100 TB the pragmatic
+    path is LSH/IVF prefiltering (minhash_band_pairs / topk.ivf_search)
+    to prune pair space before this exact scorer.
+    """
+    import numpy as np
+    import pandas as pd
+
+    blocks = (
+        embeddings.select(
+            (F.col(id_col) / F.lit(block_size)).cast("int").alias("blk"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ).alias("item"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("item").alias("items"))
+    )
+    a = blocks.select(F.col("blk").alias("ablk"), F.col("items").alias("aitems"))
+    b = blocks.select(F.col("blk").alias("bblk"), F.col("items").alias("bitems"))
+    pairs = a.join(b, F.col("ablk") <= F.col("bblk")).repartition("ablk", "bblk")
+
+    def score(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ai = np.fromiter((it["id"] for it in row["aitems"]), dtype=np.int64)
+                av = np.array([it["v"] for it in row["aitems"]], dtype=np.float64)
+                bi = np.fromiter((it["id"] for it in row["bitems"]), dtype=np.int64)
+                bv = np.array([it["v"] for it in row["bitems"]], dtype=np.float64)
+                an = av / np.linalg.norm(av, axis=1, keepdims=True)
+                bn = bv / np.linalg.norm(bv, axis=1, keepdims=True)
+                sims = an @ bn.T
+                ii, jj = np.where(sims >= threshold)
+                keep = ai[ii] < bi[jj]
+                ii, jj = ii[keep], jj[keep]
+                yield pd.DataFrame(
+                    {
+                        "a_id": ai[ii],
+                        "b_id": bi[jj],
+                        "cos_sim": np.round(sims[ii, jj], 4),
+                    }
+                )
+
+    return pairs.mapInPandas(score, "a_id long, b_id long, cos_sim double")

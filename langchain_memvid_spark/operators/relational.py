@@ -1,0 +1,251 @@
+"""Relational operator coverage over the TPC-H-ish star schema.
+
+The reference has no SQL surface; these queries supply the relational
+breadth the engine needs as an analytics platform (SURVEY.md §7 slice
+5): multi-way joins (broadcast dims, shuffled fact joins), aggregation
+with partial/map-side combine, rollup, window ranking and running
+frames, semi/anti joins, set ops, scalar string/date/math functions,
+JSON extraction, and sessionization.
+
+Cross-engine determinism discipline (results must hash-match DuckDB):
+  - double sums go through CAST(round(x, s) AS DECIMAL(18,s)) so the
+    aggregate is exact integer arithmetic, then CAST back to DOUBLE;
+  - every LIMIT has a total-order tie-break;
+  - timestamps are emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(c: F.Column | str, scale: int = 2) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col, scale).cast(f"decimal(18,{scale})")
+
+
+def _ts(c: F.Column | str) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2001-06-30") -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates. Predicate
+    pushes to the parquet scan; partial aggregation makes the shuffle
+    6 rows per partition regardless of corpus size."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_dec(disc_price, 4)).alias("sum_disc_price"),
+            F.sum(_dec(charge, 6)).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_base_price").cast("double").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+            F.col("sum_charge").cast("double").alias("sum_charge"),
+            F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+            F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 4).alias("avg_price"),
+            F.col("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, cutoff: str = "1998-06-30"
+) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim into orders,
+    shuffle-join lineitem on orderkey, top-10 by revenue."""
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    agg = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("__rev"))
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            _ts("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+def q5_regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join — tiny dims broadcast all the way
+    down, the single shuffled join is orders⋈lineitem on orderkey."""
+    dims = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == region_name)), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("__rev"), F.count("*").alias("n_items"))
+        .select("n_name", F.col("__rev").cast("double").alias("revenue"), "n_items")
+    )
+
+
+def top_customers_per_nation(customer: DataFrame, nation: DataFrame, k: int = 3) -> DataFrame:
+    """Window ranking: top-k customers by acctbal within each nation."""
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("n_name", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "rank")
+    )
+
+
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP(status, priority): hierarchical subtotals + grand total."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum(_dec("o_totalprice")).alias("__tp"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            F.col("__tp").cast("double").alias("total_price"),
+        )
+    )
+
+
+def running_revenue(orders: DataFrame) -> DataFrame:
+    """Running per-customer revenue: window frame ROWS UNBOUNDED
+    PRECEDING over (orderdate, orderkey) total order."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _ts("o_orderdate").alias("o_orderdate"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join: customers that never ordered."""
+    return customer.join(
+        orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def urgent_building_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set op: custkeys with URGENT orders ∩ BUILDING-segment custkeys."""
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return urgent.intersect(building)
+
+
+def scalar_showcase(orders: DataFrame) -> DataFrame:
+    """Scalar function coverage: string, date, math — all JVM built-ins."""
+    return orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        _ts(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("ln_price"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("X")), F.lit("?")).alias("status_nn"),
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling-window (batch form) hourly aggregate per event type —
+    the batch twin of the Structured Streaming tumbling window."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("__h"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).alias("__sv"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            _ts("__h").alias("hour"),
+            "event_type",
+            "n_events",
+            F.col("__sv").cast("double").alias("sum_value"),
+            "n_users",
+        )
+    )
+
+
+def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization (gaps-and-islands): new session when the gap since
+    the previous event of the same user exceeds `gap_minutes`. lag +
+    running sum of boundary flags — one shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.withColumn(
+        "__new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        _ts(F.min("ts")).alias("session_start"),
+        _ts(F.max("ts")).alias("session_end"),
+        F.sum(_dec("value")).cast("double").alias("session_value"),
+    )
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction from the props column + grouped stats."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_big_k"),
+        )
+    )

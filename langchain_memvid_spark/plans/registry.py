@@ -1,0 +1,657 @@
+"""Query registry: every implemented operator as a named (spark_fn,
+oracle_sql) pair — the driver contract (SURVEY.md §5).
+
+Conventions that make Spark results hash-identical to DuckDB:
+  - double sums: CAST(round(x,s) AS DECIMAL(18,s)) before SUM (exact
+    integer arithmetic), CAST back to DOUBLE after;
+  - similarity scores: computed in DOUBLE, rounded to 4 decimals in the
+    OUTPUT but ordered by the unrounded value with id tie-breaks;
+  - timestamps → '%Y-%m-%d %H:%M:%S' strings;
+  - integer widths aligned (DuckDB ::INT / ::BIGINT casts vs Spark);
+  - hashes via sha256 prefixes (functions/hashing.py) portable to both.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from langchain_memvid_spark.operators import dedup, relational, textops, topk
+from langchain_memvid_spark.operators.dedup import MINHASH_P, MINHASH_PERMS, SIMHASH_BITS
+from langchain_memvid_spark.functions.text import LANG_STOPWORDS, STOPWORDS_EN
+
+
+from langchain_memvid_spark.sources.catalog import load_table as _t
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def _reg(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# SQL fragment helpers (DuckDB side)
+# ---------------------------------------------------------------------------
+
+DSUM = "CAST(sum(CAST(round({x},{s}) AS DECIMAL(18,{s}))) AS DOUBLE)"
+
+
+def dsum(x: str, s: int = 2) -> str:
+    return DSUM.format(x=x, s=s)
+
+
+TOKS = "string_split_regex(trim(text),'\\s+')"
+H64 = "('0x' || substring(sha256({x}),1,15))::BIGINT"
+
+# shared shingle CTE: 3-word shingles, distinct per doc
+SHINGLE_CTE = f"""
+t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh0 AS (SELECT doc_id, array_to_string(toks[i:i+2],' ') AS sh
+        FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks)-1, 2))) AS i) ix),
+sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
+"""
+
+# ---------------------------------------------------------------------------
+# Relational coverage
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum('l_quantity')} AS sum_qty,
+  {dsum('l_extendedprice')} AS sum_base_price,
+  {dsum('l_extendedprice*(1-l_discount)', 4)} AS sum_disc_price,
+  {dsum('l_extendedprice*(1-l_discount)*(1+l_tax)', 6)} AS sum_charge,
+  round({dsum('l_quantity')}/count(*), 4) AS avg_qty,
+  round({dsum('l_extendedprice')}/count(*), 4) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_q1(spark, sf_dir):
+    return relational.q1_pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@_reg(
+    "q3_shipping_priority",
+    f"""
+SELECT l_orderkey,
+  {dsum('l_extendedprice*(1-l_discount)', 4)} AS revenue,
+  strftime(o_orderdate,'%Y-%m-%d %H:%M:%S') AS o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def q_q3(spark, sf_dir):
+    return relational.q3_shipping_priority(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_reg(
+    "q5_regional_revenue",
+    f"""
+SELECT n_name, {dsum('l_extendedprice*(1-l_discount)', 4)} AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q_q5(spark, sf_dir):
+    return relational.q5_regional_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_reg(
+    "top_customers_per_nation",
+    """
+SELECT n_name, c_custkey, c_name, round(c_acctbal,2) AS c_acctbal, rank FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+    (row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey))::INT AS rank
+  FROM customer JOIN nation ON c_nationkey = n_nationkey) s
+WHERE rank <= 3
+""",
+)
+def q_topcust(spark, sf_dir):
+    return relational.top_customers_per_nation(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    )
+
+
+@_reg(
+    "orders_rollup",
+    f"""
+SELECT coalesce(o_orderstatus,'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority,'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       {dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def q_rollup(spark, sf_dir):
+    return relational.orders_rollup(_t(spark, sf_dir, "orders"))
+
+
+@_reg(
+    "running_revenue",
+    """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate,'%Y-%m-%d %H:%M:%S') AS o_orderdate,
+  CAST(sum(CAST(round(o_totalprice,2) AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def q_running(spark, sf_dir):
+    return relational.running_revenue(_t(spark, sf_dir, "orders"))
+
+
+@_reg(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name, round(c_acctbal,2) AS c_acctbal
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_antijoin(spark, sf_dir):
+    return relational.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_reg(
+    "urgent_building_customers",
+    """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def q_setops(spark, sf_dir):
+    return relational.urgent_building_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_reg(
+    "scalar_showcase",
+    """
+SELECT o_orderkey,
+  upper(o_orderstatus) AS status_upper,
+  substring(o_orderpriority,1,1) AS prio_code,
+  length(o_orderpriority)::INT AS prio_len,
+  concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+  year(o_orderdate)::INT AS o_year,
+  month(o_orderdate)::INT AS o_month,
+  day(o_orderdate)::INT AS o_day,
+  quarter(o_orderdate)::INT AS o_quarter,
+  strftime(o_orderdate + INTERVAL 30 DAY,'%Y-%m-%d %H:%M:%S') AS plus_30d,
+  round(sqrt(abs(o_totalprice)),4) AS sqrt_price,
+  round(ln(o_totalprice+1),4) AS ln_price,
+  CAST(floor(o_totalprice/1000) AS BIGINT) AS price_k,
+  coalesce(nullif(o_orderstatus,'X'),'?') AS status_nn
+FROM orders WHERE o_orderkey % 100 = 0
+""",
+)
+def q_scalar(spark, sf_dir):
+    return relational.scalar_showcase(_t(spark, sf_dir, "orders"))
+
+
+@_reg(
+    "events_hourly",
+    f"""
+SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  count(*) AS n_events, {dsum('value')} AS sum_value, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def q_hourly(spark, sf_dir):
+    return relational.events_hourly(_t(spark, sf_dir, "events"))
+
+
+@_reg(
+    "events_sessionize",
+    f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)) > 1800
+         THEN 1 ELSE 0 END AS newf
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts),'%Y-%m-%d %H:%M:%S') AS session_end,
+  {dsum('value')} AS session_value
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark, sf_dir):
+    return relational.events_sessionize(_t(spark, sf_dir, "events"))
+
+
+@_reg(
+    "events_json_stats",
+    """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sum_k,
+  max(CAST(json_extract_string(props,'$.k') AS INT)) AS max_k,
+  CAST(sum(CASE WHEN CAST(json_extract_string(props,'$.k') AS INT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k
+FROM events GROUP BY event_type
+""",
+)
+def q_json(spark, sf_dir):
+    return relational.events_json_stats(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+COS = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+@_reg(
+    "knn_topk",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({COS.format(a='e.embedding', b='q.embedding')},4) AS sim
+FROM embeddings e, q
+ORDER BY {COS.format(a='e.embedding', b='q.embedding')} DESC, e.vec_id
+LIMIT 10
+""",
+)
+def q_knn(spark, sf_dir):
+    return topk.knn_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_reg(
+    "knn_batch",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4))
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT q.query_id, e.vec_id,
+    round({COS.format(a='e.embedding', b='q.qvec')},4) AS sim,
+    (row_number() OVER (PARTITION BY q.query_id
+       ORDER BY {COS.format(a='e.embedding', b='q.qvec')} DESC, e.vec_id))::INT AS rank
+  FROM embeddings e CROSS JOIN q) s
+WHERE rank <= 5
+""",
+)
+def q_knn_batch(spark, sf_dir):
+    return topk.knn_batch(_t(spark, sf_dir, "embeddings"))
+
+
+@_reg(
+    "ivf_search",
+    f"""
+WITH cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+    FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) ix
+    GROUP BY label, i) s
+  GROUP BY label
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY list_cosine_similarity(centroid, qv) DESC, label LIMIT 2
+)
+SELECT e.vec_id, e.label, round({COS.format(a='e.embedding', b='q.qv')},4) AS sim
+FROM embeddings e JOIN probes p ON e.label = p.label CROSS JOIN q
+ORDER BY {COS.format(a='e.embedding', b='q.qv')} DESC, e.vec_id
+LIMIT 10
+""",
+)
+def q_ivf(spark, sf_dir):
+    return topk.ivf_search(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "dedup_exact",
+    """
+SELECT sha256(regexp_replace(trim(lower(text)),'\\s+',' ','g')) AS fp,
+  min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "ngram_jaccard",
+    f"""
+WITH {SHINGLE_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, shared, na, nb, round(jaccard,6) AS jaccard FROM (
+  SELECT a_id, b_id, shared, ca.n_sh AS na, cb.n_sh AS nb,
+    shared::DOUBLE / (ca.n_sh + cb.n_sh - shared)::DOUBLE AS jaccard
+  FROM shared JOIN counts ca ON ca.doc_id = a_id JOIN counts cb ON cb.doc_id = b_id) s
+ORDER BY jaccard DESC, a_id, b_id LIMIT 20
+""",
+)
+def q_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n  ".join(
+        f"min(({a}*h + {b}) % {MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+WITH {SHINGLE_CTE},
+h AS (SELECT doc_id, {H64.format(x='sh')} AS h FROM sh)
+SELECT doc_id,
+  {mins}
+FROM h GROUP BY doc_id
+"""
+
+
+@_reg("minhash_signatures", _minhash_sig_sql())
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_band_sql() -> str:
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, mh{2*band}::VARCHAR || '_' || mh{2*band+1}::VARCHAR AS bucket FROM sig"
+        for band in range(len(MINHASH_PERMS) // 2)
+    )
+    return f"""
+WITH {SHINGLE_CTE},
+h AS (SELECT doc_id, {H64.format(x='sh')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {",".join(f"min(({a}*h + {b}) % {MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_PERMS))}
+  FROM h GROUP BY doc_id
+),
+buckets AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@_reg("minhash_band_pairs", _minhash_band_sql())
+def q_minhash_bands(spark, sf_dir):
+    return dedup.minhash_band_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest({TOKS}) AS t FROM documents) s
+),
+h AS (SELECT doc_id, {H64.format(x='t')} AS h FROM tok),
+v AS (SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+"""
+
+
+@_reg("simhash", _simhash_sql())
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "embedding_cosine_pairs",
+    f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  round({COS.format(a='a.embedding', b='b.embedding')},4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+""",
+)
+def q_embpairs(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "text_token_counts",
+    f"""
+SELECT doc_id, len({TOKS})::INT AS n_tokens, length(text)::INT AS n_chars_calc,
+  round(length(text)::DOUBLE / greatest(len({TOKS}),1)::DOUBLE, 4) AS chars_per_token
+FROM documents
+""",
+)
+def q_tokens(spark, sf_dir):
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _quality_sql() -> str:
+    sw_list = ",".join(f"'{w}'" for w in STOPWORDS_EN)
+    toks_lower = "string_split_regex(trim(lower(text)),'\\s+')"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    len({TOKS})::INT AS n_tok,
+    length(text)::INT AS n_chr,
+    len(list_filter({toks_lower}, x -> x IN ({sw_list})))::DOUBLE
+      / greatest(len({toks_lower}),1)::DOUBLE AS sw,
+    length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE
+      / greatest(length(text),1)::DOUBLE AS ar
+  FROM documents)
+SELECT doc_id,
+  n_tok AS n_tokens,
+  n_chr AS n_chars_calc,
+  round(n_chr::DOUBLE / greatest(n_tok,1)::DOUBLE, 4) AS avg_token_len,
+  round(sw, 4) AS stopword_ratio,
+  round(ar, 4) AS alpha_ratio,
+  round(least(n_tok::DOUBLE / 20.0, 1.0) * 0.4 + ar * 0.3 + least(sw * 5.0, 1.0) * 0.3, 4) AS quality_score
+FROM base
+"""
+
+
+@_reg("text_quality", _quality_sql())
+def q_quality(spark, sf_dir):
+    return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    toks_lower = "string_split_regex(trim(lower(text)),'\\s+')"
+    langs = sorted(LANG_STOPWORDS)
+    scores = ",\n    ".join(
+        f"len(list_filter({toks_lower}, x -> x IN ({','.join(chr(39)+w+chr(39) for w in LANG_STOPWORDS[lang])})))::INT AS s_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({','.join('s_'+l for l in langs)})"
+    cases = " ".join(f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {scores}
+  FROM documents),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, lang AS tagged_lang,
+  CASE {cases} ELSE 'und' END AS pred_lang,
+  (CASE {cases} ELSE 'und' END = lang)::INT AS agree
+FROM b
+"""
+
+
+@_reg("text_lang_id", _lang_sql())
+def q_lang(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "text_fingerprint",
+    """
+SELECT doc_id, sha256(regexp_replace(trim(lower(text)),'\\s+',' ','g')) AS fp FROM documents
+""",
+)
+def q_fp(spark, sf_dir):
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Vector-store parity ops (reference operator semantics on testdata)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "vs_essential_projection",
+    """
+SELECT doc_id, text, source,
+  sha256(concat_ws('|', lang, source, CAST(n_chars AS VARCHAR))) AS metadata_hash
+FROM documents
+""",
+)
+def q_vs_proj(spark, sf_dir):
+    """Essential-metadata projection + metadata_hash
+    (≙ /root/reference/src/langchain_memvid/index.py:222-237)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "text",
+        "source",
+        F.sha2(F.concat_ws("|", F.col("lang"), F.col("source"), F.col("n_chars").cast("string")), 256).alias(
+            "metadata_hash"
+        ),
+    )
+
+
+@_reg(
+    "vs_delete_renumber",
+    """
+SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS doc_id,
+  doc_id AS old_doc_id, text, source
+FROM documents WHERE doc_id % 7 <> 0
+""",
+)
+def q_vs_delete(spark, sf_dir):
+    """Delete + id renumbering 0..n-1
+    (≙ /root/reference/src/langchain_memvid/index.py:433-435)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
+    w = Window.orderBy("doc_id")
+    return d.select(
+        (F.row_number().over(w) - 1).cast("long").alias("doc_id"),
+        F.col("doc_id").alias("old_doc_id"),
+        "text",
+        "source",
+    )
+
+
+@_reg(
+    "vs_point_lookup",
+    """
+SELECT doc_id, text, source, lang FROM documents WHERE doc_id IN (1, 5, 10, 42, 99)
+""",
+)
+def q_vs_lookup(spark, sf_dir):
+    """Point lookups by id (≙ retriever.py:258-316) — predicate pushdown."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(1, 5, 10, 42, 99))
+        .select("doc_id", "text", "source", "lang")
+    )
+
+
+@_reg(
+    "vs_semi_join",
+    """
+SELECT doc_id, text, n_chars FROM documents
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
+""",
+)
+def q_vs_semi(spark, sf_dir):
+    """get_documents_by_ids as a semi join (≙ retriever.py:372-394)."""
+    d = _t(spark, sf_dir, "documents")
+    ids = d.filter(F.col("source") == "src3").select("doc_id")
+    return d.join(ids, "doc_id", "left_semi").select("doc_id", "text", "n_chars")
+
+
+@_reg(
+    "vs_storage_stats",
+    """
+SELECT count(*) AS document_count,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  round(sum(n_chars)::DOUBLE / count(*), 4) AS avg_chars,
+  count(DISTINCT source) AS n_sources,
+  count(DISTINCT lang) AS n_langs
+FROM documents
+""",
+)
+def q_vs_stats(spark, sf_dir):
+    """Storage stats with REAL aggregates (≙ vectorstore.py:815-879,
+    minus its hard-coded size guesses)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("document_count"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

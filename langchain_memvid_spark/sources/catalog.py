@@ -25,7 +25,25 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark cannot represent
+    (micros max). We read nanos as long (legacy conf, runtime-settable)
+    and truncate to micros with integer division — matching DuckDB's
+    own nanos→micros truncation bit-for-bit.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf not recognized on some builds; fall back to plain read
+    df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
