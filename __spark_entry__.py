@@ -21,14 +21,15 @@ from pyspark.sql import functions as F
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from langchain_memvid_spark.embeddings import HashEmbeddings
-    from langchain_memvid_spark.functions.vector import cosine_sim, l2_normalize
+    from langchain_memvid_spark.functions.vector import cosine_sim
     from langchain_memvid_spark.sources.catalog import load_table
 
     sf_dir = "/root/testdata/sf0.001"
     docs = load_table(spark, sf_dir, "documents")
     emb = HashEmbeddings(dim=64)
 
-    corpus = docs.withColumn("embedding", l2_normalize(emb.udf()(F.col("text")))).cache()
+    # HashEmbeddings emits unit vectors, so cosine == dot on this column
+    corpus = docs.withColumn("embedding", emb.udf()(F.col("text"))).cache()
 
     queries = ["table scan join order", "stream window batch", "vector hash merge"]
     qrows = [(i, q, emb.embed_query(q)) for i, q in enumerate(queries)]
