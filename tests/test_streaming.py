@@ -1,0 +1,62 @@
+"""Structured Streaming tests: each streaming query, run with an
+availableNow trigger over the events parquet, must equal its batch
+twin computed with plain DataFrame ops on the same data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from langchain_memvid_spark.sources.catalog import load_table
+from langchain_memvid_spark.streaming import events as ev
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, sf_dir):
+    return ev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_tumbling_counts_matches_batch(spark, batch_events, stream_events):
+    got = ev.run_to_memory(ev.tumbling_counts(stream_events), "t_tumbling")
+    want = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_sliding_windows_cover_events(spark, batch_events, stream_events):
+    got = ev.run_to_memory(ev.sliding_user_activity(stream_events), "t_sliding")
+    # every event lands in exactly 2 sliding windows (1h window, 30m slide)
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * batch_events.count()
+
+
+def test_session_windows_match_batch_sessionize(spark, batch_events, stream_events):
+    from langchain_memvid_spark.operators.relational import events_sessionize
+
+    got = ev.run_to_memory(ev.session_windows(stream_events), "t_session")
+    want = events_sessionize(batch_events)
+    # same number of sessions per user and same total session count
+    assert got.count() == want.count()
+    g = {(r["user_id"]): r["n"] for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    w = {(r["user_id"]): r["n"] for r in want.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert g == w
