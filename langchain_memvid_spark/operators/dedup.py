@@ -224,3 +224,29 @@ def embedding_cosine_pairs(
                 )
 
     return pairs.mapInPandas(score, "a_id long, b_id long, cos_sim double")
+
+
+def minhash_jaccard_estimates(
+    documents: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Estimated Jaccard for LSH candidate pairs: the fraction of equal
+    signature positions. Signature join is broadcast-friendly (8 longs
+    per doc); only candidate pairs are scored."""
+    sig = minhash_signatures(documents, k, text_col).cache()
+    cand = minhash_band_pairs(documents, k, text_col=text_col)
+    n = len(MINHASH_PERMS)
+    a = sig.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n)])
+    b = sig.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n)])
+    eq = None
+    for j in range(n):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        eq = term if eq is None else eq + term
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(eq.cast("double") / F.lit(float(n)), 4).alias("jaccard_est"),
+        )
+    )

@@ -249,3 +249,173 @@ def events_json_stats(events: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_big_k"),
         )
     )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: tight-range scan-filter + single agg. All three
+    predicates push to parquet row-group pruning."""
+    rev = _dec(F.col("l_extendedprice") * F.col("l_discount"), 4)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("__r"), F.count("*").alias("n_items"))
+        .select(F.col("__r").cast("double").alias("revenue"), "n_items")
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    agg = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("__rev"), F.count("*").alias("n_items"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("__rev").cast("double").alias("revenue"), "n_items",
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def q7_nation_volume(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation trade volume
+    per year. Two broadcast nation joins under one shuffled fact join."""
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).alias("__v"), F.count("*").alias("n_items"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.col("__v").cast("double").alias("volume"), "n_items",
+        )
+    )
+
+
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE(status, priority): all grouping-set combinations."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+def customer_quartiles(customer: DataFrame) -> DataFrame:
+    """ntile + percent_rank + cume_dist over account balance."""
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return customer.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def order_gaps(orders: DataFrame) -> DataFrame:
+    """lead/lag: days since each customer's previous order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _ts("o_orderdate").alias("o_orderdate"),
+        F.when(prev.isNull(), F.lit(None)).otherwise(
+            F.datediff(F.col("o_orderdate"), prev)
+        ).cast("int").alias("days_since_prev"),
+    )
+
+
+def monthly_order_stats(orders: DataFrame) -> DataFrame:
+    """Date bucketing: per-month order stats."""
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def part_type_stats(part: DataFrame) -> DataFrame:
+    """String predicates + split over the part dimension."""
+    return (
+        part.withColumn("type_head", F.split(F.col("p_type"), " ").getItem(0))
+        .withColumn("is_brand1", F.col("p_brand").like("Brand#1%").cast("int"))
+        .groupBy("type_head")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("is_brand1").cast("long").alias("n_brand1"),
+            # decimal-sum/count, not avg(): float summation order is
+            # engine-dependent; exact decimal arithmetic is not
+            F.round(F.sum(_dec("p_retailprice")).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot event types to columns per day (conditional aggregation —
+    identical semantics to groupBy().pivot() but portable)."""
+    day = F.date_format("ts", "yyyy-MM-dd")
+    out = events.groupBy(day.alias("day"))
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return out.agg(*aggs)
+
+
+def above_avg_customers(customer: DataFrame) -> DataFrame:
+    """Scalar-subquery filter: customers above the mean balance.
+    The mean is computed with exact decimal arithmetic so the filter
+    boundary is bit-identical across engines."""
+    avg_bal = customer.agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("a")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+def doc_length_histogram(documents: DataFrame, bucket: int = 50) -> DataFrame:
+    """Histogram of document lengths (width_bucket style)."""
+    b = (F.floor(F.col("n_chars") / bucket) * bucket).cast("long")
+    return (
+        documents.groupBy(b.alias("bucket_lo"))
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )

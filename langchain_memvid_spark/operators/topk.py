@@ -135,3 +135,46 @@ def ivf_search(
         .limit(k)
         .select(F.col(id_col), F.col(label_col), F.round(F.col("__s"), 4).alias("sim"))
     )
+
+
+def knn_topk_l2(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by SQUARED L2 distance (FAISS IndexFlatL2 convention:
+    lower=better, /root/reference/src/langchain_memvid/index.py:148,327)."""
+    from langchain_memvid_spark.functions.vector import l2_sq
+
+    qvec = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        embeddings.withColumn("__d", l2_sq(F.col(vec_col), q))
+        .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__d"), 4).alias("dist_sq"))
+    )
+
+
+def ivf_centroid_stats(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster centroid statistics: size, centroid norm, first
+    component — the health check for the IVF layout."""
+    from langchain_memvid_spark.functions.vector import dot
+
+    cents = label_centroids(embeddings, label_col, vec_col)
+    sizes = embeddings.groupBy(label_col).agg(F.count("*").alias("n_vectors"))
+    return (
+        cents.join(sizes, label_col)
+        .select(
+            F.col(label_col),
+            "n_vectors",
+            F.round(F.sqrt(dot(F.col("centroid"), F.col("centroid"))), 6).alias("centroid_norm"),
+            F.round(F.element_at("centroid", 1), 6).alias("c0"),
+        )
+    )

@@ -655,3 +655,252 @@ def q_vs_stats(spark, sf_dir):
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational coverage (round 1 widening)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "q6_forecast_revenue",
+    f"""
+SELECT {dsum('l_extendedprice*l_discount', 4)} AS revenue, count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+)
+def q_q6(spark, sf_dir):
+    return relational.q6_forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@_reg(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, n_name,
+  {dsum('l_extendedprice*(1-l_discount)', 4)} AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q_q10(spark, sf_dir):
+    return relational.q10_returned_items(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_reg(
+    "q7_nation_volume",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate)::INT AS l_year,
+  {dsum('l_extendedprice*(1-l_discount)', 4)} AS volume, count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+)
+def q_q7(spark, sf_dir):
+    return relational.q7_nation_volume(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_reg(
+    "orders_cube",
+    """
+SELECT coalesce(o_orderstatus,'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority,'ALL') AS o_orderpriority,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube(spark, sf_dir):
+    return relational.orders_cube(_t(spark, sf_dir, "orders"))
+
+
+@_reg(
+    "customer_quartiles",
+    """
+SELECT c_custkey, round(c_acctbal,2) AS c_acctbal,
+  (ntile(4) OVER w)::INT AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM customer WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+""",
+)
+def q_quartiles(spark, sf_dir):
+    return relational.customer_quartiles(_t(spark, sf_dir, "customer"))
+
+
+@_reg(
+    "order_gaps",
+    """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate,'%Y-%m-%d %H:%M:%S') AS o_orderdate,
+  date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE))::INT AS days_since_prev
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_gaps(spark, sf_dir):
+    return relational.order_gaps(_t(spark, sf_dir, "orders"))
+
+
+@_reg(
+    "monthly_order_stats",
+    f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+  count(*) AS n_orders,
+  {dsum('o_totalprice')} AS total_revenue,
+  round(min(o_totalprice),2) AS min_price,
+  round(max(o_totalprice),2) AS max_price,
+  count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+""",
+)
+def q_monthly(spark, sf_dir):
+    return relational.monthly_order_stats(_t(spark, sf_dir, "orders"))
+
+
+@_reg(
+    "part_type_stats",
+    f"""
+SELECT string_split(p_type, ' ')[1] AS type_head,
+  count(*) AS n_parts,
+  CAST(sum(CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand1,
+  round({dsum('p_retailprice')}/count(*), 4) AS avg_price,
+  max(p_size) AS max_size
+FROM part GROUP BY string_split(p_type, ' ')[1]
+""",
+)
+def q_parts(spark, sf_dir):
+    return relational.part_type_stats(_t(spark, sf_dir, "part"))
+
+
+@_reg(
+    "event_type_pivot",
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+""",
+)
+def q_pivot(spark, sf_dir):
+    return relational.event_type_pivot(_t(spark, sf_dir, "events"))
+
+
+@_reg(
+    "above_avg_customers",
+    f"""
+SELECT c_custkey, c_name, round(c_acctbal,2) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT {dsum('c_acctbal')}/count(*) FROM customer)
+""",
+)
+def q_above_avg(spark, sf_dir):
+    return relational.above_avg_customers(_t(spark, sf_dir, "customer"))
+
+
+@_reg(
+    "doc_length_histogram",
+    f"""
+SELECT CAST(floor(n_chars/50)*50 AS BIGINT) AS bucket_lo,
+  count(*) AS n_docs,
+  round({dsum('n_chars', 0)}/count(*), 4) AS avg_chars
+FROM documents GROUP BY 1
+""",
+)
+def q_histogram(spark, sf_dir):
+    return relational.doc_length_histogram(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extended vector / dedup coverage
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "knn_topk_l2",
+    """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round(power(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 2), 4) AS dist_sq
+FROM embeddings e, q
+ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) ASC, e.vec_id
+LIMIT 10
+""",
+)
+def q_knn_l2(spark, sf_dir):
+    return topk.knn_topk_l2(_t(spark, sf_dir, "embeddings"))
+
+
+@_reg(
+    "ivf_centroid_stats",
+    """
+WITH cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+    FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) ix
+    GROUP BY label, i) s
+  GROUP BY label
+),
+sizes AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT c.label, s.n_vectors,
+  round(sqrt(list_dot_product(c.centroid, c.centroid)), 6) AS centroid_norm,
+  round(c.centroid[1], 6) AS c0
+FROM cent c JOIN sizes s ON c.label = s.label
+""",
+)
+def q_centroids(spark, sf_dir):
+    return topk.ivf_centroid_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def _minhash_est_sql() -> str:
+    sig_cols = ",".join(
+        f"min(({a}*h + {b}) % {MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    bands = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, mh{2*band}::VARCHAR || '_' || mh{2*band+1}::VARCHAR AS bucket FROM sig"
+        for band in range(len(MINHASH_PERMS) // 2)
+    )
+    eq = " + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(len(MINHASH_PERMS)))
+    return f"""
+WITH {SHINGLE_CTE},
+h AS (SELECT doc_id, {H64.format(x='sh')} AS h FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+buckets AS (
+    {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id, round(({eq})::DOUBLE / 8.0, 4) AS jaccard_est
+FROM cand c JOIN sig a ON a.doc_id = c.a_id JOIN sig b ON b.doc_id = c.b_id
+"""
+
+
+@_reg("minhash_jaccard_estimates", _minhash_est_sql())
+def q_minhash_est(spark, sf_dir):
+    return dedup.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
