@@ -1,0 +1,135 @@
+"""Operator-level unit tests: semantics checked against plain-Python
+reimplementations on small inputs (the registry's DuckDB oracle covers
+full-table equivalence; these pin down edge cases)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from langchain_memvid_spark.core.ids import add_sequential_ids
+from langchain_memvid_spark.functions.hashing import HASH_HEX_CHARS
+from langchain_memvid_spark.functions.text import word_shingles
+from langchain_memvid_spark.operators import dedup, topk
+from langchain_memvid_spark.sources.catalog import load_table
+
+
+def py_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.strip().split()
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def py_hash64(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:HASH_HEX_CHARS], 16)
+
+
+def test_word_shingles_match_python(spark):
+    texts = [
+        "a b c d e",
+        "one two three",
+        "single",
+        "two words",
+        "  padded   spacing   here  ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()
+    for t, row in zip(texts, got):
+        assert row["sh"] == py_shingles(t), t
+
+
+def test_stable_hash64_matches_python(spark):
+    from langchain_memvid_spark.functions.hashing import stable_hash64
+
+    df = spark.createDataFrame([("abc",), ("hello world",), ("",)], "s STRING")
+    got = [r[0] for r in df.select(stable_hash64(F.col("s"))).collect()]
+    assert got == [py_hash64("abc"), py_hash64("hello world"), py_hash64("")]
+
+
+def test_minhash_signature_python_equivalence(spark):
+    text = "the quick brown fox jumps over the lazy dog again"
+    df = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
+    row = dedup.minhash_signatures(df).collect()[0]
+    shingles = set(py_shingles(text))
+    for j, (a, b) in enumerate(dedup.MINHASH_PERMS):
+        expect = min((a * py_hash64(s) + b) % dedup.MINHASH_P for s in shingles)
+        assert row[f"mh{j}"] == expect
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    assert 0 <= rows[0] < (1 << dedup.SIMHASH_BITS)
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "different")],
+        "doc_id LONG, text STRING",
+    )
+    rows = dedup.exact_dedup(df).collect()
+    by_fp = {r["fp"]: r for r in rows}
+    assert len(by_fp) == 2
+    dup = [r for r in rows if r["dup_count"] == 2][0]
+    assert dup["keep_doc_id"] == 0
+
+
+def test_embedding_cosine_pairs_block_boundaries(spark):
+    # force multiple blocks with a tiny block size; validate vs brute force
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, (20, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.5, block_size=6).collect()
+    }
+    v = vecs.astype("float64")
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    want = {
+        (i, j): round(float(sims[i, j]), 4)
+        for i in range(20)
+        for j in range(i + 1, 20)
+        if sims[i, j] >= 0.5
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_knn_batch_self_rank_one(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = topk.knn_batch(emb, query_vec_ids=(3, 4), k=2).collect()
+    top = {r["query_id"]: r["vec_id"] for r in res if r["rank"] == 1}
+    assert top == {3: 3, 4: 4}  # self-similarity is maximal
+
+
+def test_ivf_search_prunes_to_nprobe_labels(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = topk.ivf_search(emb, query_vec_id=0, k=10, nprobe=2).collect()
+    probed = {r["label"] for r in res}
+    assert len(probed) <= 2
+    # results are descending by similarity (TakeOrdered semantics)
+    sims = [r["sim"] for r in res]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_add_sequential_ids_dense(spark):
+    df = spark.range(0, 1000).repartition(7).select(F.col("id").alias("x"))
+    out = add_sequential_ids(df, "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == list(range(1000))
+
+
+def test_add_sequential_ids_empty(spark):
+    df = spark.range(0).select(F.col("id").alias("x"))
+    assert add_sequential_ids(df, "doc_id").count() == 0
