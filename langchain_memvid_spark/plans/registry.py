@@ -904,3 +904,85 @@ FROM cand c JOIN sig a ON a.doc_id = c.a_id JOIN sig b ON b.doc_id = c.b_id
 @_reg("minhash_jaccard_estimates", _minhash_est_sql())
 def q_minhash_est(spark, sf_dir):
     return dedup.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join, percentiles, correlated predicates
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "purchase_attribution",
+    """
+SELECT p.event_id AS purchase_id, p.user_id,
+  strftime(p.ts,'%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  c.event_id AS click_id,
+  strftime(c.ts,'%Y-%m-%d %H:%M:%S') AS click_ts,
+  (CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) AS gap_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts < p.ts
+""",
+)
+def q_asof(spark, sf_dir):
+    """As-of join: each purchase attributed to the user's most recent
+    strictly-prior click. Union+window implementation (operators/asof.py)
+    — one shuffle, no range-join blowup."""
+    from langchain_memvid_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(purchases, clicks, on="user_id", strict=True, right_prefix="c_")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("c_event_id").alias("click_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        (F.col("ts").cast("long") - F.col("c_ts").cast("long")).alias("gap_seconds"),
+    )
+
+
+@_reg(
+    "price_percentiles",
+    """
+SELECT o_orderstatus,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+  count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (percentile_cont
+    semantics — Spark `percentile` and DuckDB `quantile_cont` both
+    linearly interpolate, and the inputs are exact 2-decimal doubles)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_reg(
+    "big_spender_customers",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def q_exists(spark, sf_dir):
+    """Correlated EXISTS as a semi join with a pushed-down predicate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(
+        o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
