@@ -972,6 +972,27 @@ def q_percentiles(spark, sf_dir):
 
 
 @_reg(
+    "ivf_kmeans_search",
+    None,  # KMeans training is not SQL-expressible — driver rows-only check
+)
+def q_ivf_kmeans(spark, sf_dir):
+    """KMeans-trained IVF layout: partitionBy(cluster_id) write →
+    centroid-pruned partition-scan search (core/ivf.py). The 100 TB
+    scale path for ANN — only nprobe/nlist of the corpus files are
+    scanned. Reference analog: the dead-code FAISS IVF gate
+    (/root/reference/src/langchain_memvid/index.py:152-162)."""
+    import tempfile
+
+    from langchain_memvid_spark.core.ivf import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx, assigned = IVFIndex.build(emb, nlist=8)
+    idx.write_layout(assigned, tempfile.mkdtemp(prefix="ivf_layout_"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return idx.search(spark, qvec, k=10, nprobe=2)
+
+
+@_reg(
     "big_spender_customers",
     """
 SELECT c_custkey, c_name, c_mktsegment

@@ -133,3 +133,53 @@ def test_add_sequential_ids_dense(spark):
 def test_add_sequential_ids_empty(spark):
     df = spark.range(0).select(F.col("id").alias("x"))
     assert add_sequential_ids(df, "doc_id").count() == 0
+
+
+def test_ivf_kmeans_flat_fallback_is_exact(spark, sf_dir, tmp_path):
+    """Below the 30*nlist training gate the layout stays flat, so IVF
+    search must equal the exact brute-force top-k."""
+    from langchain_memvid_spark.core.ivf import IVFIndex
+    from langchain_memvid_spark.functions.vector import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")  # 500 rows < 30*32 gate
+    idx, assigned = IVFIndex.build(emb, nlist=32)
+    assert assigned.select("cluster_id").distinct().count() == 1
+    idx.write_layout(assigned, str(tmp_path / "ivf"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [r["vec_id"] for r in idx.search(spark, qvec, k=5, nprobe=2).collect()]
+
+    q = F.array(*[F.lit(x) for x in qvec])
+    want = [
+        r["vec_id"]
+        for r in emb.withColumn("s", cosine_sim(F.col("embedding"), q))
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    ]
+    assert got == want
+    assert got[0] == 0  # self-match first
+
+
+def test_ivf_kmeans_trained_recall(spark, tmp_path):
+    """Above the gate KMeans trains; nprobe=2 of 8 clusters must still
+    recover most of the exact top-10 (clustered vectors land together)."""
+    from langchain_memvid_spark.core.ivf import IVFIndex
+    from langchain_memvid_spark.functions.vector import cosine_sim
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")  # 500 rows
+    idx, assigned = IVFIndex.build(emb, nlist=8)
+    assert assigned.select("cluster_id").distinct().count() > 1
+    idx.write_layout(assigned, str(tmp_path / "ivf"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = {r["vec_id"] for r in idx.search(spark, qvec, k=10, nprobe=2).collect()}
+
+    q = F.array(*[F.lit(x) for x in qvec])
+    exact = {
+        r["vec_id"]
+        for r in emb.withColumn("s", cosine_sim(F.col("embedding"), q))
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    }
+    assert 0 in got  # the query vector itself lives in a probed cluster
+    assert len(got & exact) >= 6  # recall >= 0.6 with nprobe=2/8
