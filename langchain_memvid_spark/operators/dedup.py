@@ -66,7 +66,13 @@ def _shingle_rows(documents: DataFrame, k: int, text_col: str) -> DataFrame:
     set cardinality carried along so Jaccard needs no count-joins later.
     Vectorized Python (mapInPandas): shingle construction through
     Catalyst HOFs runs interpreted (no codegen) and was measurably
-    slower."""
+    slower.
+
+    The input is widened to the session's core count when it arrives in
+    fewer partitions (single parquet file at small SF) — the Python
+    stage is the CPU-hot part and must not run serially; at cluster
+    scale the input already has more partitions than cores and the
+    repartition is a no-op branch."""
     import pandas as pd
 
     def explode_shingles(batches):
@@ -85,9 +91,11 @@ def _shingle_rows(documents: DataFrame, k: int, text_col: str) -> DataFrame:
                     ns.append(n)
             yield pd.DataFrame({"doc_id": ids, "sh": shs, "n_sh": ns})
 
-    return documents.select("doc_id", text_col).mapInPandas(
-        explode_shingles, "doc_id long, sh string, n_sh int"
-    )
+    narrow = documents.select("doc_id", text_col)
+    target = documents.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return narrow.mapInPandas(explode_shingles, "doc_id long, sh string, n_sh int")
 
 
 def ngram_jaccard_pairs(
@@ -101,12 +109,22 @@ def ngram_jaccard_pairs(
     the shingle rows, so the only shuffles are the candidate join and
     the (a,b) pair aggregation. Hot shingles (stopword runs) are the
     skew risk at corpus scale — AQE skew-join splits them; a frequency
-    cap on shingle document-frequency is the standard mitigation."""
-    sh = _shingle_rows(documents, k, text_col).cache()
-    a = sh.select(F.col("doc_id").alias("a_id"), "sh", F.col("n_sh").alias("na"))
-    b = sh.select(F.col("doc_id").alias("b_id"), "sh", F.col("n_sh").alias("nb"))
+    cap on shingle document-frequency is the standard mitigation.
+
+    The join key is xxhash64(shingle) (JVM-side, codegen) rather than
+    the shingle string: an 8-byte shuffle key instead of a 20-40 byte
+    one, and long comparisons in the sort/join. Collision odds over a
+    63-bit space are negligible against corpus shingle cardinality."""
+    sh = (
+        _shingle_rows(documents, k, text_col)
+        .withColumn("shh", F.xxhash64("sh"))
+        .drop("sh")
+        .cache()
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), "shh", F.col("n_sh").alias("na"))
+    b = sh.select(F.col("doc_id").alias("b_id"), "shh", F.col("n_sh").alias("nb"))
     jac = (
-        a.join(b, "sh")
+        a.join(b, "shh")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("shared"), F.first("na").alias("na"), F.first("nb").alias("nb"))
