@@ -419,3 +419,191 @@ def doc_length_histogram(documents: DataFrame, bucket: int = 50) -> DataFrame:
         documents.groupBy(b.alias("bucket_lo"))
         .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
     )
+
+
+def q4_late_shipment_priority(orders: DataFrame, lineitem: DataFrame, days: int = 90) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no l_commitdate in this schema — "late"
+    means shipped > `days` after the order date): priority counts over
+    orders with EXISTS a late lineitem. The EXISTS is a left-semi join
+    with a non-equi residual; the equi part (orderkey) still drives a
+    shuffled hash join, so no cross product materializes."""
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAYS")
+    )
+    return (
+        orders.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q12_priority_by_returnflag(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (adapted: l_returnflag stands in for the absent
+    l_shipmode): per returnflag, how many lineitems belong to
+    high-priority vs low-priority orders. Conditional aggregation —
+    the CASE folds into the partial agg, one shuffle total."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_returnflag")
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue_share(lineitem: DataFrame, part: DataFrame, ptype: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q14 shape: percent of revenue from one part type. The part
+    dim broadcasts (it is orders/10 rows); the ratio is computed from
+    DECIMAL partial sums so it hash-matches the oracle."""
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == ptype, rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_share_pct")
+    )
+
+
+def q15_top_suppliers(supplier: DataFrame, lineitem: DataFrame, k: int = 5) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier, top-k. Partial-agg shuffle
+    to supplier grain (tiny), then broadcast the supplier dim onto it."""
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("rev"))
+    )
+    return (
+        rev.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue"))
+        .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey").asc())
+        .limit(k)
+    )
+
+
+def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     threshold: int = 300) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer detail. The HAVING runs at lineitem grain first so
+    only qualifying orderkeys (a few hundred) reach the join — the
+    joins then broadcast that tiny set against orders/customer."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > threshold)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            _ts("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q22_idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, big_order: float = 300000.0
+) -> DataFrame:
+    """TPC-H Q22 shape: customers richer than the positive-balance
+    average who never placed a large order, counted per nation. The
+    scalar average is a one-row broadcast (cross join); the NOT EXISTS
+    is an anti join whose probe side is pre-filtered to big orders —
+    the filter shrinks the build set before the shuffle."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+    big = orders.filter(F.col("o_totalprice") > big_order).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def q8_market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame,
+                    r_name: str = "ASIA", share_nation: str = "NATION_8") -> DataFrame:
+    """TPC-H Q8 shape (adapted: share of the customer's nation, since
+    this schema has no supplier nation on lineitem): within one
+    region's revenue, the yearly share contributed by one nation.
+    Dims broadcast down the snowflake; one shuffle to year grain."""
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    dims = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == r_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == share_nation, rev)
+                      .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                               brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is under
+    20% of their part's average quantity. The per-part average is a
+    window over the part key — no self-join; the average is computed
+    from DECIMAL sums and rounded so the filter boundary is
+    deterministic across engines."""
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.round(
+        F.sum(_dec("l_quantity")).over(w).cast("double") / F.count("*").over(w), 4
+    )
+    return (
+        lineitem.join(F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+                      F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def orders_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS (status), (priority), () — finer control
+    than rollup/cube: three aggregate grains in ONE pass over the fact
+    (Spark expands the sets map-side; a single shuffle)."""
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )

@@ -1007,3 +1007,173 @@ def q_exists(spark, sf_dir):
     return c.join(
         o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_semi"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped breadth (adapted to this schema: no partsupp/shipmode/
+# commitdate — SURVEY.md §7 slice 5)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "q4_late_shipment_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q_q4(spark, sf_dir):
+    return relational.q4_late_shipment_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_reg(
+    "q12_priority_by_returnflag",
+    """
+SELECT l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+""",
+)
+def q_q12(spark, sf_dir):
+    return relational.q12_priority_by_returnflag(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_reg(
+    "q14_promo_revenue_share",
+    f"""
+SELECT round(100.0
+  * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        THEN CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / {dsum('l_extendedprice*(1-l_discount)', 4)}, 4) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+)
+def q_q14(spark, sf_dir):
+    return relational.q14_promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_reg(
+    "q15_top_suppliers",
+    f"""
+SELECT s_suppkey, s_name, total_revenue FROM (
+  SELECT l_suppkey, {dsum('l_extendedprice*(1-l_discount)', 4)} AS total_revenue
+  FROM lineitem GROUP BY l_suppkey) r
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY total_revenue DESC, s_suppkey LIMIT 5
+""",
+)
+def q_q15(spark, sf_dir):
+    return relational.q15_top_suppliers(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_reg(
+    "q18_large_orders",
+    f"""
+SELECT c_custkey, c_name, o_orderkey,
+  strftime(o_orderdate,'%Y-%m-%d %H:%M:%S') AS o_orderdate,
+  round(o_totalprice,2) AS o_totalprice, sum_qty
+FROM (SELECT l_orderkey, {dsum('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING {dsum('l_quantity')} > 300) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+def q_q18(spark, sf_dir):
+    return relational.q18_large_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_reg(
+    "q22_idle_rich_customers",
+    f"""
+SELECT c_nationkey, count(*) AS numcust, {dsum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT round(avg(c_acctbal),4) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_nationkey
+""",
+)
+def q_q22(spark, sf_dir):
+    return relational.q22_idle_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_reg(
+    "q8_market_share",
+    """
+SELECT year(o_orderdate)::INT AS o_year,
+  round(CAST(sum(CASE WHEN n_name = 'NATION_8'
+        THEN CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / CAST(sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(18,4))) AS DOUBLE),
+  6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def q_q8(spark, sf_dir):
+    return relational.q8_market_share(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_reg(
+    "q17_small_quantity_revenue",
+    f"""
+SELECT {dsum('l_extendedprice')} AS small_qty_revenue, count(*) AS n_lines
+FROM (
+  SELECT l_extendedprice, l_quantity,
+    round(CAST(sum(CAST(round(l_quantity,2) AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_partkey) AS DOUBLE)
+          / count(*) OVER (PARTITION BY l_partkey), 4) AS avg_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')) s
+WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+def q_q17(spark, sf_dir):
+    return relational.q17_small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_reg(
+    "orders_grouping_sets",
+    f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  {dsum('o_totalprice')} AS total_price,
+  (CASE WHEN GROUPING(o_orderstatus) > 0 THEN 1 ELSE 0 END)::INT AS g_status,
+  (CASE WHEN GROUPING(o_orderpriority) > 0 THEN 1 ELSE 0 END)::INT AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets(spark, sf_dir):
+    return relational.orders_grouping_sets(_t(spark, sf_dir, "orders"))
