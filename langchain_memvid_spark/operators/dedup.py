@@ -340,3 +340,53 @@ def minhash_jaccard_estimates(
             F.round(eq.cast("double") / F.lit(float(n)), 4).alias("jaccard_est"),
         )
     )
+
+
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+
+    LSH banding makes this sub-quadratic: the 16-bit signature splits
+    into 4 bands of 4 bits, candidates are pairs agreeing on ≥1 band
+    (equi-join on (band_id, band_val) — a shuffle on tiny int keys,
+    never an all-pairs cross join), then the exact hamming filter runs
+    on candidates only. With max_hamming=3 < 4 bands the pigeonhole
+    principle guarantees ZERO false negatives: 3 differing bits can
+    dirty at most 3 of the 4 bands, so one band always matches — the
+    output is exactly the hamming-≤3 pair set.
+
+    At corpus scale the (band, val) key cardinality is the skew knob:
+    widen bands (more values) or add signature bits before widening
+    the hamming radius."""
+    n_bands, band_bits = 4, SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
+    sh = simhash(documents, text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+    )

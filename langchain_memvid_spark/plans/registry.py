@@ -1177,3 +1177,116 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 )
 def q_grouping_sets(spark, sf_dir):
     return relational.orders_grouping_sets(_t(spark, sf_dir, "orders"))
+
+
+@_reg(
+    "simhash_near_pairs",
+    f"""
+WITH sig AS ({_simhash_sql()})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_pairs(spark, sf_dir):
+    """LSH-banded SimHash near-dup pairs (dedup.simhash_near_pairs).
+    The oracle brute-forces all pairs (fine at oracle SF); the Spark
+    side goes through 4-bit band candidates — identical output by the
+    pigeonhole guarantee."""
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents")).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (run to completion with availableNow — results are
+# batch-equivalent and therefore oracle-checkable)
+# ---------------------------------------------------------------------------
+
+import itertools as _it
+
+_STREAM_SEQ = _it.count()
+
+
+def _stream_events(spark, sf_dir):
+    from langchain_memvid_spark.streaming import events as _ev
+
+    return _ev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@_reg(
+    "stream_tumbling_counts",
+    f"""
+SELECT strftime(date_trunc('hour',ts),'%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour',ts) + INTERVAL 1 HOUR,'%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, count(*) AS n_events, {dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Streaming tumbling-window counts (watermarked), executed to
+    completion — identical to the batch hourly rollup, which is the
+    oracle."""
+    from langchain_memvid_spark.streaming import events as _ev
+
+    name = f"reg_tumbling_{next(_STREAM_SEQ)}"
+    return _ev.run_to_memory(_ev.tumbling_counts(_stream_events(spark, sf_dir)), name)
+
+
+@_reg(
+    "stream_session_windows",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR (epoch(ts) - epoch(lag(ts) OVER w)) >= 1800
+         THEN 1 ELSE 0 END AS newf
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,'%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def q_stream_sessions(spark, sf_dir):
+    """Streaming session windows (gap 30 min). Spark's session_window
+    ends at last_event + gap and starts a NEW session when the gap is
+    >= the threshold — the islands oracle mirrors both."""
+    from langchain_memvid_spark.streaming import events as _ev
+
+    name = f"reg_sessions_{next(_STREAM_SEQ)}"
+    return _ev.run_to_memory(_ev.session_windows(_stream_events(spark, sf_dir)), name)
+
+
+@_reg(
+    "stream_user_lifetime",
+    f"""
+SELECT user_id, count(*) AS n_events, {dsum('value')} AS sum_value,
+       round(max(value),2) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_lifetime(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    lifetime counters in integer cents; final state per key must equal
+    the batch groupBy — which is the oracle."""
+    from langchain_memvid_spark.streaming import events as _ev
+
+    name = f"reg_lifetime_{next(_STREAM_SEQ)}"
+    q = (
+        _ev.user_lifetime_stats(_stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _ev.final_user_stats(spark.table(name))

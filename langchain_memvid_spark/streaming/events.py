@@ -54,9 +54,20 @@ EVENTS_SCHEMA_NANOS = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of events; converts nano-long ts to micros
-    exactly like the batch loader (sources/catalog.py)."""
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    nanos: bool = True,
+) -> DataFrame:
+    """File-source stream of events; with nanos=True (the driver's
+    testdata files, TIMESTAMP(NANOS)) converts nano-long ts to micros
+    exactly like the batch loader (sources/catalog.py); nanos=False
+    reads Spark-written parquet whose ts is already a timestamp.
+
+    max_files_per_trigger splits a multi-file directory into that many
+    microbatches — the test harness's way of exercising cross-batch
+    state (a production Kafka source batches by offset ranges)."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,12 +77,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     base = os.path.dirname(path.rstrip("/")) or "."
     if not any(c in path for c in "*?["):
         path = f"{path[:-1]}[{path[-1]}]"
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
-        .option("basePath", base)
-        .parquet(path)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema).option("basePath", base)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(path)
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
@@ -141,3 +154,56 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def user_lifetime_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    lifetime counters that survive across microbatches — the pattern
+    the built-in windowed aggregations can't express (no window: state
+    lives for the key's lifetime, updated incrementally).
+
+    State = (n_events, value_cents, max_cents). Money accumulates in
+    integer cents so the running sum is exact regardless of batch
+    order; each update emits the NEW totals for the key (update output
+    mode — downstream sinks upsert by user_id)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double, max_value double"
+    state_schema = "n long, cents long, maxc long"
+
+    def update(key, pdfs, state):
+        n, cents, maxc = state.get if state.exists else (0, 0, -(1 << 62))
+        for pdf in pdfs:
+            n += len(pdf)
+            c = (pdf["value"] * 100).round().astype("int64")
+            cents += int(c.sum())
+            if len(c):
+                maxc = max(maxc, int(c.max()))
+        state.update((n, cents, maxc))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+                "max_value": [maxc / 100.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def final_user_stats(updates: DataFrame) -> DataFrame:
+    """Collapse an update-mode memory-sink table (one row per key per
+    microbatch) to each key's final state: the row with the highest
+    n_events per user."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

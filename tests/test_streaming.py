@@ -60,3 +60,40 @@ def test_session_windows_match_batch_sessionize(spark, batch_events, stream_even
     g = {(r["user_id"]): r["n"] for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     w = {(r["user_id"]): r["n"] for r in want.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert g == w
+
+
+def test_user_lifetime_stats_state_survives_microbatches(spark, batch_events, sf_dir, tmp_path_factory):
+    """Split events into 4 files → 4 microbatches (maxFilesPerTrigger=1);
+    the applyInPandasWithState counters must accumulate ACROSS batches
+    and the final state must equal the batch groupBy."""
+    src = str(tmp_path_factory.mktemp("ev_multi"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = ev.read_events_stream(spark, f"{src}/*.parquet", max_files_per_trigger=1, nanos=False)
+    q = (
+        ev.user_lifetime_stats(stream)
+        .writeStream.format("memory")
+        .queryName("t_lifetime")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2  # state actually crossed microbatch boundaries
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in ev.final_user_stats(spark.table("t_lifetime")).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
