@@ -1290,3 +1290,59 @@ def q_stream_lifetime(spark, sf_dir):
     )
     q.awaitTermination()
     return _ev.final_user_stats(spark.table(name))
+
+
+# ---------------------------------------------------------------------------
+# Join strategies for scale (operators/joinopt.py)
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "salted_skew_join",
+    f"""
+SELECT p_type, {dsum('l_extendedprice*(1-l_discount)', 4)} AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+""",
+)
+def q_salted(spark, sf_dir):
+    """Skew-safe salted join (deterministic hash salt, dim exploded
+    n_salts×) — results must be identical to the plain join, which is
+    the oracle."""
+    from langchain_memvid_spark.operators.joinopt import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        salted_join(li, part, "l_partkey", "p_partkey", ["l_orderkey", "l_linenumber"])
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_reg(
+    "bucketed_colocated_join",
+    f"""
+SELECT o_orderpriority, {dsum('l_extendedprice*(1-l_discount)', 4)} AS revenue, count(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_bucketed(spark, sf_dir):
+    """Shuffle-free fact-to-fact join via bucketed layout (both sides
+    bucketBy(orderkey) at write time; SMJ with zero Exchange)."""
+    import tempfile
+
+    from langchain_memvid_spark.operators.joinopt import bucketed_revenue_join
+
+    return bucketed_revenue_join(
+        spark,
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        tempfile.mkdtemp(prefix="bucketed_"),
+    )

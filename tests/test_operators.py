@@ -183,3 +183,55 @@ def test_ivf_kmeans_trained_recall(spark, tmp_path):
     }
     assert 0 in got  # the query vector itself lives in a probed cluster
     assert len(got & exact) >= 6  # recall >= 0.6 with nprobe=2/8
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change inner-join semantics: revenue by p_type
+    via salted join == plain join."""
+    from langchain_memvid_spark.operators.joinopt import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    salted = (
+        salted_join(li, part, "l_partkey", "p_partkey", ["l_orderkey", "l_linenumber"])
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+    )
+    plain = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed by orderkey → the join plan contains no
+    shuffle Exchange (the layout investment pays off)."""
+    from langchain_memvid_spark.operators.joinopt import bucketed_revenue_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = bucketed_revenue_join(spark, orders, li, str(tmp_path))
+
+    o = spark.table("bk_orders")
+    l2 = spark.table("bk_lineitem")
+    join_plan = (
+        o.hint("merge").join(l2, F.col("o_orderkey") == F.col("lo_orderkey"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # bucketed-on-key SMJ: no shuffle Exchange on either side
+    assert "Exchange hashpartitioning" not in join_plan
+    assert "SortMergeJoin" in join_plan
+
+    # and the aggregate matches the plain-DataFrame computation
+    plain = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)"))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
