@@ -55,8 +55,13 @@ def write_bucketed(
     amortized over every subsequent join."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # Pre-partition on the bucket key: without this every write task
+    # emits one file PER bucket (tasks × buckets small files); with it
+    # each bucket is one task writing one file — the layout Hive/Spark
+    # bucketing readers expect, and far fewer files at scale.
     (
-        df.write.bucketBy(n_buckets, key)
+        df.repartition(n_buckets, F.col(key))
+        .write.bucketBy(n_buckets, key)
         .sortBy(key)
         .option("path", path)
         .mode("overwrite")
