@@ -1346,3 +1346,61 @@ def q_bucketed(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"),
         tempfile.mkdtemp(prefix="bucketed_"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Payload archive (the reference's QR-frame encode/decode as JSON columns)
+# and multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@_reg(
+    "payload_roundtrip",
+    """
+SELECT doc_id,
+  json_extract_string(payload, '$.text') AS text_out,
+  json_extract_string(payload, '$.source') AS source_out,
+  (json_extract_string(payload, '$.doc_id')::BIGINT) AS id_out
+FROM (
+  SELECT doc_id,
+    to_json(struct_pack(doc_id := doc_id, text := text, source := source)) AS payload
+  FROM documents) p
+""",
+)
+def q_payload_roundtrip(spark, sf_dir):
+    """The reference's archive cycle — chunk → orjson → QR frame →
+    decode → orjson.loads (encoder.py:190-198, retriever.py:446-455) —
+    as a columnar round-trip: to_json(struct(...)) is the encode,
+    get_json_object the decode. Full-scan decode with NO 100-frame
+    truncation (reference defect #4, SURVEY.md §4)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "text", "source")).alias("payload"),
+    )
+    return payload.select(
+        "doc_id",
+        F.get_json_object("payload", "$.text").alias("text_out"),
+        F.get_json_object("payload", "$.source").alias("source_out"),
+        F.get_json_object("payload", "$.doc_id").cast("long").alias("id_out"),
+    )
+
+
+@_reg(
+    "multimodal_features",
+    None,  # fake-decoder features are Python-side — driver rows-only check
+)
+def q_multimodal(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents → synthetic binary
+    media column → Arrow-batched feature extraction (mapInPandas; the
+    decode itself is a deterministic stub — multimodal/binary.py)."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    media = mm.synthesize_media(_t(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.size("features").alias("feature_dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
+    )
