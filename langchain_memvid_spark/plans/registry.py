@@ -1404,3 +1404,31 @@ def q_multimodal(spark, sf_dir):
         F.size("features").alias("feature_dim"),
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
     )
+
+
+@_reg(
+    "distinct_counts",
+    """
+SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_supps,
+  count(DISTINCT l_orderkey) AS n_orders,
+  count(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_distinct_counts(spark, sf_dir):
+    """Multi-column distinct aggregation — Spark expands N distinct
+    aggs into an expand+two-phase agg (one shuffle per distinct set,
+    partial-agg'd); exact, unlike approx_count_distinct (which is the
+    right call at 100 TB but has no deterministic oracle)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_lines"),
+        )
+    )
