@@ -417,3 +417,54 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: every doc is
+    labeled with the smallest doc_id reachable through the candidate
+    graph — the canonical-group assignment step of a dedup pipeline
+    (keep cluster_id == doc_id, drop the rest).
+
+    Min-label propagation: labels start as doc_id; each round every
+    node takes min(own, neighbors). One equi-join + one groupBy per
+    round, converging in graph-diameter rounds (LSH buckets form
+    cliques, so diameters stay small). localCheckpoint() truncates the
+    growing lineage each round — without it the plan doubles per
+    iteration. At extreme scale the round count is cut by the
+    large-star/small-star algorithm (star contraction); the per-round
+    dataflow below is the same building block."""
+    edges_ab = pairs if pairs is not None else minhash_band_pairs(documents, text_col=text_col)
+    edges = (
+        edges_ab.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(edges_ab.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .cache()
+    )
+    labels = documents.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))).alias(
+                    "new_cluster_id"
+                ),
+                "cluster_id",
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        labels = new_labels.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

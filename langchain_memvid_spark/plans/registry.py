@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from langchain_memvid_spark.operators import dedup, relational, textops, topk
@@ -1432,3 +1432,77 @@ def q_distinct_counts(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@_reg(
+    "rolling_30d_revenue",
+    """
+SELECT o_orderkey, strftime(o_orderdate,'%Y-%m-%d %H:%M:%S') AS o_orderdate,
+  CAST(sum(CAST(round(o_totalprice,2) AS DECIMAL(18,2))) OVER (
+    ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+  AS rev_30d
+FROM orders
+""",
+)
+def q_rolling(spark, sf_dir):
+    """Time-RANGE window frame (not ROWS): each order sees the revenue
+    of the trailing 30 days. RANGE frames bound by the ORDER BY value —
+    all same-timestamp rows share one frame result, so the output is
+    deterministic without an id tie-break."""
+    w = (
+        # NTZ timestamps cast to long via timestamp (UTC session: lossless)
+        Window.orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).over(w).cast("double").alias("rev_30d"),
+    )
+
+
+@_reg(
+    "vocab_top_terms",
+    f"""
+SELECT t AS term, count(*) AS n_docs
+FROM (SELECT DISTINCT doc_id, unnest({TOKS}) AS t FROM documents) s
+GROUP BY t
+ORDER BY n_docs DESC, term LIMIT 25
+""",
+)
+def q_vocab(spark, sf_dir):
+    """Corpus vocabulary by document frequency — the base statistic for
+    stopword lists and TF-IDF. explode(array_distinct(tokens)) keeps
+    the dedup map-side; one shuffle to term grain."""
+    from langchain_memvid_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("term").asc())
+        .limit(25)
+    )
+
+
+@_reg(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE base AS ({_minhash_band_sql()}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM base
+          UNION SELECT b_id AS src, a_id AS dst FROM base),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id WHERE w.lbl < e.dst
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash-band candidate pairs (iterative
+    min-label propagation; oracle is a recursive CTE computing the same
+    min-reachable-id labels)."""
+    return dedup.dedup_clusters(_t(spark, sf_dir, "documents"))

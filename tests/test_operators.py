@@ -235,3 +235,12 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         )
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_dedup_clusters_chain_and_singleton(spark):
+    """Label propagation must traverse chains (diameter > 1) and leave
+    singletons self-labeled."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "a_id long, b_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, pairs=pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
