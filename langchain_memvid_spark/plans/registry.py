@@ -1506,3 +1506,30 @@ def q_dedup_clusters(spark, sf_dir):
     min-label propagation; oracle is a recursive CTE computing the same
     min-reachable-id labels)."""
     return dedup.dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "stream_click_purchase_join",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+  strftime(c.ts,'%Y-%m-%d %H:%M:%S') AS click_ts,
+  strftime(p.ts,'%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  (CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) AS gap_seconds
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides, event-time
+    bounded) run to completion — batch-equivalent, so the plain
+    interval-join SQL is the oracle."""
+    from langchain_memvid_spark.streaming import events as _ev
+
+    ev = _stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    name = f"reg_ssjoin_{next(_STREAM_SEQ)}"
+    return _ev.run_to_memory(
+        _ev.stream_click_purchase_join(clicks, purchases), name, mode="append"
+    )

@@ -207,3 +207,46 @@ def final_user_stats(updates: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (click, purchase) pair of the
+    same user where the purchase lands within `window_minutes` after
+    the click. Both sides carry watermarks and the join condition
+    bounds event time on both ends — that pair is what lets the state
+    store EVICT buffered rows instead of holding both streams forever
+    (the defining constraint of stream-stream joins at scale)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user_id").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias("gap_seconds"),
+    )
