@@ -45,6 +45,42 @@ HEADLINE = [
 ]
 
 
+def vector_grid(spark, sf_dir: str) -> dict[str, float]:
+    """The reference's benchmark parameter grid (BASELINE.md): search
+    k ∈ {1,5,10,20}, corpus sizes 50→500, embedding dims 128→512 —
+    measured on the same operators the registry exposes."""
+    from pyspark.sql import functions as F
+
+    from langchain_memvid_spark.embeddings import HashEmbeddings
+    from langchain_memvid_spark.operators.topk import knn_topk
+
+    grid: dict[str, float] = {}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    for k in (1, 5, 10, 20):
+        t0 = time.time()
+        knn_topk(emb, k=k).count()
+        grid[f"search_k{k}"] = round(time.time() - t0, 3)
+    for n in (50, 100, 200, 500):
+        sub = emb.filter(F.col("vec_id") < n)
+        t0 = time.time()
+        knn_topk(sub, k=10).count()
+        grid[f"corpus_{n}"] = round(time.time() - t0, 3)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500).cache()
+    docs.count()
+    for dim in (128, 384, 512):
+        he = HashEmbeddings(dim=dim)
+        t0 = time.time()
+        corpus = docs.withColumn("embedding", he.udf()(F.col("text"))).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        knn_topk(corpus, query_vec_id=0, k=10).count()
+        grid[f"embed_dim{dim}"] = round(time.time() - t0, 3)
+    emb.unpersist()
+    docs.unpersist()
+    return grid
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -63,6 +99,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    grid = vector_grid(spark, sf_dir)
+    print(f"# vector_grid: {grid}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -71,6 +110,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "vector_grid": grid,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
