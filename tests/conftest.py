@@ -17,3 +17,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_handle(spark):
+    """Alias used by hypothesis @given tests (session-scoped, so the
+    function_scoped_fixture health check stays quiet)."""
+    return spark

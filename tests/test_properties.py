@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — semantics checked against plain
+Python references on randomized inputs. Goes beyond the reference's
+test strategy (SURVEY.md §5: no property-based testing there); settings
+are derandomized so runs are reproducible."""
+
+import bisect
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from langchain_memvid_spark.operators.asof import asof_join
+from langchain_memvid_spark.operators import dedup
+
+SET = settings(max_examples=6, deadline=None, derandomize=True)
+
+_spark = None
+
+
+def _get_spark(spark):
+    # session-scoped fixture handle for use inside @given bodies
+    global _spark
+    _spark = spark
+    return spark
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=25),
+    strict=st.booleans(),
+)
+@SET
+def test_asof_join_matches_bisect_reference(spark_handle, lefts, rights, strict):
+    """asof_join == per-key bisect over sorted right timestamps, for
+    random keys/timestamps including exact ts ties."""
+    spark = spark_handle
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1000 + j, k, t) for j, (k, t) in enumerate(rights)], "rid long, k long, ts long"
+    )
+    out = asof_join(left, right, on="k", strict=strict)
+    got = {r["lid"]: r["r_rid"] for r in out.collect()}
+
+    # python reference: per key, latest right with ts <= (or <) left ts;
+    # ties between right rows at the same ts broken by latest (rid order
+    # follows input order via stable sort, matching the window's
+    # last-wins over (__t, __flag) ordering)
+    by_key = {}
+    for j, (k, t) in enumerate(rights):
+        by_key.setdefault(k, []).append((t, 1000 + j))
+    for k in by_key:
+        by_key[k].sort(key=lambda p: (p[0],))
+    want = {}
+    for i, (k, t) in enumerate(lefts):
+        cands = by_key.get(k, [])
+        ts_only = [c[0] for c in cands]
+        idx = (bisect.bisect_left if strict else bisect.bisect_right)(ts_only, t)
+        want[i] = cands[idx - 1][1] if idx > 0 else None
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=30
+    )
+)
+@SET
+def test_exact_dedup_keeps_min_id_per_fingerprint(spark_handle, texts):
+    """exact_dedup groups by normalized text and keeps the smallest
+    doc_id; group sizes must sum to the corpus size."""
+    spark = spark_handle
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = dedup.exact_dedup(df).collect()
+
+    def norm(t):
+        return " ".join((t or "").lower().split())
+
+    groups = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    assert len(rows) == len(groups)
+    by_keep = {r["keep_doc_id"]: r["dup_count"] for r in rows}
+    assert by_keep == {min(v): len(v) for v in groups.values()}
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=20,
+    )
+)
+@SET
+def test_dedup_clusters_match_union_find(spark_handle, pairs):
+    """Connected-component labels == a plain union-find reference on
+    random edge sets (self-loops excluded by construction)."""
+    spark = spark_handle
+    n = 15
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
+    norm_pairs = [(min(a, b), max(a, b)) for a, b in pairs]
+    edges = spark.createDataFrame(norm_pairs or [(0, 0)], "a_id long, b_id long")
+    if not norm_pairs:
+        edges = edges.filter(F.col("a_id") != F.col("b_id"))
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, pairs=edges).collect()}
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+    assert got == want

@@ -123,3 +123,25 @@ def test_save_load_roundtrip(spark, tmp_path):
     s2 = SparkVectorStore.load(str(tmp_path / "store"), spark)
     assert s2.get_document_count() == 2
     assert {d["page_content"] for d in s2.get_all_documents()} == {"p", "q"}
+
+
+def test_concurrent_similarity_search_thread_safety(store):
+    """Reference parity: tests/test_vectorstore.py:263-300 — concurrent
+    similarity_search calls from many threads must all succeed and
+    return consistent top-1 results (Spark sessions are thread-safe
+    for read-only queries)."""
+    import concurrent.futures
+
+    def search(q):
+        res = store.search_text(q, k=2)
+        return (q, res[0].text if res else None)
+
+    queries = [t.split()[1] for t in TEXTS] * 4  # 16 concurrent searches
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(search, queries))
+    assert len(results) == 16
+    # same query -> same top-1 across threads
+    by_q = {}
+    for q, top in results:
+        by_q.setdefault(q, set()).add(top)
+    assert all(len(tops) == 1 for tops in by_q.values()), by_q
