@@ -178,3 +178,40 @@ def ivf_centroid_stats(
             F.round(F.element_at("centroid", 1), 6).alias("c0"),
         )
     )
+
+
+def lsh_search(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN via MLlib BucketedRandomProjectionLSH (Euclidean): random
+    hyperplane projections bucket the corpus; approxNearestNeighbors
+    scans only colliding buckets. The MLlib alternative to the
+    KMeans/IVF layout (core/ivf.py) — compare: LSH needs no training
+    pass and handles drift, IVF gives tighter pruning on clustered
+    data (the reference's dead IVF gate, index.py:152-162, picked
+    IVF; we ship both)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("__f")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__f",
+        outputCol="__h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(feat)
+    qrow = feat.filter(F.col(id_col) == query_vec_id).head()
+    res = lsh.approxNearestNeighbors(feat, qrow["__f"], k)
+    return res.select(
+        id_col, F.round(F.col("distCol"), 4).alias("l2_dist")
+    ).orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())

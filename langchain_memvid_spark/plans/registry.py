@@ -1533,3 +1533,31 @@ def q_stream_interval_join(spark, sf_dir):
     return _ev.run_to_memory(
         _ev.stream_click_purchase_join(clicks, purchases), name, mode="append"
     )
+
+
+@_reg(
+    "lsh_ann_search",
+    None,  # random-hyperplane buckets are MLlib-internal — rows-only check
+)
+def q_lsh(spark, sf_dir):
+    """ANN via MLlib BucketedRandomProjectionLSH — the no-training
+    alternative to the KMeans/IVF layout (operators/topk.lsh_search)."""
+    return topk.lsh_search(_t(spark, sf_dir, "embeddings"))
+
+
+@_reg(
+    "approx_distinct_stats",
+    None,  # HyperLogLog sketches are implementation-specific — rows-only
+)
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd=0.02) next to exact counts —
+    at 100 TB the sketch is the only affordable distinct; the exact
+    column exists so the relative error is visible in the output."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+    )

@@ -244,3 +244,13 @@ def test_dedup_clusters_chain_and_singleton(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "a_id long, b_id long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, pairs=pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_lsh_search_recall_vs_exact(spark, sf_dir):
+    """BucketedRandomProjectionLSH ANN must recover most of the exact
+    L2 top-10 (seeded, so recall is stable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["vec_id"] for r in topk.lsh_search(emb, query_vec_id=0, k=10).collect()}
+    exact = {r["vec_id"] for r in topk.knn_topk_l2(emb, query_vec_id=0, k=10).collect()}
+    assert 0 in got  # self-match always survives bucketing
+    assert len(got & exact) >= 7
