@@ -1561,3 +1561,27 @@ def q_approx_distinct(spark, sf_dir):
             F.countDistinct("l_orderkey").alias("exact_orders"),
         )
     )
+
+
+@_reg(
+    "stream_sliding_activity",
+    """
+SELECT strftime(ws,'%Y-%m-%d %H:%M:%S') AS window_start, user_id, count(*) AS n_events
+FROM (
+  SELECT user_id,
+    unnest([
+      to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) - 1800),
+      to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT))
+    ]) AS ws
+  FROM events) s
+GROUP BY ws, user_id
+""",
+)
+def q_stream_sliding(spark, sf_dir):
+    """Streaming sliding windows (1h window, 30m slide — every event in
+    exactly two windows). The oracle materializes both window starts
+    per event on the 30-minute grid."""
+    from langchain_memvid_spark.streaming import events as _ev
+
+    name = f"reg_sliding_{next(_STREAM_SEQ)}"
+    return _ev.run_to_memory(_ev.sliding_user_activity(_stream_events(spark, sf_dir)), name)
