@@ -51,3 +51,43 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """sha256 fingerprint of normalized text — the exact-dedup key."""
     return documents.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks — the
+    unit the reference stores and searches (its "chunk",
+    encoder.py:79-83), generalized to a corpus-scale operator.
+
+    Pure Catalyst: tokens → sequence of chunk starts (stride =
+    chunk_tokens - overlap) → explode → slice+join per chunk. No UDF,
+    no shuffle — a 100 TB corpus chunks itself in one codegen'd map
+    stage; chunk_id is deterministic (position), so downstream dedup/
+    embedding keys on (doc_id, chunk_id)."""
+    from langchain_memvid_spark.functions.text import tokens as _tokens
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    return (
+        documents.select("doc_id", toks.alias("__toks"), starts.alias("__starts"))
+        .select("doc_id", "__toks", F.posexplode("__starts").alias("chunk_id", "__start"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens).alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

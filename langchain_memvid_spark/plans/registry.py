@@ -1585,3 +1585,22 @@ def q_stream_sliding(spark, sf_dir):
 
     name = f"reg_sliding_{next(_STREAM_SEQ)}"
     return _ev.run_to_memory(_ev.sliding_user_activity(_stream_events(spark, sf_dir)), name)
+
+
+@_reg(
+    "chunk_documents",
+    f"""
+SELECT doc_id, (ix - 1)::INT AS chunk_id,
+  len(toks[s+1 : s+64])::INT AS n_chunk_tokens,
+  array_to_string(toks[s+1 : s+64], ' ') AS chunk_text
+FROM (
+  SELECT doc_id, {TOKS} AS toks,
+    unnest(range(0, greatest(len({TOKS})-1, 0)+1, 48)) AS s,
+    generate_subscripts(range(0, greatest(len({TOKS})-1, 0)+1, 48), 1) AS ix
+  FROM documents) c
+""",
+)
+def q_chunks(spark, sf_dir):
+    """Overlapping fixed-token chunking (64 tokens, 16 overlap) — the
+    reference's storage unit as a corpus operator (textops.py)."""
+    return textops.chunk_documents(_t(spark, sf_dir, "documents"))

@@ -254,3 +254,27 @@ def test_lsh_search_recall_vs_exact(spark, sf_dir):
     exact = {r["vec_id"] for r in topk.knn_topk_l2(emb, query_vec_id=0, k=10).collect()}
     assert 0 in got  # self-match always survives bucketing
     assert len(got & exact) >= 7
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """Chunks stride by chunk_tokens-overlap: consecutive chunks share
+    exactly `overlap` tokens; all tokens are covered; short docs yield
+    one chunk."""
+    from langchain_memvid_spark.operators.textops import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(0, text), (1, "a b"), (2, "")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"].split()))
+    c0 = [toks for _, toks in sorted(by_doc[0])]
+    assert c0[0] == ["t0", "t1", "t2", "t3"]
+    assert c0[1] == ["t2", "t3", "t4", "t5"]  # 2-token overlap
+    assert c0[-1][-1] == "t9"  # full coverage
+    assert [t for _, t in sorted(by_doc[1])] == [["a", "b"]]
+    assert len(by_doc[2]) == 1  # empty text -> single empty-ish chunk
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
