@@ -1604,3 +1604,79 @@ def q_chunks(spark, sf_dir):
     """Overlapping fixed-token chunking (64 tokens, 16 overlap) — the
     reference's storage unit as a corpus operator (textops.py)."""
     return textops.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "chunk_dedup",
+    f"""
+SELECT fp, min(doc_id*100000 + chunk_id) AS keep_chunk_key, count(*) AS dup_count
+FROM (
+  SELECT doc_id, (ix - 1)::INT AS chunk_id,
+    sha256(regexp_replace(trim(lower(array_to_string(toks[s+1 : s+64], ' '))),'\\s+',' ','g')) AS fp
+  FROM (
+    SELECT doc_id, {TOKS} AS toks,
+      unnest(range(0, greatest(len({TOKS})-1, 0)+1, 48)) AS s,
+      generate_subscripts(range(0, greatest(len({TOKS})-1, 0)+1, 48), 1) AS ix
+    FROM documents) c) f
+GROUP BY fp
+""",
+)
+def q_chunk_dedup(spark, sf_dir):
+    """Pipeline composition: chunking feeds exact dedup at CHUNK grain
+    (the unit that actually repeats across web corpora). keep key =
+    first (doc, chunk) position."""
+    chunks = textops.chunk_documents(_t(spark, sf_dir, "documents"))
+    return (
+        chunks.withColumn("fp", F.sha2(F.regexp_replace(F.trim(F.lower("chunk_text")), r"\s+", " "), 256))
+        .groupBy("fp")
+        .agg(
+            F.min(F.col("doc_id") * 100000 + F.col("chunk_id")).alias("keep_chunk_key"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+@_reg(
+    "tfidf_top_terms",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln((SELECT n_docs FROM n) / df.df), 4) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf,
+    (row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term))::INT AS rnk
+  FROM scored) r
+WHERE rnk <= 3
+""",
+)
+def q_tfidf(spark, sf_dir):
+    """Per-doc top-3 terms by TF-IDF: term frequency × ln(N/df). Two
+    aggregations (term grain broadcast back onto tf) + one window —
+    ranking on the ROUNDED score with a term tie-break so both engines
+    order identically despite last-ulp libm differences."""
+    from langchain_memvid_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
