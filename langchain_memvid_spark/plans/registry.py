@@ -1680,3 +1680,99 @@ def q_tfidf(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@_reg(
+    "q19_disjunctive_revenue",
+    f"""
+SELECT {dsum('l_extendedprice*(1-l_discount)', 4)} AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive predicates across
+    both join sides. Catalyst splits the OR into the join-side
+    conjuncts it can push (brand list to part, quantity range to
+    lineitem) and evaluates the residual after the broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.sum(_dec_rev()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def _dec_rev():
+    return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+
+
+@_reg(
+    "priority_balance_full_outer",
+    f"""
+SELECT coalesce(u.o_custkey, l.o_custkey) AS custkey,
+  coalesce(u.n, 0) AS n_urgent, coalesce(l.n, 0) AS n_low,
+  coalesce(u.spend, 0.0) + coalesce(l.spend, 0.0) AS total_spend
+FROM (SELECT o_custkey, count(*) AS n, {dsum('o_totalprice')} AS spend
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+FULL OUTER JOIN
+     (SELECT o_custkey, count(*) AS n, {dsum('o_totalprice')} AS spend
+      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey) l
+  ON u.o_custkey = l.o_custkey
+""",
+)
+def q_full_outer(spark, sf_dir):
+    """FULL OUTER join of two filtered aggregates (urgent vs low spend
+    per customer) — null-completion on both sides, coalesced totals."""
+    o = _t(spark, sf_dir, "orders")
+
+    def side(prio):
+        return (
+            o.filter(F.col("o_orderpriority") == prio)
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast("double").alias("spend"),
+            )
+        )
+
+    u = side("1-URGENT").select(
+        F.col("o_custkey").alias("u_key"), F.col("n").alias("u_n"), F.col("spend").alias("u_s")
+    )
+    low = side("5-LOW").select(
+        F.col("o_custkey").alias("l_key"), F.col("n").alias("l_n"), F.col("spend").alias("l_s")
+    )
+    return u.join(low, F.col("u_key") == F.col("l_key"), "full_outer").select(
+        F.coalesce("u_key", "l_key").alias("custkey"),
+        F.coalesce("u_n", F.lit(0)).alias("n_urgent"),
+        F.coalesce("l_n", F.lit(0)).alias("n_low"),
+        (F.coalesce("u_s", F.lit(0.0)) + F.coalesce("l_s", F.lit(0.0))).alias("total_spend"),
+    )
+
+
+@_reg(
+    "building_without_urgent_except",
+    """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def q_except(spark, sf_dir):
+    """EXCEPT set op: BUILDING customers who never placed an urgent
+    order (set difference — the anti-join twin, distinct semantics)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return c.subtract(o)  # EXCEPT DISTINCT semantics, matching the SQL
