@@ -1776,3 +1776,91 @@ def q_except(spark, sf_dir):
         F.col("o_custkey").alias("custkey")
     )
     return c.subtract(o)  # EXCEPT DISTINCT semantics, matching the SQL
+
+
+@_reg(
+    "cheapest_parts_per_type",
+    """
+SELECT p_partkey, p_name, p_type, round(p_retailprice,2) AS p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type)
+""",
+)
+def q_cheapest(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp): rows matching a
+    CORRELATED per-group scalar subquery (min price within the part's
+    type). Spark expresses it as a window min — one shuffle on the
+    group key, no self-join."""
+    w = Window.partitionBy("p_type")
+    return (
+        _t(spark, sf_dir, "part")
+        .withColumn("__min", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__min"))
+        .select("p_partkey", "p_name", "p_type", F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+
+
+@_reg(
+    "stream_dedup_within_watermark",
+    f"""
+SELECT event_type, count(*) AS n_events, {dsum('value')} AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dropDuplicatesWithinWatermark: the events stream
+    unioned with ITSELF (every row duplicated) must dedup back to the
+    original on (event_id) — state is bounded by the watermark instead
+    of growing forever (the exactly-once ingestion pattern for at-least
+    -once sources). Oracle: plain per-type counts of the un-duplicated
+    table."""
+    from langchain_memvid_spark.streaming import events as _ev
+
+    ev1 = _stream_events(spark, sf_dir)
+    doubled = ev1.unionByName(_stream_events(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    agg = (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"reg_sdedup_{next(_STREAM_SEQ)}"
+    return _ev.run_to_memory(agg, name)
+
+
+@_reg(
+    "udtf_bigram_counts",
+    f"""
+SELECT bigram, count(*) AS n FROM (
+  SELECT toks[i] || ' ' || toks[i+1] AS bigram
+  FROM (SELECT {TOKS} AS toks FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix) b
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
+""",
+)
+def q_udtf_bigrams(spark, sf_dir):
+    """Python UDTF (Spark 4 table function) + LATERAL join: each doc
+    expands to positional word bigrams, aggregated to the corpus top
+    15. The UDTF is the row-generating API the reference's per-chunk
+    generators map to; arrow=True keeps the transfer batched."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class BigramUDTF:
+        def eval(self, text: str):
+            toks = (text or "").strip().split()
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams_udtf", BigramUDTF)
+    view = "docs_for_udtf"
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT bigram, count(*) AS n
+        FROM {view}, LATERAL bigrams_udtf(text)
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
+        """
+    )
