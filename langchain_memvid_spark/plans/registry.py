@@ -1231,7 +1231,9 @@ def q_stream_tumbling(spark, sf_dir):
     from langchain_memvid_spark.streaming import events as _ev
 
     name = f"reg_tumbling_{next(_STREAM_SEQ)}"
-    return _ev.run_to_memory(_ev.tumbling_counts(_stream_events(spark, sf_dir)), name)
+    return _ev.run_to_memory(
+        _ev.tumbling_counts(_stream_events(spark, sf_dir)), name, state_partitions=8
+    )
 
 
 @_reg(
@@ -1262,7 +1264,9 @@ def q_stream_sessions(spark, sf_dir):
     from langchain_memvid_spark.streaming import events as _ev
 
     name = f"reg_sessions_{next(_STREAM_SEQ)}"
-    return _ev.run_to_memory(_ev.session_windows(_stream_events(spark, sf_dir)), name)
+    return _ev.run_to_memory(
+        _ev.session_windows(_stream_events(spark, sf_dir)), name, state_partitions=8
+    )
 
 
 @_reg(
@@ -1280,16 +1284,13 @@ def q_stream_lifetime(spark, sf_dir):
     from langchain_memvid_spark.streaming import events as _ev
 
     name = f"reg_lifetime_{next(_STREAM_SEQ)}"
-    q = (
-        _ev.user_lifetime_stats(_stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    tbl = _ev.run_to_memory(
+        _ev.user_lifetime_stats(_stream_events(spark, sf_dir)),
+        name,
+        mode="update",
+        state_partitions=8,
     )
-    q.awaitTermination()
-    return _ev.final_user_stats(spark.table(name))
+    return _ev.final_user_stats(tbl)
 
 
 # ---------------------------------------------------------------------------
@@ -1531,7 +1532,7 @@ def q_stream_interval_join(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase")
     name = f"reg_ssjoin_{next(_STREAM_SEQ)}"
     return _ev.run_to_memory(
-        _ev.stream_click_purchase_join(clicks, purchases), name, mode="append"
+        _ev.stream_click_purchase_join(clicks, purchases), name, mode="append", state_partitions=8
     )
 
 
@@ -1584,7 +1585,9 @@ def q_stream_sliding(spark, sf_dir):
     from langchain_memvid_spark.streaming import events as _ev
 
     name = f"reg_sliding_{next(_STREAM_SEQ)}"
-    return _ev.run_to_memory(_ev.sliding_user_activity(_stream_events(spark, sf_dir)), name)
+    return _ev.run_to_memory(
+        _ev.sliding_user_activity(_stream_events(spark, sf_dir)), name, state_partitions=8
+    )
 
 
 @_reg(
@@ -1827,7 +1830,7 @@ def q_stream_dedup(spark, sf_dir):
         )
     )
     name = f"reg_sdedup_{next(_STREAM_SEQ)}"
-    return _ev.run_to_memory(agg, name)
+    return _ev.run_to_memory(agg, name, state_partitions=8)
 
 
 @_reg(

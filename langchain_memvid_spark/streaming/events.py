@@ -142,18 +142,37 @@ def session_windows(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming query to completion (availableNow trigger)
-    against an in-memory sink; returns the result as a batch DataFrame."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    against an in-memory sink; returns the result as a batch DataFrame.
+
+    state_partitions sizes the state-store shuffle for THIS query:
+    stateful operators should match key cardinality, not inherit the
+    batch shuffle default (32 state stores for 150 keys tripled the
+    wall time locally). Spark pins the number at first start for the
+    checkpoint's lifetime, so the conf only needs to hold across
+    .start() — set-and-restore is safe for sequential callers."""
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 def user_lifetime_stats(events: DataFrame) -> DataFrame:
