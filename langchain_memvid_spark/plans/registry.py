@@ -1867,3 +1867,39 @@ def q_udtf_bigrams(spark, sf_dir):
         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
         """
     )
+
+
+@_reg(
+    "window_function_showcase",
+    """
+SELECT o_custkey, o_orderkey,
+  lead(o_orderkey) OVER w AS next_orderkey,
+  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+  round(last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
+  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_orderkey,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_showcase(spark, sf_dir):
+    """Window-function breadth in one query: lead, first/last/nth value
+    (explicit full frames where defaults differ), percent_rank,
+    cume_dist — all over a unique (date, key) total order so ranks are
+    deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wf), 2).alias("last_price"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_orderkey"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
