@@ -35,6 +35,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp->string formatting must be UTC to hash-match the
+        # DuckDB oracle even when the caller's session isn't ours
+        # (the driver builds its own SparkSession)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf not recognized on some builds; fall back to plain read
     df = spark.read.parquet(path)
