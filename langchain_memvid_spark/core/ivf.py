@@ -112,3 +112,42 @@ class IVFIndex:
             .limit(k)
             .select(id_col, "cluster_id", F.round("__s", 4).alias("sim"))
         )
+
+    def search_batch(
+        self,
+        spark: SparkSession,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Batch ANN: N queries in ONE job. Probe clusters are computed
+        driver-side (centroids ≪ corpus), the (query, probe) pairs
+        broadcast-join the partition-pruned corpus — the scan still
+        reads only the UNION of probed clusters' files, and each query
+        scores only its own probes. One shuffle (the per-query top-k
+        window), regardless of query count."""
+        if self.path is None:
+            raise IndexError_("IVF layout not written; call write_layout first")
+        probe_rows = [
+            (qid, list(map(float, qvec)), cid)
+            for qid, qvec in queries
+            for cid in self.probe_clusters(qvec, nprobe)
+        ]
+        qdf = spark.createDataFrame(
+            probe_rows, f"query_id INT, qvec ARRAY<FLOAT>, cluster_id INT"
+        )
+        all_probes = sorted({r[2] for r in probe_rows})
+        corpus = spark.read.parquet(self.path).filter(F.col("cluster_id").isin(all_probes))
+        from pyspark.sql import Window
+
+        scored = corpus.join(F.broadcast(qdf), "cluster_id").withColumn(
+            "__s", cosine_sim(F.col(vec_col), F.col("qvec"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "cluster_id", F.round("__s", 4).alias("sim"), "rank")
+        )

@@ -1903,3 +1903,88 @@ def q_window_showcase(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@_reg(
+    "quality_filter_summary",
+    f"""
+WITH q AS ({_quality_sql()})
+SELECT verdict, count(*) AS n_docs,
+  round(avg(quality_score), 4) AS avg_score,
+  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+FROM (
+  SELECT *, CASE WHEN n_tokens < 20 THEN 'drop_short'
+                 WHEN quality_score < 0.7 THEN 'drop_low_quality'
+                 ELSE 'keep' END AS verdict
+  FROM q) v
+GROUP BY verdict
+""",
+)
+def q_quality_filter(spark, sf_dir):
+    """C4-style keep/drop pipeline over the quality signals: short docs
+    and low-composite-score docs are dropped with a reason code —
+    the decision layer a 100 TB pretraining filter runs after scoring
+    (one scan; the scorer and the verdict fold into one projection)."""
+    q = textops.quality_scores(_t(spark, sf_dir, "documents"))
+    verdict = (
+        F.when(F.col("n_tokens") < 20, "drop_short")
+        .when(F.col("quality_score") < 0.7, "drop_low_quality")
+        .otherwise("keep")
+    )
+    return (
+        q.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_score"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+@_reg(
+    "event_funnel",
+    """
+WITH firsts AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  count(*) AS n_users,
+  sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+  sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS step_click_after_view,
+  sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+           THEN 1 ELSE 0 END) AS step_full_funnel
+FROM firsts
+""",
+)
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase) via first-occurrence
+    timestamps per user: one conditional-agg shuffle to user grain, no
+    joins, no sequence explosion — the pattern survives any event
+    volume because state per user is three timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("step_view"),
+        F.sum(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1).otherwise(0)
+        ).alias("step_click_after_view"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("step_full_funnel"),
+    )

@@ -278,3 +278,24 @@ def test_chunk_documents_overlap_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_ivf_batch_search_matches_single(spark, tmp_path):
+    """Batch IVF == per-query IVF search for each query, in one job."""
+    from langchain_memvid_spark.core.ivf import IVFIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx, assigned = IVFIndex.build(emb, nlist=8)
+    idx.write_layout(assigned, str(tmp_path / "ivf"))
+    qvecs = {
+        qid: [float(x) for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        for qid in (0, 7, 42)
+    }
+    batch = idx.search_batch(spark, list(qvecs.items()), k=5, nprobe=2)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in batch.collect()
+    }
+    for qid, qv in qvecs.items():
+        single = idx.search(spark, qv, k=5, nprobe=2).collect()
+        for rank, row in enumerate(single, start=1):
+            assert got[(qid, rank)] == row["vec_id"], (qid, rank)
