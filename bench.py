@@ -39,6 +39,9 @@ HEADLINE = [
     "embedding_cosine_pairs",
     "text_quality",
     "salted_skew_join",
+    "dedup_clusters",
+    "event_funnel",
+    "pretrain_pipeline_stats",
     # bucketed_colocated_join is excluded: it measures the one-time
     # bucketed LAYOUT WRITE (amortized across queries in practice),
     # not steady-state query latency. It stays oracle-checked.

@@ -1988,3 +1988,60 @@ def q_funnel(spark, sf_dir):
             ).otherwise(0)
         ).alias("step_full_funnel"),
     )
+
+
+@_reg(
+    "pretrain_pipeline_stats",
+    f"""
+WITH q AS ({_quality_sql()}),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.n_tokens >= 20 AND q.quality_score >= 0.7
+),
+chunks AS (
+  SELECT doc_id,
+    sha256(regexp_replace(trim(lower(array_to_string(toks[s+1 : s+64], ' '))),'\\s+',' ','g')) AS fp
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text),'\\s+') AS toks,
+      unnest(range(0, greatest(len(string_split_regex(trim(text),'\\s+'))-1, 0)+1, 48)) AS s
+    FROM kept) c
+)
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs_in,
+  (SELECT count(*) FROM kept) AS n_docs_kept,
+  count(*) AS n_chunks,
+  count(DISTINCT fp) AS n_unique_chunks,
+  round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_ratio
+FROM chunks
+""",
+)
+def q_pipeline(spark, sf_dir):
+    """The engine's reason to exist, as ONE lineage: quality filter →
+    overlapping chunking → exact chunk dedup → corpus stats. Catalyst
+    fuses the filter+chunk into the scan projection; the only shuffles
+    are the distinct-count aggregations."""
+    d = _t(spark, sf_dir, "documents")
+    q = textops.quality_scores(d)
+    kept = d.join(
+        q.filter((F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.7)).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    chunks = textops.chunk_documents(kept).withColumn(
+        "fp", F.sha2(F.regexp_replace(F.trim(F.lower("chunk_text")), r"\s+", " "), 256)
+    )
+    n_docs_in = d.count()  # cheap metadata-sized scan
+    # n_docs_kept folds into the ONE chunk aggregation as a distinct
+    # count (every kept doc yields >= 1 chunk), avoiding a second
+    # full-text quality scan just to count survivors.
+    return chunks.agg(
+        F.lit(n_docs_in).alias("n_docs_in"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("fp").alias("n_unique_chunks"),
+        # try_divide: an all-dropped corpus has zero chunks; ANSI mode
+        # would raise DIVIDE_BY_ZERO — emit NULL dup_ratio instead
+        F.round(F.lit(1.0) - F.try_divide(F.countDistinct("fp"), F.count("*")), 4).alias(
+            "dup_ratio"
+        ),
+    )
