@@ -2045,3 +2045,35 @@ def q_pipeline(spark, sf_dir):
             "dup_ratio"
         ),
     )
+
+
+@_reg(
+    "orders_unpivot",
+    f"""
+SELECT o_orderstatus, metric, value FROM (
+  SELECT o_orderstatus,
+    {dsum('o_totalprice')} AS total_price,
+    round(CAST(max(CAST(round(o_totalprice,2) AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_price,
+    count(*)::DOUBLE AS n_orders
+  FROM orders GROUP BY o_orderstatus) s
+UNPIVOT (value FOR metric IN (total_price, max_price, n_orders))
+""",
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot (wide metrics → long (metric, value) rows) via stack —
+    the inverse of event_type_pivot; both reshape in one projection."""
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.round(F.max(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast("double"), 2).alias("max_price"),
+            F.count("*").cast("double").alias("n_orders"),
+        )
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'total_price', total_price, 'max_price', max_price, 'n_orders', n_orders) AS (metric, value)"
+        ),
+    )
