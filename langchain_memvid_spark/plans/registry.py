@@ -1506,7 +1506,7 @@ def q_dedup_clusters(spark, sf_dir):
     """Connected components over MinHash-band candidate pairs (iterative
     min-label propagation; oracle is a recursive CTE computing the same
     min-reachable-id labels)."""
-    return dedup.dedup_clusters(_t(spark, sf_dir, "documents"))
+    return dedup.dedup_clusters(_t(spark, sf_dir, "documents"), shuffle_partitions=8)
 
 
 @_reg(
