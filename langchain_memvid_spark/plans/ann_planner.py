@@ -1,0 +1,66 @@
+"""Cost-based ANN dispatch — the "auto-rewrite ORDER BY cos_sim LIMIT k"
+item SURVEY.md §7 slice 4 flags as optional.
+
+A full Catalyst rule needs Scala; the pragmatic Spark-side equivalent
+is a planner FUNCTION that picks the physical strategy from corpus
+statistics, the same way Catalyst's JoinSelection picks broadcast vs
+sort-merge from size stats:
+
+  - small corpus (or no layout): exact brute-force scan —
+    TakeOrderedAndProject is already optimal and pruning overhead
+    would exceed the scan.
+  - large corpus with an IVF layout: centroid-pruned partition scan
+    (scans nprobe/nlist of the files).
+
+The decision threshold mirrors the build gate (30·nlist): below it the
+layout is flat anyway, so brute force is not just faster but identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from langchain_memvid_spark.core.ivf import IVFIndex
+from langchain_memvid_spark.functions.vector import cosine_sim
+
+
+@dataclass
+class AnnPlan:
+    strategy: str  # "brute_force" | "ivf_pruned"
+    reason: str
+    df: DataFrame
+
+
+def plan_ann_search(
+    spark: SparkSession,
+    corpus: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    index: IVFIndex | None = None,
+    brute_force_limit: int = 100_000,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnPlan:
+    """Pick and build the top-k plan. Returns the chosen DataFrame plus
+    the decision and its reason (explainable, like `df.explain`)."""
+    n = corpus.count()
+    trained = index is not None and index.path is not None and len(index.centroids) > 1
+    if not trained:
+        reason = f"no trained IVF layout (corpus={n}); exact scan"
+    elif n <= brute_force_limit:
+        reason = f"corpus={n} <= brute_force_limit={brute_force_limit}; exact scan"
+    else:
+        reason = f"corpus={n} > {brute_force_limit}; IVF layout prunes to nprobe={nprobe}"
+        return AnnPlan("ivf_pruned", reason, index.search(spark, qvec, k=k, nprobe=nprobe))
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    df = (
+        corpus.withColumn("__s", cosine_sim(F.col(vec_col), q))
+        .orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("__s", 4).alias("sim"))
+    )
+    return AnnPlan("brute_force", reason, df)

@@ -299,3 +299,29 @@ def test_ivf_batch_search_matches_single(spark, tmp_path):
         single = idx.search(spark, qv, k=5, nprobe=2).collect()
         for rank, row in enumerate(single, start=1):
             assert got[(qid, rank)] == row["vec_id"], (qid, rank)
+
+
+def test_ann_planner_dispatch(spark, tmp_path):
+    """The planner picks brute force for small/unindexed corpora and the
+    IVF pruned scan past the threshold, with identical top-1."""
+    from langchain_memvid_spark.core.ivf import IVFIndex
+    from langchain_memvid_spark.plans.ann_planner import plan_ann_search
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    # no index -> brute force
+    p1 = plan_ann_search(spark, emb, qvec, k=3)
+    assert p1.strategy == "brute_force" and "no trained" in p1.reason
+
+    idx, assigned = IVFIndex.build(emb, nlist=8)
+    idx.write_layout(assigned, str(tmp_path / "ivf"))
+    # indexed but under the brute-force limit -> still brute force
+    p2 = plan_ann_search(spark, emb, qvec, k=3, index=idx)
+    assert p2.strategy == "brute_force" and "brute_force_limit" in p2.reason
+    # force the threshold down -> IVF pruned
+    p3 = plan_ann_search(spark, emb, qvec, k=3, index=idx, brute_force_limit=10)
+    assert p3.strategy == "ivf_pruned"
+    # all strategies agree on the self-match
+    for p in (p1, p2, p3):
+        assert p.df.head()["vec_id"] == 0
