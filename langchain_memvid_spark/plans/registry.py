@@ -2077,3 +2077,51 @@ def q_unpivot(spark, sf_dir):
             "stack(3, 'total_price', total_price, 'max_price', max_price, 'n_orders', n_orders) AS (metric, value)"
         ),
     )
+
+
+@_reg(
+    "q21_sole_late_supplier",
+    """
+SELECT s_name, count(*) AS numwait FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  JOIN orders ON o_orderkey = l1.l_orderkey
+  WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)) p
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+""",
+)
+def q_q21(spark, sf_dir):
+    """TPC-H Q21 shape (adapted to shipdate lateness): suppliers who
+    were the SOLE late supplier on multi-supplier orders. The EXISTS /
+    NOT EXISTS pair de-correlates into ONE aggregation at
+    (order, supplier) grain + one at order grain — no correlated
+    re-scans of lineitem, two shuffles total."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier")
+    flagged = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    )
+    per_pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("pair_late"))
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("pair_late").alias("n_late_supp")
+    )
+    sole_late = (
+        per_pair.join(per_order, "l_orderkey")
+        .filter((F.col("pair_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        sole_late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )

@@ -269,3 +269,23 @@ def stream_click_purchase_join(
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias("gap_seconds"),
     )
+
+
+def start_parquet_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+) -> "object":
+    """Exactly-once parquet sink: Spark's native file sink commits each
+    microbatch atomically through the checkpoint's write-ahead log, so
+    a killed-and-restarted query resumes WITHOUT duplicating committed
+    batches (verified by the kill/restart test). Returns the started
+    StreamingQuery; callers own stop/await."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

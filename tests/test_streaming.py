@@ -97,3 +97,31 @@ def test_user_lifetime_stats_state_survives_microbatches(spark, batch_events, sf
         .collect()
     }
     assert got == want
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, sf_dir, tmp_path_factory):
+    """Kill the file-sink query mid-stream, restart from the same
+    checkpoint, and the output must contain every event exactly once —
+    the write-ahead log must not re-commit finished batches."""
+    import time
+
+    base = tmp_path_factory.mktemp("eo_sink")
+    src, out, cp = str(base / "src"), str(base / "out"), str(base / "cp")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(8).write.parquet(src)
+    n_total = events.count()
+
+    stream = ev.read_events_stream(spark, f"{src}/*.parquet", max_files_per_trigger=1, nanos=False)
+    q1 = ev.start_parquet_sink(stream, out, cp)
+    # let a few microbatches commit, then kill mid-stream
+    time.sleep(2.5)
+    q1.stop()
+    q1.awaitTermination()
+
+    stream2 = ev.read_events_stream(spark, f"{src}/*.parquet", max_files_per_trigger=1, nanos=False)
+    q2 = ev.start_parquet_sink(stream2, out, cp)
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_total
+    assert got.select("event_id").distinct().count() == n_total  # no dups, nothing lost
