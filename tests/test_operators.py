@@ -325,3 +325,40 @@ def test_ann_planner_dispatch(spark, tmp_path):
     # all strategies agree on the self-match
     for p in (p1, p2, p3):
         assert p.df.head()["vec_id"] == 0
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime row-level filtering: with the bloom-filter optimizer
+    enabled, a selective build side injects might_contain() onto the
+    probe-side scan — the third pruning layer after static partition
+    pruning and DPP. (applicationSideScanSizeThreshold defaults to
+    10GB; lowered here to demonstrate on test data. Results must be
+    identical with and without the filter.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+
+    def run(bloom: bool):
+        for k, v in {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": str(bloom).lower(),
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }.items():
+            spark.conf.set(k, v)
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return sorted(tuple(r) for r in j.collect()), "might_contain" in plan
+
+    try:
+        with_bloom, has_filter = run(True)
+        without_bloom, no_filter = run(False)
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+    assert has_filter and not no_filter
+    assert with_bloom == without_bloom
