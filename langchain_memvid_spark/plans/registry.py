@@ -2125,3 +2125,37 @@ def q_q21(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
+
+
+@_reg(
+    "sql_interface_demo",
+    f"""
+SELECT n_name,
+  count(DISTINCT c_custkey) AS n_customers,
+  {dsum('o_totalprice')} AS nation_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY nation_revenue DESC, n_name LIMIT 5
+""",
+)
+def q_sql_interface(spark, sf_dir):
+    """The engine's SQL-text surface: register_views + spark.sql — the
+    same query text a BI tool would submit, planned by Catalyst like
+    any DataFrame query (sources/catalog.register_views)."""
+    from langchain_memvid_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+          count(DISTINCT c_custkey) AS n_customers,
+          CAST(sum(CAST(round(o_totalprice,2) AS DECIMAL(18,2))) AS DOUBLE) AS nation_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY nation_revenue DESC, n_name LIMIT 5
+        """
+    )
