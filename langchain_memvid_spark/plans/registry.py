@@ -2159,3 +2159,54 @@ def q_sql_interface(spark, sf_dir):
         ORDER BY nation_revenue DESC, n_name LIMIT 5
         """
     )
+
+
+@_reg(
+    "dense_hourly_counts",
+    """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(s.hour,'%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+  coalesce(a.n, 0) AS n_events
+FROM spine s CROSS JOIN types t
+LEFT JOIN actual a ON a.hour = s.hour AND a.event_type = t.event_type
+""",
+)
+def q_dense_hourly(spark, sf_dir):
+    """Time-series gap filling: a generated hour spine × event types,
+    left-joined to actuals so silent hours appear as ZERO rows (plain
+    groupBy drops them — the classic dashboard bug). The spine is
+    sequence() over the min/max bounds: one tiny cross join, one
+    broadcast left join; at 100 TB the spine side is still only
+    hours × types rows."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    actual = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.crossJoin(types)
+        .join(actual, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
