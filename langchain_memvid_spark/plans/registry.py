@@ -2210,3 +2210,84 @@ def q_dense_hourly(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@_reg(
+    "value_outliers_iqr",
+    """
+WITH q AS (
+  SELECT event_type,
+    round(quantile_cont(value, 0.25), 4) AS q1,
+    round(quantile_cont(value, 0.75), 4) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  sum(CASE WHEN value < q1 - 1.5*(q3-q1)
+            OR value > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS n_outliers,
+  count(*) AS n_events
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type
+""",
+)
+def q_outliers(spark, sf_dir):
+    """IQR outlier detection per group (Tukey's rule): quartiles (one
+    agg to group grain, broadcast back) then a fence test — two
+    aggregations, no window over the full fact. Targets events.value,
+    the one genuinely heavy-tailed column in the testdata (463
+    outliers at sf0.01; order prices are uniform and flag zero)."""
+    e_ = _t(spark, sf_dir, "events")
+    q = e_.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        (F.col("value") < F.col("q1") - 1.5 * iqr)
+        | (F.col("value") > F.col("q3") + 1.5 * iqr)
+    ).cast("int")
+    return (
+        e_.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(out).alias("n_outliers"), F.count("*").alias("n_events"))
+    )
+
+
+@_reg(
+    "cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+)
+SELECT strftime(f.cohort_day,'%Y-%m-%d') AS cohort_day,
+  CAST(datediff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+  count(DISTINCT a.user_id) AS n_active
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+WHERE datediff('day', f.cohort_day, a.active_day) IN (0, 1, 7, 30)
+GROUP BY 1, 2
+""",
+)
+def q_cohort(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted when
+    active 0/1/7/30 days later. Two aggregations to user/day grain
+    (both partial-agg'd) + one broadcast join — the retention matrix
+    never touches event grain after the first pass."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    j = activity.join(F.broadcast(firsts), "user_id").withColumn(
+        "day_offset", F.datediff("active_day", "cohort_day").cast("int")
+    )
+    return (
+        j.filter(F.col("day_offset").isin(0, 1, 7, 30))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
