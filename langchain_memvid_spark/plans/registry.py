@@ -2291,3 +2291,36 @@ def q_cohort(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@_reg(
+    "filtered_aggregates",
+    """
+SELECT event_type,
+  count(*) FILTER (WHERE k > 50) AS n_high_k,
+  count(*) FILTER (WHERE value > 100) AS n_high_value,
+  count(*) FILTER (WHERE k > 50 AND value > 100) AS n_both,
+  count(*) AS n_events
+FROM (SELECT event_type, value, json_extract(props,'$.k')::INT AS k FROM events) s
+GROUP BY event_type
+""",
+)
+def q_filtered_agg(spark, sf_dir):
+    """Conditional aggregation via count_if / FILTER-clause semantics
+    over a TYPED from_json parse (StructType schema, not string
+    extraction) — the per-condition counts fold into one partial agg,
+    one shuffle for all four measures."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        "value",
+        F.from_json("props", StructType([StructField("k", IntegerType())]))["k"].alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count_if(F.col("k") > 50).alias("n_high_k"),
+        F.count_if(F.col("value") > 100).alias("n_high_value"),
+        F.count_if((F.col("k") > 50) & (F.col("value") > 100)).alias("n_both"),
+        F.count("*").alias("n_events"),
+    )

@@ -362,3 +362,31 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
 
     assert has_filter and not no_filter
     assert with_bloom == without_bloom
+
+
+def test_observation_metrics_ride_along_free(spark, sf_dir):
+    """Spark's Observation API collects data-quality counters DURING a
+    query (no second scan): metrics observed while computing the
+    pretrain pipeline's kept-set must equal separately-computed
+    aggregates."""
+    from pyspark.sql import Observation
+    from langchain_memvid_spark.operators.textops import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_scores(docs)
+    obs = Observation("quality_metrics")
+    observed = q.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("n_tokens") < 20).alias("n_short"),
+        F.avg("quality_score").alias("avg_q"),
+    )
+    kept = observed.filter((F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.7)).count()
+
+    m = obs.get
+    want_short = q.filter(F.col("n_tokens") < 20).count()
+    want_avg = q.agg(F.avg("quality_score")).head()[0]
+    assert m["n_docs"] == docs.count()
+    assert m["n_short"] == want_short
+    assert abs(m["avg_q"] - want_avg) < 1e-9
+    assert kept > 0
