@@ -2324,3 +2324,46 @@ def q_filtered_agg(spark, sf_dir):
         F.count_if((F.col("k") > 50) & (F.col("value") > 100)).alias("n_both"),
         F.count("*").alias("n_events"),
     )
+
+
+@_reg(
+    "canonical_docs",
+    f"""
+WITH RECURSIVE base AS ({_minhash_band_sql()}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM base
+          UNION SELECT b_id AS src, a_id AS dst FROM base),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id WHERE w.lbl < e.dst
+),
+clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+quality AS ({_quality_sql()})
+SELECT cluster_id, count(*) AS cluster_size, min(keep) AS keep_doc_id FROM (
+  SELECT c.cluster_id, q.doc_id,
+    first_value(q.doc_id) OVER (
+      PARTITION BY c.cluster_id ORDER BY q.quality_score DESC, q.doc_id) AS keep
+  FROM clusters c JOIN quality q ON q.doc_id = c.doc_id) s
+GROUP BY cluster_id
+""",
+)
+def q_canonical(spark, sf_dir):
+    """Canonical selection: within each near-dup cluster keep the
+    highest-quality copy (ties -> smallest doc_id). Clustering +
+    quality scoring + one per-cluster arg-max window — the final
+    'which copy survives' step of the dedup pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, shuffle_partitions=8)
+    quality = textops.quality_scores(docs).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        )
+    )
