@@ -2367,3 +2367,38 @@ def q_canonical(spark, sf_dir):
             F.min(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
         )
     )
+
+
+@_reg(
+    "per_user_zscore",
+    """
+SELECT event_id, user_id,
+  round((value - avg(value) OVER w) / nullif(stddev_samp(value) OVER w, 0), 4) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+""",
+)
+def q_zscore(spark, sf_dir):
+    """Grouped applyInPandas (pandas per group — the third Python
+    execution shape next to mapInPandas and applyInPandasWithState):
+    per-user z-score normalization, each user's events as one pandas
+    frame. The oracle is the pure-SQL window formulation — numpy's
+    mean/std and SQL's agree after 4-decimal rounding."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        if pd.isna(std) or std == 0:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            z = ((pdf["value"] - pdf["value"].mean()) / std).round(4)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, zscore double")
+    )
