@@ -2402,3 +2402,66 @@ def q_zscore(spark, sf_dir):
         .groupBy("user_id")
         .applyInPandas(zscore, "event_id long, user_id long, zscore double")
     )
+
+
+@_reg(
+    "order_age_buckets",
+    """
+SELECT CASE WHEN age_days < 365 THEN '0-1y'
+            WHEN age_days < 365*3 THEN '1-3y'
+            WHEN age_days < 365*5 THEN '3-5y'
+            ELSE '5y+' END AS age_bucket,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice,2) AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM (SELECT o_totalprice,
+        datediff('day', o_orderdate, TIMESTAMP '2001-08-01 00:00:00') AS age_days
+      FROM orders) s
+GROUP BY 1
+""",
+)
+def q_age_buckets(spark, sf_dir):
+    """Date-arithmetic bucketing: order age in days against a fixed
+    as-of date, CASE'd into retention-style buckets (day arithmetic
+    only — months_between semantics diverge across engines, datediff
+    does not)."""
+    o = _t(spark, sf_dir, "orders")
+    age = F.datediff(F.lit("2001-08-01").cast("timestamp"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age < 365, "0-1y")
+        .when(age < 365 * 3, "1-3y")
+        .when(age < 365 * 5, "3-5y")
+        .otherwise("5y+")
+    )
+    return (
+        o.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@_reg(
+    "part_name_string_ops",
+    """
+SELECT p_partkey,
+  upper(split_part(p_name, ' ', 1)) AS color_upper,
+  regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+  length(replace(p_name, ' ', ''))::INT AS n_letters,
+  levenshtein(p_name, 'red widget') AS dist_to_ref,
+  reverse(p_name) AS reversed
+FROM part
+""",
+)
+def q_string_ops(spark, sf_dir):
+    """String-function breadth in one projection: split_part, regexp
+    capture groups, replace/length, levenshtein edit distance (exact —
+    identical across engines), reverse."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))).alias("color_upper"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("noun"),
+        F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))).cast("int").alias("n_letters"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("dist_to_ref"),
+        F.reverse(F.col("p_name")).alias("reversed"),
+    )
