@@ -33,9 +33,16 @@ def add_sequential_ids(
     If ``order_col`` is given, ids follow that total order *within each
     partition* and partitions are ordered by partition id — callers that
     need a strict global order should repartitionByRange(order_col)
-    first (one range shuffle; still no single-reducer bottleneck).
+    first (one range shuffle; still no single-reducer bottleneck —
+    repartitionByRange assigns ascending ranges to ascending partition
+    ids, so offset-by-pid composes into a strict global order).
+
+    The ordinal window and the per-partition counts are two separate
+    jobs over the same lineage; if the input were recomputed with a
+    different physical partitioning between them, offsets could mismatch
+    ordinals. Pin the partitioning with a cache before either job runs.
     """
-    df = df.withColumn("__pid", F.spark_partition_id())
+    df = df.withColumn("__pid", F.spark_partition_id()).cache()
     w = Window.partitionBy("__pid").orderBy(order_col if order_col else F.monotonically_increasing_id())
     with_ord = df.withColumn("__ord", F.row_number().over(w) - 1)
 

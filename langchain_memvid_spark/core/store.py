@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 )
 
 from langchain_memvid_spark.config import EngineConfig
+from langchain_memvid_spark.core.ids import add_sequential_ids
 from langchain_memvid_spark.embeddings import HashEmbeddings
 from langchain_memvid_spark.exceptions import IndexError_, RetrievalError, StorageError
 from langchain_memvid_spark.functions.vector import dot, l2_normalize, l2_sq
@@ -184,9 +185,18 @@ class SparkVectorStore:
         staged = staged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
         # anti-join vs existing corpus (index.py:202-210)
         staged = staged.join(self._doc_index.select("text"), "text", "left_anti")
-        # deterministic order for id assignment; batch is driver-provided so
-        # a sort here is small. Bulk parquet ingest uses add_sequential_ids.
-        staged = staged.orderBy("__pos").coalesce(1)
+        # Scale-safe id assignment: range-partition on the batch position
+        # (ascending ranges -> ascending partition ids), then the two-phase
+        # offset pattern (core/ids.py). Ids follow __pos globally with NO
+        # single-reducer stage, and the embed UDF below runs across all
+        # partitions instead of being funneled through coalesce(1).
+        n_parts = max(1, min(self.spark.sparkContext.defaultParallelism, len(rows) // 256 + 1))
+        staged = add_sequential_ids(
+            staged.repartitionByRange(n_parts, "__pos"),
+            id_col="doc_id",
+            order_col="__pos",
+            start=self._count,
+        )
 
         meta_struct = F.from_json(
             F.col("metadata_json"), "source STRING, category STRING, id BIGINT"
@@ -200,9 +210,6 @@ class SparkVectorStore:
         )
         if self.config.index.metric == "cosine":
             enriched = enriched.withColumn("embedding", l2_normalize(F.col("embedding")))
-        enriched = enriched.withColumn(
-            "doc_id", (F.row_number().over(Window.orderBy("__pos")) - 1 + F.lit(self._count)).cast("long")
-        )
 
         new_index = enriched.select(
             "doc_id", "text", "source", "category", "metadata_json", "metadata_hash", "embedding"
@@ -362,10 +369,17 @@ class SparkVectorStore:
     def _renumber(self) -> None:
         """Reassign ids 0..n-1 after delete, mirroring index.py:433-435.
         No re-embedding (the reference only re-embeds because FAISS flat
-        lacks remove-by-id — SURVEY.md §4 defect 1)."""
-        w = Window.orderBy("doc_id")
-        old_new = self._doc_index.select("doc_id").withColumn(
-            "__new_id", (F.row_number().over(w) - 1).cast("long")
+        lacks remove-by-id — SURVEY.md §4 defect 1).
+
+        Id compaction is the two-phase offset pattern over a range
+        partitioning of the surviving ids (core/ids.py) — no global
+        single-reducer window; survives a 100x corpus."""
+        n_parts = max(1, self.spark.sparkContext.defaultParallelism)
+        old_new = add_sequential_ids(
+            self._doc_index.select("doc_id").repartitionByRange(n_parts, "doc_id"),
+            id_col="__new_id",
+            order_col="doc_id",
+            start=0,
         )
         self._doc_index = (
             self._doc_index.join(old_new, "doc_id")
@@ -403,7 +417,9 @@ class SparkVectorStore:
 
     def delete_by_texts(self, texts: list[str]) -> bool:
         """≙ index.py:378-402 — FIRST occurrence only per text:
-        row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1."""
+        row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1.
+        Returns False when no text matched any document, mirroring the
+        reference (index.py:389-397)."""
         if not texts:
             return False
         tdf = self.spark.createDataFrame([(t,) for t in texts], "text STRING").dropDuplicates()
@@ -413,7 +429,11 @@ class SparkVectorStore:
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("doc_id")
+            .cache()
         )
+        if not victims.head(1):
+            victims.unpersist()
+            return False
         self._doc_index = self._doc_index.join(victims, "doc_id", "left_anti")
         self._payload = self._payload.join(victims, "doc_id", "left_anti")
         self._renumber()

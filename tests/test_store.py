@@ -145,3 +145,31 @@ def test_concurrent_similarity_search_thread_safety(store):
     for q, top in results:
         by_q.setdefault(q, set()).add(top)
     assert all(len(tops) == 1 for tops in by_q.values()), by_q
+
+
+def test_delete_by_texts_no_match_returns_false(spark):
+    # reference index.py:389-397 returns False when nothing was found
+    s = SparkVectorStore.from_texts(TEXTS, spark, metadatas=METAS)
+    assert s.delete_by_texts(["not in the corpus at all"]) is False
+    assert s.get_document_count() == len(TEXTS)
+
+
+def test_ingest_plan_has_no_single_partition_stage(spark):
+    # The round-1 ingest funneled the embed UDF through coalesce(1) +
+    # a global Window.orderBy — a single-reducer stage at scale. The
+    # two-phase offset pattern (core/ids.py) must leave no Coalesce(1)
+    # or global-sort Exchange in the materialized ingest lineage. A
+    # batch large enough for >1 range partition (n_parts scales with
+    # batch size) exercises the multi-partition path.
+    texts = [f"document number {i} about topic {i % 7}" for i in range(600)]
+    s = SparkVectorStore.from_texts(texts, spark)
+    plan = s._doc_index._jdf.queryExecution().toString()
+    assert "Coalesce 1" not in plan and "coalesce(1)" not in plan
+    # global window sort = Exchange SinglePartition feeding a Sort
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # ids are still the strict 0..n-1 sequence in batch order
+    docs = s.get_all_documents()
+    assert [d["doc_id"] for d in docs] == list(range(600))
+    assert docs[0]["page_content"] == "document number 0 about topic 0"
+    assert docs[599]["page_content"] == "document number 599 about topic 4"
