@@ -99,7 +99,11 @@ def _shingle_rows(documents: DataFrame, k: int, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 3, top_n: int = 20, text_col: str = "text"
+    documents: DataFrame,
+    k: int = 3,
+    top_n: int = 20,
+    text_col: str = "text",
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Top-N most similar doc pairs by exact Jaccard over k-word
     shingle sets.
@@ -107,9 +111,21 @@ def ngram_jaccard_pairs(
     Candidates come from an equi-join on shingle (docs sharing ≥1
     shingle), so disjoint docs never enter pair space; set sizes ride on
     the shingle rows, so the only shuffles are the candidate join and
-    the (a,b) pair aggregation. Hot shingles (stopword runs) are the
-    skew risk at corpus scale — AQE skew-join splits them; a frequency
-    cap on shingle document-frequency is the standard mitigation.
+    the (a,b) pair aggregation.
+
+    Hot shingles (stopword runs) are the skew risk at corpus scale: a
+    shingle appearing in d documents contributes d² candidate rows, so
+    one stopword run shared by a million docs is a 10¹²-row bucket.
+    ``max_df`` caps shingle document frequency — one map-side-combinable
+    groupBy at shingle grain finds the heavy hitters (few by Zipf), and
+    a broadcast anti-join drops them BEFORE the candidate join. Jaccard
+    denominators (na/nb) keep the FULL set sizes, so scores of
+    surviving pairs are exact unless a pair shares a dropped hot
+    shingle (then slightly underestimated) — the standard trade: pairs
+    similar only through ultra-common shingles are not near-dups. The
+    default (100k) never binds at test SFs (hash-identical to the
+    uncapped oracle) while bounding any bucket at corpus scale;
+    ``max_df=None`` disables the extra aggregation entirely.
 
     The join key is xxhash64(shingle) (JVM-side, codegen) rather than
     the shingle string: an 8-byte shuffle key instead of a 20-40 byte
@@ -121,6 +137,14 @@ def ngram_jaccard_pairs(
         .drop("sh")
         .cache()
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shh")
+        )
+        sh = sh.join(F.broadcast(hot), "shh", "left_anti")
     a = sh.select(F.col("doc_id").alias("a_id"), "shh", F.col("n_sh").alias("na"))
     b = sh.select(F.col("doc_id").alias("b_id"), "shh", F.col("n_sh").alias("nb"))
     jac = (

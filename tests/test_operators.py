@@ -390,3 +390,28 @@ def test_observation_metrics_ride_along_free(spark, sf_dir):
     assert m["n_short"] == want_short
     assert abs(m["avg_q"] - want_avg) < 1e-9
     assert kept > 0
+
+
+def test_ngram_max_df_drops_hot_shingle_candidates(spark):
+    """A shingle shared by every doc creates an O(N^2) candidate bucket;
+    max_df must drop it before the candidate join while keeping pairs
+    that are similar through rare shingles."""
+    common = "the quick brown"  # one 3-shingle shared by ALL docs
+    docs = [(i, f"{common} unique{i} filler{i} tail{i}") for i in range(20)]
+    # docs 0 and 1 additionally share a rare run of shingles
+    docs[0] = (0, f"{common} shared run of words here alpha")
+    docs[1] = (1, f"{common} shared run of words here beta")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(df, k=3, top_n=100, max_df=5)
+    rows = capped.collect()
+    # only the genuinely similar pair survives candidate generation
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(0, 1)]
+    # denominators keep FULL set sizes (7 shingles each incl. the hot one)
+    assert rows[0]["na"] == 7 and rows[0]["nb"] == 7
+    # shared counts only the non-hot shingles (5 of the 6 shared)
+    assert rows[0]["shared"] == 5
+
+    uncapped = dedup.ngram_jaccard_pairs(df, k=3, top_n=1000, max_df=None)
+    # hot shingle alone puts every doc pair in candidate space: C(20,2)
+    assert uncapped.count() == 190
