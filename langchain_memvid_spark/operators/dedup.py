@@ -23,20 +23,44 @@ from langchain_memvid_spark.functions.hashing import stable_hash64
 from langchain_memvid_spark.functions.text import fingerprint, tokens, word_shingles
 from langchain_memvid_spark.functions.vector import cosine_sim
 
-# MinHash permutations h_j = (a*h + b) mod P over 60-bit base hashes.
-# a ≤ 7 keeps a*h < 2^63 (no overflow under ANSI mode); P = 2^61-1.
-MINHASH_PERMS: tuple[tuple[int, int], ...] = (
-    (1, 3),
-    (2, 5),
-    (3, 7),
-    (4, 11),
-    (5, 13),
-    (6, 17),
-    (7, 19),
-    (7, 23),
+# MinHash permutations h_j = (a*(h XOR m) + b) mod P over 60-bit base
+# hashes.  a ≤ 7 keeps a*h < 2^63 (no int64 overflow in numpy OR under
+# Spark ANSI mode); P = 2^61-1.  Only 7 distinct multipliers fit that
+# bound, so the 8th permutation is decorrelated with a 60-bit XOR mask
+# instead (xor is nonlinear over the argmin, and both engines — numpy
+# `^` and DuckDB `xor()` — agree bit-for-bit on int64): two perms with
+# the same multiplier and mask would share their argmin shingle and add
+# no independent signature information.
+MINHASH_PERMS: tuple[tuple[int, int, int], ...] = (
+    (1, 3, 0),
+    (2, 5, 0),
+    (3, 7, 0),
+    (4, 11, 0),
+    (5, 13, 0),
+    (6, 17, 0),
+    (7, 19, 0),
+    (7, 23, 0xFEDCBA987654321),
 )
 MINHASH_P = (1 << 61) - 1
 SIMHASH_BITS = 32
+
+# Random-hyperplane LSH for embedding vectors (sign-of-dot-product,
+# Charikar 2002). Weights are small ints from a fixed multiplicative-
+# hash formula — pure Python, reproducible, and inlineable as literals
+# in the DuckDB oracle SQL. Embeddings are quantized to integers
+# (floor(x*1000)) before the dot product so the sign computation is
+# exact integer arithmetic in BOTH engines — no float-summation-order
+# ambiguity at the sign boundary.
+RHP_PLANES = 16
+RHP_BAND_BITS = 8  # 2 bands of 8 bits: P(candidate) = 1-(1-s^8)^2
+
+
+def _rhp_weight(h: int, d: int) -> int:
+    return ((h * 2654435761 + d * 40503 + 12345) % 19) - 9
+
+
+def rhp_weights(n_planes: int = RHP_PLANES, dim: int = 64) -> list[list[int]]:
+    return [[_rhp_weight(h, d) for d in range(dim)] for h in range(n_planes)]
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -189,8 +213,9 @@ def minhash_signatures(documents: DataFrame, k: int = 3, text_col: str = "text")
     hex_chars = 15  # keep in sync with functions/hashing.py HASH_HEX_CHARS
 
     def sign(batches):
-        a_arr = np.array([a for a, _ in perms], dtype=np.int64)
-        b_arr = np.array([b for _, b in perms], dtype=np.int64)
+        a_arr = np.array([a for a, _, _ in perms], dtype=np.int64)
+        b_arr = np.array([b for _, b, _ in perms], dtype=np.int64)
+        m_arr = np.array([m for _, _, m in perms], dtype=np.int64)
         for pdf in batches:
             out = {"doc_id": pdf["doc_id"]}
             sigs = np.empty((len(pdf), len(perms)), dtype=np.int64)
@@ -208,7 +233,9 @@ def minhash_signatures(documents: DataFrame, k: int = 3, text_col: str = "text")
                     dtype=np.int64,
                     count=len(shingles),
                 )
-                sigs[i] = ((a_arr[:, None] * hs[None, :] + b_arr[:, None]) % p).min(axis=1)
+                sigs[i] = (
+                    (a_arr[:, None] * (hs[None, :] ^ m_arr[:, None]) + b_arr[:, None]) % p
+                ).min(axis=1)
             for j in range(len(perms)):
                 out[f"mh{j}"] = sigs[:, j]
             yield pd.DataFrame(out)
@@ -301,32 +328,129 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return narrow.mapInPandas(sign, "doc_id long, simhash long")
 
 
+def embedding_lsh_candidates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = RHP_PLANES,
+    band_bits: int = RHP_BAND_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs via random-hyperplane LSH — the scale
+    gate in front of the exact cosine scorer.
+
+    Each vector gets an ``n_planes``-bit signature (bit h = sign of the
+    integer dot product with deterministic hyperplane h); the signature
+    splits into bands and candidates are distinct pairs agreeing on ≥1
+    band — an equi-join on (band, value), never all-pairs. Entirely
+    JVM-side Catalyst expressions (quantize → zip_with/aggregate dot
+    products → band split → explode(n_bands) → self-equi-join), so the
+    candidate stage is whole-stage-codegen and shuffles only on small
+    int keys. Bucket sizes concentrate at N/2^band_bits per band value;
+    widen band_bits to shrink buckets at corpus scale.
+
+    Output: (a_id, b_id) with a_id < b_id, distinct.
+    """
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    ints = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long")
+    )
+    sig_df = embeddings.select(F.col(id_col).alias("vid"), ints.alias("__ei"))
+    sig = None
+    for h in range(n_planes):
+        w = F.array(*[F.lit(v) for v in rhp_weights(n_planes, dim)[h]])
+        dotp = F.aggregate(
+            F.zip_with(F.col("__ei"), w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dotp >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    bands = sig_df.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vid", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("vid").alias("a_id"), "band", "val")
+    b = bands.select(F.col("vid").alias("b_id"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 2048,
+    candidates: DataFrame | None = None,
+    exact: bool = False,
+    exact_row_limit: int = 100_000,
 ) -> DataFrame:
-    """Embedding near-dup pairs with cosine ≥ threshold — exact, via
-    block-matrix multiply.
+    """Embedding near-dup pairs with cosine ≥ threshold.
 
-    Row-at-a-time pair scoring (crossJoin + per-pair HOF dot product)
-    evaluates O(N²·dim) Catalyst expressions — ~40× slower than BLAS
-    and unshippable at scale. Instead: range-block the ids (block i
-    holds ids [i·B, (i+1)·B)), build one row per block with its id/
-    vector arrays, equi-free join blocks with blk_a ≤ blk_b (the id
-    ranges make a_id < b_id automatic across blocks), and score each
-    block pair with one float64 GEMM inside mapInPandas. Work is
-    N²/B² independent block-pair tasks — embarrassingly parallel
-    across executors, each task BLAS-bound.
+    Three modes, safest first:
 
-    Exact all-pairs is inherently quadratic; at 100 TB the pragmatic
-    path is LSH/IVF prefiltering (minhash_band_pairs / topk.ivf_search)
-    to prune pair space before this exact scorer.
+    - ``candidates`` given (columns a_id/b_id, e.g. from
+      :func:`embedding_lsh_candidates` or IVF cluster co-membership):
+      score ONLY those pairs — two joins against the vectors plus a
+      JVM-side cosine. Linear in the candidate count; the 100 TB path.
+    - neither ``candidates`` nor ``exact``: exact all-pairs is allowed
+      only below ``exact_row_limit`` rows; above it this RAISES rather
+      than silently launching an O(N²) job.
+    - ``exact=True``: unconditional exact all-pairs block GEMM.
+
+    The exact kernel: row-at-a-time pair scoring (crossJoin + per-pair
+    HOF dot product) evaluates O(N²·dim) Catalyst expressions — ~40×
+    slower than BLAS. Instead: range-block the ids (block i holds ids
+    [i·B, (i+1)·B)), build one row per block with its id/vector arrays,
+    join blocks with blk_a ≤ blk_b (the id ranges make a_id < b_id
+    automatic across blocks), and score each block pair with one
+    float64 GEMM inside mapInPandas. Work is N²/B² independent
+    block-pair tasks — embarrassingly parallel, each BLAS-bound.
     """
     import numpy as np
     import pandas as pd
+
+    if candidates is not None:
+        av = embeddings.select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av")
+        )
+        bv = embeddings.select(
+            F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
+        )
+        sim = cosine_sim(F.col("__av"), F.col("__bv"))
+        return (
+            candidates.select("a_id", "b_id")
+            .join(av, "a_id")
+            .join(bv, "b_id")
+            .withColumn("cos_sim", F.round(sim, 4))
+            .filter(sim >= threshold)
+            .select("a_id", "b_id", "cos_sim")
+        )
+    if not exact:
+        n = embeddings.count()
+        if n > exact_row_limit:
+            raise ValueError(
+                f"embedding_cosine_pairs: {n} rows exceeds exact_row_limit="
+                f"{exact_row_limit} for exact all-pairs scoring. Pass "
+                "candidates= (e.g. embedding_lsh_candidates) to prune pair "
+                "space, or exact=True to force the O(N^2) block GEMM."
+            )
 
     blocks = (
         embeddings.select(
@@ -398,8 +522,8 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
-    LSH banding makes this sub-quadratic: the 16-bit signature splits
-    into 4 bands of 4 bits, candidates are pairs agreeing on ≥1 band
+    LSH banding makes this sub-quadratic: the 32-bit signature splits
+    into 4 bands of 8 bits, candidates are pairs agreeing on ≥1 band
     (equi-join on (band_id, band_val) — a shuffle on tiny int keys,
     never an all-pairs cross join), then the exact hamming filter runs
     on candidates only. With max_hamming=3 < 4 bands the pigeonhole

@@ -391,9 +391,14 @@ def q_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _mh_perm_sql(j: int, a: int, b: int, m: int) -> str:
+    hx = f"xor(h, {m})" if m else "h"
+    return f"min(({a}*{hx} + {b}) % {MINHASH_P}) AS mh{j}"
+
+
 def _minhash_sig_sql() -> str:
     mins = ",\n  ".join(
-        f"min(({a}*h + {b}) % {MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_PERMS)
+        _mh_perm_sql(j, a, b, m) for j, (a, b, m) in enumerate(MINHASH_PERMS)
     )
     return f"""
 WITH {SHINGLE_CTE},
@@ -419,7 +424,7 @@ WITH {SHINGLE_CTE},
 h AS (SELECT doc_id, {H64.format(x='sh')} AS h FROM sh),
 sig AS (
   SELECT doc_id,
-    {",".join(f"min(({a}*h + {b}) % {MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_PERMS))}
+    {",".join(_mh_perm_sql(j, a, b, m) for j, (a, b, m) in enumerate(MINHASH_PERMS))}
   FROM h GROUP BY doc_id
 ),
 buckets AS (
@@ -469,6 +474,57 @@ WHERE {COS.format(a='a.embedding', b='b.embedding')} >= 0.4
 )
 def q_embpairs(spark, sf_dir):
     return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def _rhp_candidate_sql() -> str:
+    """DuckDB replica of embedding_lsh_candidates + candidate scoring.
+
+    Same integer arithmetic as the Spark side: quantize floor(x*1000),
+    dot with the deterministic small-int hyperplane weights, sign bits
+    -> 16-bit signature -> 2 bands of 8 bits -> band equi-join.
+    """
+    from langchain_memvid_spark.operators.dedup import RHP_BAND_BITS, RHP_PLANES
+
+    n_bands = RHP_PLANES // RHP_BAND_BITS
+    mask = (1 << RHP_BAND_BITS) - 1
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS ei
+  FROM embeddings),
+wd AS (
+  SELECT h, d, ((h*2654435761 + d*40503 + 12345) % 19) - 9 AS w
+  FROM (SELECT unnest(range(0,{RHP_PLANES})) AS h) hs,
+       (SELECT unnest(range(0,64)) AS d) ds),
+dots AS (
+  SELECT q.vec_id, wd.h, sum(q.ei[wd.d + 1] * wd.w) AS dotp
+  FROM q, wd GROUP BY 1, 2),
+sigs AS (
+  SELECT vec_id,
+    sum(CASE WHEN dotp >= 0 THEN (1::BIGINT << h) ELSE 0 END) AS sig
+  FROM dots GROUP BY 1),
+bands AS (
+  SELECT vec_id, bs.b AS band, (sig >> (bs.b*{RHP_BAND_BITS})) & {mask} AS val
+  FROM sigs, (SELECT unnest(range(0,{n_bands})) AS b) bs),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id)
+SELECT c.a_id, c.b_id,
+  round({COS.format(a='ea.embedding', b='eb.embedding')}, 4) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a_id
+JOIN embeddings eb ON eb.vec_id = c.b_id
+WHERE {COS.format(a='ea.embedding', b='eb.embedding')} >= 0.4
+"""
+
+
+@_reg("embedding_candidate_pairs", _rhp_candidate_sql())
+def q_embcand(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(
+        emb, candidates=dedup.embedding_lsh_candidates(emb)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -878,7 +934,7 @@ def q_centroids(spark, sf_dir):
 
 def _minhash_est_sql() -> str:
     sig_cols = ",".join(
-        f"min(({a}*h + {b}) % {MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_PERMS)
+        _mh_perm_sql(j, a, b, m) for j, (a, b, m) in enumerate(MINHASH_PERMS)
     )
     bands = "\n    UNION ALL ".join(
         f"SELECT doc_id, {band} AS band, mh{2*band}::VARCHAR || '_' || mh{2*band+1}::VARCHAR AS bucket FROM sig"

@@ -52,9 +52,21 @@ def test_minhash_signature_python_equivalence(spark):
     df = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
     row = dedup.minhash_signatures(df).collect()[0]
     shingles = set(py_shingles(text))
-    for j, (a, b) in enumerate(dedup.MINHASH_PERMS):
-        expect = min((a * py_hash64(s) + b) % dedup.MINHASH_P for s in shingles)
+    for j, (a, b, m) in enumerate(dedup.MINHASH_PERMS):
+        expect = min((a * (py_hash64(s) ^ m) + b) % dedup.MINHASH_P for s in shingles)
         assert row[f"mh{j}"] == expect
+
+
+def test_minhash_last_two_perms_decorrelated(spark):
+    # regression for the shared-multiplier bias: mh6 and mh7 must not be
+    # forced to pick the same argmin shingle on every document
+    texts = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4} tok{i+5}") for i in range(30)]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    rows = dedup.minhash_signatures(df).collect()
+    # if perfectly correlated, (mh7 - mh6) mod P would be the constant
+    # (23 - 19) on every row; with the xor mask the argmins diverge
+    diffs = {(r["mh7"] - r["mh6"]) % dedup.MINHASH_P for r in rows}
+    assert len(diffs) > 1
 
 
 def test_simhash_identical_texts_collide(spark):
@@ -104,6 +116,34 @@ def test_embedding_cosine_pairs_block_boundaries(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_embedding_cosine_pairs_gate_raises_above_limit(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    with pytest.raises(ValueError, match="exact_row_limit"):
+        dedup.embedding_cosine_pairs(df, exact_row_limit=5)
+    # exact=True overrides the gate
+    assert dedup.embedding_cosine_pairs(df, exact=True, exact_row_limit=5).count() > 0
+
+
+def test_embedding_candidate_path_subset_of_exact(spark, sf_dir):
+    # LSH-gated scoring returns a subset of the exact pairs, with
+    # identical scores on the pairs it keeps.
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in dedup.embedding_cosine_pairs(emb, exact=True).collect()
+    }
+    cand = dedup.embedding_lsh_candidates(emb)
+    gated = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in dedup.embedding_cosine_pairs(emb, candidates=cand).collect()
+    }
+    assert set(gated) <= set(exact)
+    assert len(gated) > 0
+    for k, v in gated.items():
+        assert v == pytest.approx(exact[k], abs=1e-9)
 
 
 def test_knn_batch_self_rank_one(spark, sf_dir):
