@@ -5,16 +5,26 @@ Media are opaque `binary` columns plus typed metadata — the same
 reference uses for its QR-frame video archive
 (/root/reference/src/langchain_memvid/encoder.py:190-198; its video
 codecs ≙ our media codecs). All Spark-side plumbing (schema,
-partitioning, Arrow batch shape, UDF signatures) is real and tested;
-the actual codec calls are STUBBED — image/audio libraries are not in
-this container — behind `decoder="fake"` (deterministic sha256-seeded
-features) or `decoder="real"` (raises NotImplementedError at the
-exact point cv2/PIL/ffmpeg would be invoked).
+partitioning, Arrow batch shape, UDF signatures) is real and tested.
+
+Codecs come in three tiers:
+  - REAL, dependency-free: PNG encode/parse (zlib stored blocks + IHDR
+    chunk walk) and WAV PCM encode/parse (RIFF chunk walk) — genuine
+    byte-level codecs mirroring the reference's get_video_info
+    (/root/reference/src/langchain_memvid/video/default.py:448-486),
+    implemented on stdlib only. `decoder="real"` in extract_features
+    uses these plus byte-statistics features.
+  - `decoder="fake"`: deterministic sha256-seeded feature vectors
+    (stands in for a vision/audio tower, which is not in this
+    container).
+  - heavy-library paths (cv2/PIL/torchaudio) remain out of scope.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,6 +73,216 @@ def synthesize_media(documents: DataFrame, media_type: str = "image") -> DataFra
     )
 
 
+# ---------------------------------------------------------------------------
+# Real dependency-free codecs: PNG (grayscale, zlib level-0 stored
+# blocks so encoded size is a closed-form function of the dimensions)
+# and WAV (16-bit PCM).  Encoders produce spec-valid files; parsers
+# walk the actual chunk structure rather than trusting fixed offsets.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _stretch_bytes(seed: bytes, n: int) -> bytes:
+    """Deterministic n bytes via sha256 counter mode."""
+    out = bytearray()
+    ctr = 0
+    while len(out) < n:
+        out += hashlib.sha256(seed + ctr.to_bytes(4, "big")).digest()
+        ctr += 1
+    return bytes(out[:n])
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal spec-valid grayscale 8-bit PNG.  IDAT uses zlib level 0
+    (stored blocks), so len(png) = 57 + raw + 11 for raw =
+    height*(width+1) < 64 KiB — a closed form the DuckDB oracle can
+    reproduce without touching the bytes."""
+    raw = bytearray()
+    for r in range(height):
+        raw.append(0)  # filter: None
+        raw += pixels[r * width : (r + 1) * width]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 0))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png_info(blob: bytes) -> dict:
+    """Chunk-walking PNG header parse: validates magic and CRC, finds
+    IHDR wherever it sits, and decompresses IDAT to cross-check the
+    scanline byte count."""
+    if blob[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: bad magic")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+            ihdr = {"width": w, "height": h, "bit_depth": depth, "color_type": color}
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG: no IHDR chunk")
+    raw = zlib.decompress(idat)
+    if len(raw) != ihdr["height"] * (ihdr["width"] + 1):
+        raise ValueError("PNG: IDAT scanline size mismatch")
+    return ihdr
+
+
+def encode_wav(sample_rate: int, n_channels: int, samples: bytes) -> bytes:
+    """Spec-valid 16-bit PCM WAV: RIFF header + fmt + data chunks;
+    len(wav) = 44 + len(samples)."""
+    data_size = len(samples)
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + samples
+    )
+
+
+def parse_wav_info(blob: bytes) -> dict:
+    """RIFF chunk walk: validates RIFF/WAVE, reads fmt fields, derives
+    n_samples from the data chunk size."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF header")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt_tag, nch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", blob[pos + 8 : pos + 24]
+            )
+            if fmt_tag != 1:
+                raise ValueError(f"WAV: unsupported format tag {fmt_tag}")
+            fmt = {"n_channels": nch, "sample_rate": rate, "bits_per_sample": bits}
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    fmt["n_samples"] = data_size // (fmt["n_channels"] * fmt["bits_per_sample"] // 8)
+    return fmt
+
+
+def synthesize_real_media(documents: DataFrame) -> DataFrame:
+    """Real encoded blobs from the documents table: even doc_id → a
+    spec-valid grayscale PNG, odd doc_id → a spec-valid PCM WAV, with
+    dimensions/rates that are closed-form in doc_id (so the DuckDB
+    oracle can predict every decoded field without a codec) and pixel/
+    sample payloads sha256-derived from the text (deterministic).
+    One Arrow-batched scan; no shuffle."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                seed = (text or "").encode("utf-8")
+                if doc_id % 2 == 0:
+                    w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                    blob = encode_png(w, h, _stretch_bytes(seed, w * h))
+                    mtype = "image"
+                else:
+                    rate = 8000 + 1000 * (doc_id % 4)
+                    nch = 1 + doc_id % 2
+                    n_samp = 100 + doc_id % 50
+                    blob = encode_wav(rate, nch, _stretch_bytes(seed, n_samp * nch * 2))
+                    mtype = "audio"
+                out["media_id"].append(doc_id)
+                out["media_type"].append(mtype)
+                out["content"].append(blob)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )
+
+
+def decode_media_info(media: DataFrame) -> DataFrame:
+    """Parse every blob's real header — the Spark analog of the
+    reference's get_video_info (video/default.py:448-486): dimensions
+    for images, rate/channels/samples for audio, total byte size for
+    both.  Arrow-batched mapInPandas; the parsers above do the work."""
+
+    cols = [
+        "width", "height", "bit_depth", "color_type",
+        "sample_rate", "n_channels", "bits_per_sample", "n_samples",
+    ]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "media_type": [], "content_bytes": []}
+            for c in cols:
+                rows[c] = []
+            for mid, mtype, content in zip(pdf["media_id"], pdf["media_type"], pdf["content"]):
+                blob = bytes(content)
+                info = parse_png_info(blob) if mtype == "image" else parse_wav_info(blob)
+                rows["media_id"].append(int(mid))
+                rows["media_type"].append(mtype)
+                rows["content_bytes"].append(len(blob))
+                for c in cols:
+                    rows[c].append(info.get(c))
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "media_id long, media_type string, content_bytes long, "
+        "width int, height int, bit_depth int, color_type int, "
+        "sample_rate int, n_channels int, bits_per_sample int, n_samples long"
+    )
+    return media.mapInPandas(decode, schema)
+
+
+def _real_features(blob: bytes, mtype: str, dim: int = FEATURE_DIM) -> list[float]:
+    """Header fields + byte-level statistics — a real, reproducible
+    feature vector computed with stdlib only (where a vision/audio
+    tower would run at scale)."""
+    info = parse_png_info(blob) if mtype == "image" else parse_wav_info(blob)
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+    hist = np.bincount(np.frombuffer(blob, dtype=np.uint8) >> 4, minlength=16) / len(arr)
+    head = [
+        float(info.get("width") or 0),
+        float(info.get("height") or 0),
+        float(info.get("sample_rate") or 0) / 1000.0,
+        float(info.get("n_channels") or 0),
+        float(len(blob)),
+        float(arr.mean()),
+        float(arr.std()),
+        float(-np.sum(hist[hist > 0] * np.log2(hist[hist > 0]))),
+    ]
+    v = np.zeros(dim, dtype=np.float64)
+    v[: len(head)] = head
+    v[len(head) : len(head) + 16] = hist
+    return [float(x) for x in v]
+
+
 def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     seed = int(hashlib.sha256(content).hexdigest()[:8], 16)
     rng = np.random.RandomState(seed)
@@ -76,22 +296,26 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     batches; one python worker per partition — at scale this is where
     GPU inference batches would run).
 
-    decoder='real' marks where cv2.imdecode / torchaudio.load / a
-    vision tower would be called — NotImplementedError in this
-    container."""
+    decoder='real' runs the dependency-free PNG/WAV parsers above and
+    emits header + byte-statistic features (requires blobs from
+    synthesize_real_media or any spec-valid PNG/WAV); decoder='fake'
+    emits sha256-seeded vectors for arbitrary blobs (stands in for a
+    vision/audio tower)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real decoders (cv2/PIL/torchaudio) are not available in "
-                    "this container; use decoder='fake'"
-                )
+                feats = [
+                    _real_features(bytes(c), t)
+                    for c, t in zip(pdf["content"], pdf["media_type"])
+                ]
+            else:
+                feats = [_fake_features(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "features": [_fake_features(bytes(c)) for c in pdf["content"]],
+                    "features": feats,
                     "content_bytes": [len(bytes(c)) for c in pdf["content"]],
                 }
             )

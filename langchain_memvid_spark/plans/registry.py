@@ -1444,6 +1444,39 @@ def q_payload_roundtrip(spark, sf_dir):
 
 
 @_reg(
+    "media_header_info",
+    """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+  CASE WHEN doc_id % 2 = 0
+       THEN 57 + (8 + doc_id % 5) * (16 + doc_id % 8 + 1) + 11
+       ELSE 44 + (100 + doc_id % 50) * (1 + doc_id % 2) * 2
+  END::BIGINT AS content_bytes,
+  CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 8 END::INT AS width,
+  CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 5 END::INT AS height,
+  CASE WHEN doc_id % 2 = 0 THEN 8 END::INT AS bit_depth,
+  CASE WHEN doc_id % 2 = 0 THEN 0 END::INT AS color_type,
+  CASE WHEN doc_id % 2 = 1 THEN 8000 + 1000 * (doc_id % 4) END::INT AS sample_rate,
+  CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 2 END::INT AS n_channels,
+  CASE WHEN doc_id % 2 = 1 THEN 16 END::INT AS bits_per_sample,
+  CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 50 END::BIGINT AS n_samples
+FROM documents
+""",
+)
+def q_media_headers(spark, sf_dir):
+    """Real multimodal decode, end-to-end: documents → spec-valid PNG/
+    WAV blobs (encode) → chunk-walking header parse (decode).  The
+    oracle predicts every decoded field in closed form from doc_id —
+    agreement proves the encoder wrote and the parser read REAL bytes
+    (sizes include the zlib stored-block framing and RIFF header).
+    ≙ reference get_video_info (video/default.py:448-486)."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    media = mm.synthesize_real_media(_t(spark, sf_dir, "documents"))
+    return mm.decode_media_info(media)
+
+
+@_reg(
     "multimodal_features",
     None,  # fake-decoder features are Python-side — driver rows-only check
 )
