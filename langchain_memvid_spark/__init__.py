@@ -28,6 +28,7 @@ from langchain_memvid_spark.exceptions import (
 )
 from langchain_memvid_spark.embeddings import HashEmbeddings
 from langchain_memvid_spark.core.store import SparkVectorStore
+from langchain_memvid_spark.core.retriever import Document, SparkRetriever
 
 __version__ = "0.1.0"
 
@@ -43,4 +44,6 @@ __all__ = [
     "ConfigError",
     "HashEmbeddings",
     "SparkVectorStore",
+    "SparkRetriever",
+    "Document",
 ]

@@ -1,0 +1,132 @@
+"""Runnable-style retriever facade over SparkVectorStore.
+
+Mirrors the reference Retriever's public surface
+(/root/reference/src/langchain_memvid/retriever.py:78-169:
+``invoke`` / ``ainvoke`` / ``batch`` / ``abatch`` / ``retrieve`` /
+``_get_relevant_documents`` / ``get_document_by_id``) so a LangChain
+user can drop it where a ``BaseRetriever`` goes — duck-typed rather
+than subclassing, since langchain-core is not a dependency here.
+
+The Spark-first difference is ``batch``: the reference loops queries
+sequentially (retriever.py:110-136); here all queries score in ONE
+broadcast join (store.batch_search) and the per-query Document lists
+are regrouped driver-side from the single k×Q-row result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from langchain_memvid_spark.core.store import SparkVectorStore
+from langchain_memvid_spark.exceptions import RetrievalError
+
+
+@dataclass
+class Document:
+    """Minimal LangChain-Document shape (page_content + metadata);
+    interoperates with ``SparkVectorStore.from_documents`` which
+    duck-types on exactly these attributes."""
+
+    page_content: str
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+
+class SparkRetriever:
+    """≙ reference Retriever (retriever.py:27-96): semantic search
+    facade returning Documents with essential metadata, ``k`` results
+    per query."""
+
+    def __init__(self, store: SparkVectorStore, k: int = 4):
+        self.store = store
+        self.k = k
+
+    # ----------------------------------------------------- Runnable surface
+
+    def invoke(self, input: str, config: Any | None = None) -> list[Document]:
+        """≙ retriever.py:78-91."""
+        return self.retrieve(input)
+
+    async def ainvoke(self, input: str, config: Any | None = None) -> list[Document]:
+        """≙ retriever.py:93-106 (delegates to the sync path, as the
+        reference does)."""
+        return self.retrieve(input)
+
+    def batch(
+        self,
+        inputs: list[str],
+        config: Any | None = None,
+        *,
+        return_exceptions: bool = False,
+    ) -> list[list[Document] | Exception]:
+        """≙ retriever.py:108-136, re-planned for Spark: one scored
+        broadcast join for ALL queries instead of a sequential loop —
+        Q queries cost one job, not Q."""
+        if not inputs:
+            return []
+        try:
+            rows = self.store.batch_search(list(inputs), k=self.k).collect()
+        except Exception as e:  # noqa: BLE001 - parity with reference semantics
+            if return_exceptions:
+                return [e for _ in inputs]
+            raise
+        by_query: dict[int, list[tuple[int, Document]]] = {i: [] for i in range(len(inputs))}
+        for r in rows:
+            doc = Document(
+                page_content=r["text"],
+                metadata={
+                    "doc_id": r["doc_id"],
+                    "similarity": float(r["similarity"]),
+                    "metadata_type": "essential",
+                },
+            )
+            by_query[int(r["query_id"])].append((int(r["rank"]), doc))
+        return [[d for _, d in sorted(by_query[i])] for i in range(len(inputs))]
+
+    async def abatch(
+        self,
+        inputs: list[str],
+        config: Any | None = None,
+        *,
+        return_exceptions: bool = False,
+    ) -> list[list[Document] | Exception]:
+        """≙ retriever.py:138-155."""
+        return self.batch(inputs, config, return_exceptions=return_exceptions)
+
+    # ------------------------------------------------------------- retrieval
+
+    def retrieve(self, query: str) -> list[Document]:
+        """≙ retriever.py:157-169."""
+        return self._get_relevant_documents(query)
+
+    def _get_relevant_documents(self, query: str) -> list[Document]:
+        """≙ retriever.py:171-258: essential-metadata Documents with
+        source/category/similarity/doc_id/metadata_type fields."""
+        try:
+            results = self.store.search_text(query, k=self.k)
+            return [
+                Document(
+                    page_content=r.text,
+                    metadata={
+                        "source": r.source,
+                        "category": r.category,
+                        "similarity": r.similarity,
+                        "metadata_type": "essential",
+                        **(r.metadata or {}),
+                    },
+                )
+                for r in results
+            ]
+        except RetrievalError:
+            raise
+        except Exception as e:  # noqa: BLE001 - parity: wrap in RetrievalError
+            raise RetrievalError(f"Failed to retrieve documents: {e}") from e
+
+    def get_document_by_id(
+        self, doc_id: int, include_full_metadata: bool = False
+    ) -> Document | None:
+        """≙ retriever.py:258-316 (essential vs full metadata tiers)."""
+        d = self.store.get_document_by_id(doc_id, include_full_metadata)
+        if d is None:
+            return None
+        return Document(page_content=d["page_content"], metadata=d["metadata"])

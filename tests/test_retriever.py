@@ -1,0 +1,95 @@
+"""Retriever facade tests — ported shapes from the reference suite
+(/root/reference/tests/test_retriever.py: retrieval returns Documents,
+k respected, batch returns one list per input, errors wrap in
+RetrievalError)."""
+
+import pytest
+
+from langchain_memvid_spark import Document, RetrievalError, SparkRetriever, SparkVectorStore
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "Python is a great programming language",
+    "The weather is sunny today",
+    "Machine learning with spark is scalable",
+    "Distributed joins shuffle on their keys",
+]
+METAS = [{"id": i, "source": f"doc{i}.txt", "category": "misc"} for i in range(len(TEXTS))]
+
+
+@pytest.fixture(scope="module")
+def retriever(spark):
+    store = SparkVectorStore.from_texts(TEXTS, spark, metadatas=METAS)
+    return SparkRetriever(store, k=3)
+
+
+def test_invoke_returns_documents(retriever):
+    docs = retriever.invoke("programming in python")
+    assert len(docs) == 3
+    assert all(isinstance(d, Document) for d in docs)
+    assert all(d.metadata["metadata_type"] == "essential" for d in docs)
+    assert all("similarity" in d.metadata and "source" in d.metadata for d in docs)
+
+
+def test_retrieve_matches_invoke(retriever):
+    q = "sunny weather"
+    assert [d.page_content for d in retriever.invoke(q)] == [
+        d.page_content for d in retriever.retrieve(q)
+    ]
+
+
+def test_ainvoke_delegates_to_sync(retriever):
+    import asyncio
+
+    docs = asyncio.get_event_loop().run_until_complete(retriever.ainvoke("fox"))
+    assert [d.page_content for d in docs] == [d.page_content for d in retriever.invoke("fox")]
+
+
+def test_batch_one_list_per_input_and_matches_single(retriever):
+    queries = ["python programming", "lazy dog", "spark scale"]
+    batched = retriever.batch(queries)
+    assert len(batched) == 3
+    for q, docs in zip(queries, batched):
+        single = retriever.invoke(q)
+        assert [d.page_content for d in docs] == [d.page_content for d in single]
+        sims = [d.metadata["similarity"] for d in docs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_batch_empty_input(retriever):
+    assert retriever.batch([]) == []
+
+
+def test_batch_return_exceptions(retriever, monkeypatch):
+    def boom(*a, **k):
+        raise RuntimeError("Test error")
+
+    monkeypatch.setattr(retriever.store, "batch_search", boom)
+    out = retriever.batch(["a", "b"], return_exceptions=True)
+    assert len(out) == 2 and all(isinstance(e, RuntimeError) for e in out)
+    with pytest.raises(RuntimeError):
+        retriever.batch(["a"])
+
+
+def test_error_handling_wraps_retrieval_error(retriever, monkeypatch):
+    # ≙ reference TestRetrieverErrorHandling.test_error_handling
+    def boom(*a, **k):
+        raise RuntimeError("Test error")
+
+    monkeypatch.setattr(retriever.store, "search_text", boom)
+    with pytest.raises(RetrievalError):
+        retriever._get_relevant_documents("test query")
+
+
+def test_get_document_by_id_tiers(retriever):
+    d = retriever.get_document_by_id(0)
+    assert d is not None and d.metadata["metadata_type"] == "essential"
+    full = retriever.get_document_by_id(0, include_full_metadata=True)
+    assert full is not None and full.metadata["metadata_type"] == "full"
+    assert retriever.get_document_by_id(999) is None
+
+
+def test_from_documents_roundtrip(spark):
+    docs = [Document(page_content=t, metadata=m) for t, m in zip(TEXTS, METAS)]
+    store = SparkVectorStore.from_documents(docs, spark)
+    assert store.get_document_count() == len(TEXTS)
