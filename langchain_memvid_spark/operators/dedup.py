@@ -573,20 +573,28 @@ def dedup_clusters(
     text_col: str = "text",
     max_iter: int = 50,
     shuffle_partitions: int | None = None,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: every doc is
     labeled with the smallest doc_id reachable through the candidate
     graph — the canonical-group assignment step of a dedup pipeline
     (keep cluster_id == doc_id, drop the rest).
 
-    Min-label propagation: labels start as doc_id; each round every
-    node takes min(own, neighbors). One equi-join + one groupBy per
-    round, converging in graph-diameter rounds (LSH buckets form
-    cliques, so diameters stay small). localCheckpoint() truncates the
-    growing lineage each round — without it the plan doubles per
-    iteration. At extreme scale the round count is cut by the
-    large-star/small-star algorithm (star contraction); the per-round
-    dataflow below is the same building block."""
+    Two algorithms, same output:
+
+    - ``propagate`` (default): min-label propagation with pointer
+      jumping — labels start as doc_id; each round every node takes
+      min(own, neighbors) then follows one label indirection. One
+      equi-join + one groupBy per round, O(log diameter) rounds.
+      Right default when LSH buckets form cliques (tiny diameters).
+    - ``star``: alternating large-star/small-star contraction
+      (Kiveris et al. 2014) — rewrites the EDGE set each round so
+      every component collapses toward its minimum; converges in
+      O(log n) rounds independent of diameter, the scale path for
+      high-diameter graphs (transitive chains of near-dups).
+
+    localCheckpoint() truncates the growing lineage each round —
+    without it the plan doubles per iteration."""
     # shuffle_partitions sizes EVERY shuffle in this routine (candidate
     # band join + per-round label joins) — the working set is candidate
     # pairs and labels, orders of magnitude smaller than the corpus.
@@ -603,6 +611,11 @@ def dedup_clusters(
         edges_ab = (
             pairs if pairs is not None else minhash_band_pairs(documents, text_col=text_col)
         )
+        if algorithm == "star":
+            labels, _ = _star_contract(documents, edges_ab, max_iter)
+            return labels
+        if algorithm != "propagate":
+            raise ValueError(f"unknown algorithm {algorithm!r}: use 'propagate' or 'star'")
         edges = (
             edges_ab.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
             .unionByName(edges_ab.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
@@ -613,6 +626,108 @@ def dedup_clusters(
         return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _star_contract(
+    documents: DataFrame, edges_ab: DataFrame, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star contraction (Kiveris et al.
+    2014, 'Connected Components in MapReduce and Beyond').
+
+    Each round REWRITES the undirected edge set — no per-node label
+    state:
+
+      large-star: for every node u, attach each strictly-larger
+        neighbor to m(u) = min(Γ(u) ∪ {u});
+      small-star: attach each ≤-neighbor and u itself to m(u).
+
+    Both are one groupBy (per-node min) + one equi-join (re-target the
+    edges) — no collect_list, so a hot node never materializes its
+    neighborhood in one task. Edges stay canonical (src < dst, the min
+    side first by construction since m(u) ≤ u). Converged when a full
+    round leaves the edge set unchanged (count + order-insensitive
+    xxhash64 checksum); the final graph is a star per component, so
+    cluster_id = min(Γ⁺(v)).
+
+    Returns (labels, rounds) — rounds counted for the convergence test.
+    """
+    edges = (
+        edges_ab.select(
+            F.least("a_id", "b_id").alias("src"), F.greatest("a_id", "b_id").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _directed(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def _mins(dir_e: DataFrame) -> DataFrame:
+        return (
+            dir_e.groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .select("src", F.least("__mn", F.col("src")).alias("m"))
+        )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        # decimal(38,0) sum: int64 hash sums overflow under ANSI mode
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+    sig = _checksum(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        dir_e = _directed(edges)
+        mins = _mins(dir_e)
+        # large-star: every undirected edge, seen from its smaller
+        # endpoint u (dst > src), re-targets the larger endpoint at m(u)
+        large = (
+            dir_e.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("m").alias("src"), F.col("dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        dir_l = _directed(large)
+        mins_l = _mins(dir_l)
+        # small-star: from the larger endpoint u (dst < src), re-target
+        # the smaller neighbor at m(u); also attach u itself
+        small = (
+            dir_l.filter(F.col("dst") < F.col("src"))
+            .join(mins_l, "src")
+            .select(F.col("m").alias("src"), F.col("dst").alias("dst"))
+            .unionByName(mins_l.select(F.col("m").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _checksum(small)
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged graph is a star per component (one center per member);
+    # the min-agg also keeps labels well-defined if max_iter was hit
+    centers = (
+        edges.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("src").alias("__center"))
+    )
+    labels = (
+        documents.select("doc_id")
+        .join(centers, "doc_id", "left")
+        .select("doc_id", F.coalesce("__center", F.col("doc_id")).alias("cluster_id"))
+    )
+    return labels, rounds
 
 
 def _propagate(documents: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:

@@ -1599,6 +1599,30 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @_reg(
+    "dedup_clusters_star",
+    f"""
+WITH RECURSIVE base AS ({_minhash_band_sql()}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM base
+          UNION SELECT b_id AS src, a_id AS dst FROM base),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id WHERE w.lbl < e.dst
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+""",
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same labels via large-star/small-star contraction (O(log n)
+    rounds independent of graph diameter — the 100 TB path for
+    transitive near-dup chains); oracle identical to dedup_clusters
+    because the output contract is identical."""
+    return dedup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), shuffle_partitions=8, algorithm="star"
+    )
+
+
+@_reg(
     "stream_click_purchase_join",
     """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

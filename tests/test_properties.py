@@ -104,6 +104,10 @@ def test_dedup_clusters_match_union_find(spark_handle, pairs):
     if not norm_pairs:
         edges = edges.filter(F.col("a_id") != F.col("b_id"))
     got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs, pairs=edges).collect()}
+    got_star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, pairs=edges, algorithm="star").collect()
+    }
 
     parent = list(range(n))
 
@@ -119,3 +123,16 @@ def test_dedup_clusters_match_union_find(spark_handle, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
     assert got == want
+    assert got_star == want
+
+
+def test_star_contraction_chain_round_count(spark):
+    """A 64-node path graph has diameter 63; star contraction must
+    converge in O(log n) rounds, far under the diameter."""
+    n = 64
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a_id long, b_id long")
+    labels, rounds = dedup._star_contract(docs, edges, max_iter=50)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10  # log2(64)=6 contraction rounds + convergence check slack
