@@ -231,6 +231,15 @@ class SparkVectorStore:
         metas = [d.metadata if hasattr(d, "metadata") else d.get("metadata", {}) for d in documents]
         return self.add_texts(texts, metas)
 
+    def clear(self) -> None:
+        """≙ Encoder.clear (encoder.py:229-232): drop everything staged/
+        stored and reset to an empty corpus. Ingest here is atomic (no
+        separate staging buffer), so clearing means truncating both
+        tables."""
+        self._doc_index = self.spark.createDataFrame([], INDEX_SCHEMA)
+        self._payload = self.spark.createDataFrame([], PAYLOAD_SCHEMA)
+        self._count = 0
+
     # ------------------------------------------------------------------ search
 
     def _score(self, qvec: list[float]) -> DataFrame:

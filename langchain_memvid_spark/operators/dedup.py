@@ -140,16 +140,22 @@ def ngram_jaccard_pairs(
     Hot shingles (stopword runs) are the skew risk at corpus scale: a
     shingle appearing in d documents contributes d² candidate rows, so
     one stopword run shared by a million docs is a 10¹²-row bucket.
-    ``max_df`` caps shingle document frequency — one map-side-combinable
-    groupBy at shingle grain finds the heavy hitters (few by Zipf), and
-    a broadcast anti-join drops them BEFORE the candidate join. Jaccard
-    denominators (na/nb) keep the FULL set sizes, so scores of
-    surviving pairs are exact unless a pair shares a dropped hot
-    shingle (then slightly underestimated) — the standard trade: pairs
-    similar only through ultra-common shingles are not near-dups. The
-    default (100k) never binds at test SFs (hash-identical to the
-    uncapped oracle) while bounding any bucket at corpus scale;
-    ``max_df=None`` disables the extra aggregation entirely.
+    ``max_df`` caps shingle document frequency: one map-side-combinable
+    groupBy at shingle grain finds the heavy hitters (few by Zipf —
+    df > max_df bounds the list at corpus_shingles/max_df entries),
+    which are collected and dropped with a plain literal filter — no
+    join, no broadcast barrier in front of the candidate join. If the
+    list is ever pathologically large (>10k keys) it falls back to a
+    broadcast anti-join instead of bloating the plan. The shingle scan
+    is cached so signatures are computed ONCE (the Python scan is the
+    CPU-hot stage; without the cache the self-join's two branches each
+    re-run it). Jaccard denominators (na/nb) keep the FULL set sizes,
+    so scores of surviving pairs are exact unless a pair shares a
+    dropped hot shingle (then slightly underestimated) — the standard
+    trade: pairs similar only through ultra-common shingles are not
+    near-dups. The default (100k) never binds at test SFs
+    (hash-identical to the uncapped oracle) while bounding any bucket
+    at corpus scale; ``max_df=None`` skips the frequency pass.
 
     The join key is xxhash64(shingle) (JVM-side, codegen) rather than
     the shingle string: an 8-byte shuffle key instead of a 20-40 byte
@@ -168,7 +174,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("shh")
         )
-        sh = sh.join(F.broadcast(hot), "shh", "left_anti")
+        hot_keys = [r["shh"] for r in hot.limit(10_001).collect()]
+        if len(hot_keys) > 10_000:
+            sh = sh.join(F.broadcast(hot), "shh", "left_anti")
+        elif hot_keys:
+            sh = sh.filter(~F.col("shh").isin(hot_keys))
     a = sh.select(F.col("doc_id").alias("a_id"), "shh", F.col("n_sh").alias("na"))
     b = sh.select(F.col("doc_id").alias("b_id"), "shh", F.col("n_sh").alias("nb"))
     jac = (

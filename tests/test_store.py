@@ -173,3 +173,14 @@ def test_ingest_plan_has_no_single_partition_stage(spark):
     assert [d["doc_id"] for d in docs] == list(range(600))
     assert docs[0]["page_content"] == "document number 0 about topic 0"
     assert docs[599]["page_content"] == "document number 599 about topic 4"
+
+
+def test_clear_resets_store(spark):
+    s = SparkVectorStore.from_texts(["x", "y"], spark)
+    assert s.get_document_count() == 2
+    s.clear()
+    assert s.get_document_count() == 0
+    assert s.get_all_documents() == []
+    # store is reusable after clear, ids restart at 0
+    s.add_texts(["z"])
+    assert [d["doc_id"] for d in s.get_all_documents()] == [0]
