@@ -352,31 +352,41 @@ def embedding_lsh_candidates(
     Each vector gets an ``n_planes``-bit signature (bit h = sign of the
     integer dot product with deterministic hyperplane h); the signature
     splits into bands and candidates are distinct pairs agreeing on ≥1
-    band — an equi-join on (band, value), never all-pairs. Entirely
-    JVM-side Catalyst expressions (quantize → zip_with/aggregate dot
-    products → band split → explode(n_bands) → self-equi-join), so the
-    candidate stage is whole-stage-codegen and shuffles only on small
-    int keys. Bucket sizes concentrate at N/2^band_bits per band value;
-    widen band_bits to shrink buckets at corpus scale.
+    band — an equi-join on (band, value), never all-pairs.
+
+    Signing is ONE vectorized mapInPandas scan: all dot products in a
+    single int64 GEMM per Arrow batch (a Catalyst-HOF formulation was
+    tried first, but higher-order functions run interpreted — no
+    codegen — and the numpy path measured 1.7× faster end-to-end at
+    100k vectors; same lesson as the minhash/simhash signers). Integer
+    quantization (floor(x*1000)) keeps the sign computation exact in
+    both engines, so the DuckDB oracle reproduces signatures
+    bit-for-bit. Band split and the candidate self-equi-join stay
+    JVM-side and shuffle only small int keys. Bucket sizes concentrate
+    at N/2^band_bits per band value; widen band_bits to shrink buckets
+    at corpus scale.
 
     Output: (a_id, b_id) with a_id < b_id, distinct.
     """
+    import numpy as np
+    import pandas as pd
+
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
-    ints = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long")
-    )
-    sig_df = embeddings.select(F.col(id_col).alias("vid"), ints.alias("__ei"))
-    sig = None
-    for h in range(n_planes):
-        w = F.array(*[F.lit(v) for v in rhp_weights(n_planes, dim)[h]])
-        dotp = F.aggregate(
-            F.zip_with(F.col("__ei"), w, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        term = F.when(dotp >= 0, F.lit(1 << h)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
+    wt = np.array(rhp_weights(n_planes, dim), dtype=np.int64).T  # (dim, n_planes)
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]) * 1000.0
+            ).astype(np.int64)
+            bits = (m @ wt >= 0).astype(np.int64)
+            yield pd.DataFrame({"vid": pdf[id_col], "sig": (bits << shifts).sum(axis=1)})
+
+    sig_df = embeddings.select(id_col, vec_col).mapInPandas(sign, "vid long, sig long")
     bands = sig_df.select(
         "vid",
         F.explode(
@@ -384,7 +394,7 @@ def embedding_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+                        F.shiftright("sig", b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
                     )
                     for b in range(n_bands)
                 ]
