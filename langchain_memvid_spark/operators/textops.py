@@ -91,3 +91,129 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    fraction of mass in the most frequent token, and the fraction of
+    duplicated 2-/3-grams — the standard 'remove boilerplate / degenerate
+    repetition' filters of an LLM data pipeline.
+
+    ONE Arrow-batched mapInPandas scan, no shuffle: per-doc n-gram
+    counting is embarrassingly parallel, and a Counter per doc beats an
+    explode + two groupBys (which would shuffle the full token stream
+    twice). n-grams come from the NON-distinct token sequence; slices
+    clamp at the tail exactly like the oracle's list slicing, so the
+    engines agree on degenerate 1-token docs too. Fractions are rounded
+    Catalyst-side."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    def stats(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "n_tokens": [], "top_token_frac": [],
+                   "dup_2gram_frac": [], "dup_3gram_frac": []}
+            for text in pdf[text_col]:
+                toks = re.split(r"\s+", (text or "").strip())
+                n = len(toks)
+                out["n_tokens"].append(n)
+                tc = Counter(toks)
+                out["top_token_frac"].append(max(tc.values()) / max(n, 1))
+                for k, key in ((2, "dup_2gram_frac"), (3, "dup_3gram_frac")):
+                    grams = Counter(
+                        " ".join(toks[j : j + k]) for j in range(max(n - k + 1, 1))
+                    )
+                    total = sum(grams.values())
+                    dup = sum(c for c in grams.values() if c > 1)
+                    out[key].append(dup / max(total, 1))
+            yield pd.DataFrame(out)
+
+    raw = documents.select("doc_id", text_col).mapInPandas(
+        stats,
+        "doc_id long, n_tokens int, top_token_frac double, "
+        "dup_2gram_frac double, dup_3gram_frac double",
+    )
+    return raw.select(
+        "doc_id",
+        "n_tokens",
+        F.round("top_token_frac", 4).alias("top_token_frac"),
+        F.round("dup_2gram_frac", 4).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 4).alias("dup_3gram_frac"),
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_mod: int = 101,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any k-word
+    shingle with a held-out eval set — the n-gram-overlap test every
+    serious pretraining pipeline runs before training (the eval set
+    here is carved deterministically from the corpus, doc_id % eval_mod
+    == 0, standing in for an external benchmark table).
+
+    Eval shingles are tiny (|eval| docs) and broadcast; training docs
+    never enter pair space — one broadcast semi-join at shingle grain,
+    then a count per doc. Output covers EVERY training doc (n_hits = 0
+    when clean) so the downstream filter is a plain predicate."""
+    from langchain_memvid_spark.operators.dedup import _shingle_rows
+
+    sh = _shingle_rows(documents, k, text_col).withColumn("shh", F.xxhash64("sh"))
+    ev = (
+        sh.filter(F.col("doc_id") % eval_mod == 0)
+        .select("shh")
+        .distinct()
+    )
+    train_sh = sh.filter(F.col("doc_id") % eval_mod != 0)
+    hits = (
+        train_sh.join(F.broadcast(ev), "shh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        documents.filter(F.col("doc_id") % eval_mod != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__hits", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("__hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9./_-]+"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/URL scrubbing: count and redact email addresses and URLs —
+    pure Catalyst regexp (codegen, scan-bound at 100 TB). The testdata
+    corpus contains no PII, so deterministic synthetic contacts are
+    injected first (doc_id-keyed CASE logic both engines reproduce);
+    the regexes then do real extraction work: counts come from the
+    pattern, not the construction."""
+    txt = F.col(text_col)
+    injected = F.concat(
+        txt,
+        F.when(
+            F.col("doc_id") % 3 > 0,
+            F.concat(F.lit(" reach user"), F.col("doc_id").cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" see https://ex.org/p/"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return documents.select("doc_id", injected.alias("__t")).select(
+        "doc_id",
+        F.regexp_count("__t", F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("__t", F.lit(URL_RE)).cast("int").alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace("__t", EMAIL_RE, "[EMAIL]"), URL_RE, "[URL]"
+        ).alias("scrubbed"),
+    )

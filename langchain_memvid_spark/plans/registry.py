@@ -610,6 +610,79 @@ def q_fp(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@_reg(
+    "text_repetition_stats",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+tops AS (
+  SELECT doc_id, sum(c) AS n, max(c) AS mx
+  FROM (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1,2) s GROUP BY 1),
+g2 AS (
+  SELECT doc_id, array_to_string(toks[i:i+1],' ') AS g
+  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks), 2))) AS i) ix),
+d2 AS (
+  SELECT doc_id, sum(c) AS total, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2) s GROUP BY 1),
+g3 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2],' ') AS g
+  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks)-1, 2))) AS i) ix),
+d3 AS (
+  SELECT doc_id, sum(c) AS total, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2) s GROUP BY 1)
+SELECT tops.doc_id, tops.n::INT AS n_tokens,
+  round(tops.mx::DOUBLE / greatest(tops.n,1), 4) AS top_token_frac,
+  round(d2.dup::DOUBLE / greatest(d2.total,1), 4) AS dup_2gram_frac,
+  round(d3.dup::DOUBLE / greatest(d3.total,1), 4) AS dup_3gram_frac
+FROM tops JOIN d2 USING (doc_id) JOIN d3 USING (doc_id)
+""",
+)
+def q_repetition(spark, sf_dir):
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "decontaminate",
+    f"""
+WITH {SHINGLE_CTE},
+ev AS (SELECT DISTINCT s.sh AS esh FROM sh s WHERE s.doc_id % 101 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN ev ON s.sh = ev.esh
+  WHERE s.doc_id % 101 <> 0 GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0)::INT AS n_hits,
+  (COALESCE(h.n_hits, 0) > 0)::INT AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 101 <> 0
+""",
+)
+def q_decontaminate(spark, sf_dir):
+    return textops.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "pii_scrub",
+    f"""
+WITH inj AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 > 0
+            THEN ' reach user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' see https://ex.org/p/' || doc_id::VARCHAR ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{textops.EMAIL_RE}'))::INT AS n_emails,
+  len(regexp_extract_all(t, '{textops.URL_RE}'))::INT AS n_urls,
+  regexp_replace(regexp_replace(t, '{textops.EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{textops.URL_RE}', '[URL]', 'g') AS scrubbed
+FROM inj
+""",
+)
+def q_pii(spark, sf_dir):
+    return textops.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Vector-store parity ops (reference operator semantics on testdata)
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from langchain_memvid_spark.core.ids import add_sequential_ids
 from langchain_memvid_spark.functions.hashing import HASH_HEX_CHARS
 from langchain_memvid_spark.functions.text import word_shingles
-from langchain_memvid_spark.operators import dedup, topk
+from langchain_memvid_spark.operators import dedup, textops, topk
 from langchain_memvid_spark.sources.catalog import load_table
 
 
@@ -455,3 +455,53 @@ def test_ngram_max_df_drops_hot_shingle_candidates(spark):
     uncapped = dedup.ngram_jaccard_pairs(df, k=3, top_n=1000, max_df=None)
     # hot shingle alone puts every doc pair in candidate space: C(20,2)
     assert uncapped.count() == 190
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),
+            (1, "all tokens here are fully unique words"),
+            (2, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.repetition_stats(docs).collect()}
+    assert rows[0]["top_token_frac"] == 1.0
+    assert rows[0]["dup_2gram_frac"] == 1.0  # "spam spam" x5
+    assert rows[1]["top_token_frac"] == pytest.approx(1 / 7, abs=1e-4)
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert rows[2]["n_tokens"] == 1 and rows[2]["dup_3gram_frac"] == 0.0
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    # doc 0 is the eval doc (0 % eval_mod == 0); doc 5 copies a run of
+    # its words, doc 7 is clean
+    docs = spark.createDataFrame(
+        [
+            (0, "held out benchmark question about spark joins"),
+            (5, "training doc repeating held out benchmark question text"),
+            (7, "completely unrelated training document words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.decontaminate(docs, eval_mod=4).collect()}
+    assert set(rows) == {5, 7}  # eval doc excluded from output
+    assert rows[5]["contaminated"] == 1 and rows[5]["n_hits"] >= 2
+    assert rows[7]["contaminated"] == 0 and rows[7]["n_hits"] == 0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "plain text"), (6, "six here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.pii_scrub(docs).collect()}
+    # doc 1: email injected (1%3>0), no url (1%2!=0)
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_urls"] == 0
+    assert "[EMAIL]" in rows[1]["scrubbed"] and "@" not in rows[1]["scrubbed"]
+    # doc 6: url only (6%3==0 -> no email, 6%2==0 -> url)
+    assert rows[6]["n_emails"] == 0 and rows[6]["n_urls"] == 1
+    assert "[URL]" in rows[6]["scrubbed"] and "https://" not in rows[6]["scrubbed"]
+    # doc 2: both (2%3>0 -> email, 2%2==0 -> url)
+    assert rows[2]["n_emails"] == 1 and rows[2]["n_urls"] == 1
