@@ -610,9 +610,7 @@ def q_fp(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
-@_reg(
-    "text_repetition_stats",
-    f"""
+REPETITION_SQL = f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
 tops AS (
@@ -635,15 +633,9 @@ SELECT tops.doc_id, tops.n::INT AS n_tokens,
   round(d2.dup::DOUBLE / greatest(d2.total,1), 4) AS dup_2gram_frac,
   round(d3.dup::DOUBLE / greatest(d3.total,1), 4) AS dup_3gram_frac
 FROM tops JOIN d2 USING (doc_id) JOIN d3 USING (doc_id)
-""",
-)
-def q_repetition(spark, sf_dir):
-    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+"""
 
-
-@_reg(
-    "decontaminate",
-    f"""
+DECONTAMINATE_SQL = f"""
 WITH {SHINGLE_CTE},
 ev AS (SELECT DISTINCT s.sh AS esh FROM sh s WHERE s.doc_id % 101 = 0),
 hits AS (
@@ -654,8 +646,15 @@ SELECT d.doc_id, COALESCE(h.n_hits, 0)::INT AS n_hits,
   (COALESCE(h.n_hits, 0) > 0)::INT AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 101 <> 0
-""",
-)
+"""
+
+
+@_reg("text_repetition_stats", REPETITION_SQL)
+def q_repetition(spark, sf_dir):
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_reg("decontaminate", DECONTAMINATE_SQL)
 def q_decontaminate(spark, sf_dir):
     return textops.decontaminate(_t(spark, sf_dir, "documents"))
 
@@ -2227,6 +2226,69 @@ def q_pipeline(spark, sf_dir):
         F.countDistinct("fp").alias("n_unique_chunks"),
         # try_divide: an all-dropped corpus has zero chunks; ANSI mode
         # would raise DIVIDE_BY_ZERO — emit NULL dup_ratio instead
+        F.round(F.lit(1.0) - F.try_divide(F.countDistinct("fp"), F.count("*")), 4).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+@_reg(
+    "pretrain_pipeline_v2",
+    f"""
+WITH q AS ({_quality_sql()}),
+rep AS ({REPETITION_SQL}),
+dec AS ({DECONTAMINATE_SQL}),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN q ON d.doc_id = q.doc_id AND q.n_tokens >= 20 AND q.quality_score >= 0.7
+  JOIN rep ON d.doc_id = rep.doc_id AND rep.dup_2gram_frac <= 0.1
+  JOIN dec ON d.doc_id = dec.doc_id AND dec.contaminated = 0
+),
+chunks AS (
+  SELECT doc_id,
+    sha256(regexp_replace(trim(lower(array_to_string(toks[s+1 : s+64], ' '))),'\\s+',' ','g')) AS fp
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text),'\\s+') AS toks,
+      unnest(range(0, greatest(len(string_split_regex(trim(text),'\\s+'))-1, 0)+1, 48)) AS s
+    FROM kept) c
+)
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs_in,
+  (SELECT count(*) FROM kept) AS n_docs_kept,
+  count(*) AS n_chunks,
+  count(DISTINCT fp) AS n_unique_chunks,
+  round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_ratio
+FROM chunks
+""",
+)
+def q_pipeline_v2(spark, sf_dir):
+    """The full modern pretraining filter stack as ONE lineage: quality
+    gate + Gopher repetition gate + benchmark decontamination, then
+    overlapping chunking and chunk-grain dedup stats. Three left-semi
+    joins on doc_id (each filter side is a projection of the same scan);
+    the only shuffles are the semi-join hash exchanges and the final
+    distinct counts — the repetition/decontamination stages add no new
+    scan of the corpus text."""
+    d = _t(spark, sf_dir, "documents")
+    q = textops.quality_scores(d).filter(
+        (F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.7)
+    )
+    rep = textops.repetition_stats(d).filter(F.col("dup_2gram_frac") <= 0.1)
+    dec = textops.decontaminate(d).filter(F.col("contaminated") == 0)
+    kept = (
+        d.join(q.select("doc_id"), "doc_id", "left_semi")
+        .join(rep.select("doc_id"), "doc_id", "left_semi")
+        .join(dec.select("doc_id"), "doc_id", "left_semi")
+    )
+    chunks = textops.chunk_documents(kept).withColumn(
+        "fp", F.sha2(F.regexp_replace(F.trim(F.lower("chunk_text")), r"\s+", " "), 256)
+    )
+    n_docs_in = d.count()
+    return chunks.agg(
+        F.lit(n_docs_in).alias("n_docs_in"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("fp").alias("n_unique_chunks"),
         F.round(F.lit(1.0) - F.try_divide(F.countDistinct("fp"), F.count("*")), 4).alias(
             "dup_ratio"
         ),
