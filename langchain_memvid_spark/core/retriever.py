@@ -35,11 +35,16 @@ class Document:
 class SparkRetriever:
     """≙ reference Retriever (retriever.py:27-96): semantic search
     facade returning Documents with essential metadata, ``k`` results
-    per query."""
+    per query, plus the frame-decode surface (decode_frame /
+    decode_all_frames / clear_cache, retriever.py:318-447) — a "frame"
+    here is a payload row (doc_id IS the frame number; the reference's
+    doc→frame mapping is the identity in this engine)."""
 
-    def __init__(self, store: SparkVectorStore, k: int = 4):
+    def __init__(self, store: SparkVectorStore, k: int = 4, frame_cache_size: int = 100):
         self.store = store
         self.k = k
+        self.frame_cache_size = frame_cache_size
+        self._frame_cache: dict[int, Document] = {}
 
     # ----------------------------------------------------- Runnable surface
 
@@ -130,3 +135,31 @@ class SparkRetriever:
         if d is None:
             return None
         return Document(page_content=d["page_content"], metadata=d["metadata"])
+
+    # --------------------------------------------------------- frame decode
+
+    def decode_frame(self, frame_no: int) -> Document | None:
+        """≙ retriever.py:318-378: fetch one payload row ("frame"),
+        LRU-cached so repeated access skips the Spark job."""
+        if frame_no in self._frame_cache:
+            return self._frame_cache[frame_no]
+        d = self.store.get_document_by_id(frame_no, include_full_metadata=True)
+        if d is None:
+            return None
+        doc = Document(page_content=d["page_content"], metadata=d["metadata"])
+        if len(self._frame_cache) >= self.frame_cache_size:
+            self._frame_cache.pop(next(iter(self._frame_cache)))
+        self._frame_cache[frame_no] = doc
+        return doc
+
+    def decode_all_frames(self) -> list[Document]:
+        """≙ retriever.py:380-418: ONE scan of the payload table, not a
+        per-frame loop."""
+        return [
+            Document(page_content=d["page_content"], metadata=d["metadata"])
+            for d in self.store.get_all_documents()
+        ]
+
+    def clear_cache(self) -> None:
+        """≙ retriever.py:440-447."""
+        self._frame_cache.clear()

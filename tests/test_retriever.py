@@ -93,3 +93,30 @@ def test_from_documents_roundtrip(spark):
     docs = [Document(page_content=t, metadata=m) for t, m in zip(TEXTS, METAS)]
     store = SparkVectorStore.from_documents(docs, spark)
     assert store.get_document_count() == len(TEXTS)
+
+
+def test_decode_frame_and_caching(retriever):
+    d1 = retriever.decode_frame(0)
+    assert d1 is not None and d1.metadata["metadata_type"] == "full"
+    assert 0 in retriever._frame_cache
+    # second call is served from cache (same object)
+    assert retriever.decode_frame(0) is d1
+    assert retriever.decode_frame(9999) is None
+    retriever.clear_cache()
+    assert retriever._frame_cache == {}
+
+
+def test_decode_frame_cache_eviction(retriever):
+    retriever.clear_cache()
+    retriever.frame_cache_size = 2
+    retriever.decode_frame(0)
+    retriever.decode_frame(1)
+    retriever.decode_frame(2)  # evicts frame 0 (FIFO-LRU)
+    assert set(retriever._frame_cache) == {1, 2}
+    retriever.frame_cache_size = 100
+
+
+def test_decode_all_frames(retriever):
+    docs = retriever.decode_all_frames()
+    assert len(docs) == 5
+    assert all(isinstance(d, Document) for d in docs)
