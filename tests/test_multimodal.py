@@ -88,3 +88,32 @@ def test_sample_frames(spark, media):
     for mid, n in list(got.items())[:20]:
         total = mid % 8 + 1
         assert n == (total + 1) // 2
+
+
+def test_binaryfile_roundtrip_and_decode(spark, sf_dir, tmp_path):
+    """Full media loop: encode real PNG/WAV files to disk, re-ingest
+    through the binaryFile source, and header-decode the bytes."""
+    from langchain_memvid_spark.sources.binary import read_media_dir, write_media_dir
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    real = mm.synthesize_real_media(docs)
+    n = write_media_dir(real, str(tmp_path / "media"))
+    assert n == 20
+
+    back = read_media_dir(spark, str(tmp_path / "media"))
+    assert back.count() == 20
+    assert set(r["media_type"] for r in back.select("media_type").distinct().collect()) == {
+        "image",
+        "audio",
+    }
+    decoded = mm.decode_media_info(back).collect()
+    assert len(decoded) == 20
+    for r in decoded:
+        if r["media_type"] == "image":
+            assert r["width"] >= 16 and r["bit_depth"] == 8
+        else:
+            assert r["sample_rate"] >= 8000 and r["n_samples"] >= 100
+
+    # glob filter prunes at the source
+    only_png = read_media_dir(spark, str(tmp_path / "media"), glob="*.png")
+    assert only_png.count() == 10
