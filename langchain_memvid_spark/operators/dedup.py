@@ -332,9 +332,13 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     narrow = documents.select("doc_id", text_col)
-    target = documents.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target)
+    # widen toy single-file inputs to the core count (the Python stage
+    # must not run serially); streaming DFs can't be probed via .rdd —
+    # their microbatch partitioning is the source's concern
+    if not documents.isStreaming:
+        target = documents.sparkSession.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < target:
+            narrow = narrow.repartition(target)
     return narrow.mapInPandas(sign, "doc_id long, simhash long")
 
 

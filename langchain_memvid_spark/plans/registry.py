@@ -2019,6 +2019,29 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @_reg(
+    "stream_near_dedup",
+    f"""
+SELECT DISTINCT simhash FROM ({_simhash_sql()}) s
+""",
+)
+def q_stream_near_dedup(spark, sf_dir):
+    """Streaming near-dup suppression: the documents stream unioned
+    with ITSELF (every doc arrives twice) is signed per-row (SimHash,
+    stateless Arrow map) and collapsed to one survivor per signature
+    via dropDuplicatesWithinWatermark — signature state expires with
+    the watermark. Oracle: the batch signature set (survivor identity
+    is arrival-order-dependent; the signature set is not)."""
+    from langchain_memvid_spark.streaming import documents as _sd
+    from langchain_memvid_spark.streaming import events as _ev
+
+    d1 = _sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    d2 = _sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    dedup_stream = _sd.near_dedup_stream(d1.unionByName(d2))
+    name = f"reg_sneardedup_{next(_STREAM_SEQ)}"
+    return _ev.run_to_memory(dedup_stream, name, mode="append", state_partitions=8)
+
+
+@_reg(
     "udtf_bigram_counts",
     f"""
 SELECT bigram, count(*) AS n FROM (

@@ -1,0 +1,63 @@
+"""Streaming document ingestion with near-duplicate suppression.
+
+The reference ingests batches of texts; a production feed is a stream.
+This module runs the dedup stack's signature operators INSIDE
+Structured Streaming: signatures are stateless Arrow-batched maps (so
+they stream untouched), and near-dup suppression rides on
+``dropDuplicatesWithinWatermark`` keyed by signature — state is
+bounded by the watermark, the exactly-once pattern for at-least-once
+document feeds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from langchain_memvid_spark.operators.dedup import simhash
+
+DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+# deterministic synthetic ingestion time: the testdata documents table
+# has no event-time column, so arrival is modeled as one doc per second
+# from a fixed epoch — both engines reproduce it, keeping the oracle
+# exact
+INGEST_EPOCH = 1_600_000_000
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the documents table (same single-file glob
+    trick as read_events_stream: the stream source accepts globs, not
+    bare file paths)."""
+    base = os.path.dirname(path.rstrip("/")) or "."
+    if not any(c in path for c in "*?["):
+        path = f"{path[:-1]}[{path[-1]}]"
+    reader = spark.readStream.schema(DOCS_SCHEMA).option("basePath", base)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def near_dedup_stream(documents: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming near-dup suppression: sign each arriving doc (SimHash,
+    one stateless Arrow map — no shuffle), then keep the first document
+    per signature within the watermark. Docs whose token sets collide
+    to the same 32-bit signature (exact and trivial near-dups) are
+    dropped while their state is young; the watermark expires
+    signature state so the store never grows unboundedly.
+
+    Output is the surviving signature set — deterministic regardless of
+    microbatch arrival order (which doc of a signature group survives
+    is order-dependent; its signature is not)."""
+    signed = simhash(documents).withColumn(
+        "ts", F.timestamp_seconds(F.lit(INGEST_EPOCH) + F.col("doc_id"))
+    )
+    return (
+        signed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+        .select("simhash")
+    )

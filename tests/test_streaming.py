@@ -125,3 +125,19 @@ def test_parquet_sink_exactly_once_across_restart(spark, sf_dir, tmp_path_factor
     got = spark.read.parquet(out)
     assert got.count() == n_total
     assert got.select("event_id").distinct().count() == n_total  # no dups, nothing lost
+
+
+def test_stream_near_dedup_matches_batch_signature_set(spark, sf_dir):
+    """Doubled document stream -> simhash-keyed dedup within watermark
+    must land on exactly the batch signature set."""
+    from langchain_memvid_spark.operators.dedup import simhash
+    from langchain_memvid_spark.streaming import documents as sd
+
+    d1 = sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    d2 = sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    got = ev.run_to_memory(
+        sd.near_dedup_stream(d1.unionByName(d2)), "t_neardedup", mode="append",
+        state_partitions=8,
+    )
+    batch = simhash(load_table(spark, sf_dir, "documents")).select("simhash").distinct()
+    assert _sorted_rows(got, ["simhash"]) == _sorted_rows(batch, ["simhash"])
