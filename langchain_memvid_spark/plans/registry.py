@@ -2774,13 +2774,31 @@ _DRIVER_GREEN = {
 }
 
 
+# Queries whose OUTPUT changed this round: their round-1 green rows are
+# stale (minhash perm 7 decorrelated -> signatures, band pairs, jaccard
+# estimates, and the clusters built on them all shifted), so they need
+# a fresh driver row even though they sit in _DRIVER_GREEN.
+_CHANGED_THIS_ROUND = (
+    "minhash_signatures",
+    "minhash_band_pairs",
+    "minhash_jaccard_estimates",
+    "dedup_clusters",
+)
+
+
 def _reorder_for_driver() -> None:
-    """Stable-partition QUERIES: never-green entries first (these fill
-    the driver's 50-query budget), already-green entries after."""
+    """Stable-partition QUERIES: output-changed entries first (their old
+    driver rows are stale), then never-green entries (these fill the
+    driver's ~50-query budget), already-green entries last."""
     global QUERIES
-    pending = {n: q for n, q in QUERIES.items() if n not in _DRIVER_GREEN}
-    green = {n: q for n, q in QUERIES.items() if n in _DRIVER_GREEN}
-    QUERIES = {**pending, **green}
+    changed = {n: QUERIES[n] for n in _CHANGED_THIS_ROUND if n in QUERIES}
+    pending = {
+        n: q for n, q in QUERIES.items() if n not in _DRIVER_GREEN and n not in changed
+    }
+    green = {
+        n: q for n, q in QUERIES.items() if n in _DRIVER_GREEN and n not in changed
+    }
+    QUERIES = {**changed, **pending, **green}
 
 
 _reorder_for_driver()
