@@ -217,3 +217,32 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_replace("__t", EMAIL_RE, "[EMAIL]"), URL_RE, "[URL]"
         ).alias("scrubbed"),
     )
+
+
+# GPT-2-style pre-tokenizer, simplified to the subset Java regex and
+# RE2 both support (no lookahead): letter runs, single digits, single
+# punctuation marks. On clean prose this approximates subword token
+# counts well enough for budget estimation (the real BPE merge table
+# is a model artifact, not an engine operator).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-budget estimation: whitespace words vs BPE-ish regex
+    tokens vs the 4-chars-per-token heuristic — the three ways a
+    pipeline sizes a training corpus before committing GPU time. Pure
+    Catalyst regexp (codegen, scan-bound)."""
+    from langchain_memvid_spark.functions.text import token_count
+
+    txt = F.col(text_col)
+    n_ws = token_count(txt)
+    n_bpe = F.regexp_count(txt, F.lit(BPE_TOKEN_RE))
+    return documents.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        F.round(F.length(txt).cast("double") / 4.0, 2).alias("est_tokens_4cpt"),
+        F.round(
+            n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double"), 4
+        ).alias("bpe_per_word"),
+    )

@@ -610,6 +610,22 @@ def q_fp(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@_reg(
+    "text_bpe_token_counts",
+    f"""
+SELECT doc_id,
+  len({TOKS})::INT AS n_ws_tokens,
+  len(regexp_extract_all(text, '{{bpe}}'))::INT AS n_bpe_tokens,
+  round(length(text)::DOUBLE / 4.0, 2) AS est_tokens_4cpt,
+  round(len(regexp_extract_all(text, '{{bpe}}'))::DOUBLE
+        / greatest(len({TOKS}), 1)::DOUBLE, 4) AS bpe_per_word
+FROM documents
+""".replace("{bpe}", "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"),
+)
+def q_bpe_tokens(spark, sf_dir):
+    return textops.bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
 REPETITION_SQL = f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS w FROM t),

@@ -505,3 +505,16 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert "[URL]" in rows[6]["scrubbed"] and "https://" not in rows[6]["scrubbed"]
     # doc 2: both (2%3>0 -> email, 2%2==0 -> url)
     assert rows[2]["n_emails"] == 1 and rows[2]["n_urls"] == 1
+
+
+def test_bpe_token_counts_on_mixed_text(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello, world! v2 costs $3.50"), (1, "plain words only here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.bpe_token_counts(docs).collect()}
+    # hello , world ! v 2 costs $ 3 . 5 0  -> 12 BPE-ish tokens, 5 words
+    assert rows[0]["n_ws_tokens"] == 5 and rows[0]["n_bpe_tokens"] == 12
+    assert rows[0]["bpe_per_word"] == 2.4
+    # pure letters: one BPE token per word
+    assert rows[1]["n_bpe_tokens"] == rows[1]["n_ws_tokens"] == 4
