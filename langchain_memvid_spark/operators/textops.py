@@ -246,3 +246,29 @@ def bpe_token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
             n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double"), 4
         ).alias("bpe_per_word"),
     )
+
+
+def train_val_split(
+    documents: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Reproducible train/val/test assignment: bucket = xxhash64 of the
+    normalized TEXT (not doc_id) modulo 100, so (a) the same document
+    lands in the same split across corpus versions and engines, and
+    (b) exact duplicates can never straddle splits — the leakage bug
+    hash-on-id splitting invites. Pure Catalyst; no shuffle, no RNG
+    state to ship."""
+    from langchain_memvid_spark.functions.hashing import stable_hash64
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    bucket = F.pmod(stable_hash64(norm), F.lit(100))
+    return documents.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < val_pct, "val")
+        .when(bucket < val_pct + test_pct, "test")
+        .otherwise("train")
+        .alias("split"),
+    )

@@ -626,6 +626,27 @@ def q_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_counts(_t(spark, sf_dir, "documents"))
 
 
+_NORM_TEXT = "regexp_replace(trim(lower(text)),'\\s+',' ','g')"
+
+
+@_reg(
+    "train_val_split",
+    f"""
+WITH b AS (
+  SELECT doc_id,
+    {H64.format(x=_NORM_TEXT)} % 100 AS bucket
+  FROM documents)
+SELECT doc_id, bucket::INT AS bucket,
+  CASE WHEN bucket < 10 THEN 'val'
+       WHEN bucket < 20 THEN 'test'
+       ELSE 'train' END AS split
+FROM b
+""",
+)
+def q_split(spark, sf_dir):
+    return textops.train_val_split(_t(spark, sf_dir, "documents"))
+
+
 REPETITION_SQL = f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS w FROM t),

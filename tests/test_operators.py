@@ -518,3 +518,17 @@ def test_bpe_token_counts_on_mixed_text(spark):
     assert rows[0]["bpe_per_word"] == 2.4
     # pure letters: one BPE token per word
     assert rows[1]["n_bpe_tokens"] == rows[1]["n_ws_tokens"] == 4
+
+
+def test_train_val_split_deterministic_and_leakage_safe(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(50)]
+        + [(100, "Shared  Text"), (101, "shared text")],  # exact dups (normalized)
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["split"] for r in textops.train_val_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in textops.train_val_split(docs).collect()}
+    assert a == b  # deterministic
+    # normalized duplicates always land in the same split (hash on text)
+    assert a[100] == a[101]
+    assert set(a.values()) <= {"train", "val", "test"}
