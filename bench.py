@@ -47,6 +47,21 @@ HEADLINE = [
     # not steady-state query latency. It stays oracle-checked.
 ]
 
+# Round-2 operators, timed separately so headline_total_wall stays
+# comparable across rounds (the driver's regression series).
+EXTENDED = [
+    "embedding_candidate_pairs",
+    "dedup_clusters_star",
+    "text_repetition_stats",
+    "text_bpe_token_counts",
+    "decontaminate",
+    "pii_scrub",
+    "train_val_split",
+    "pretrain_pipeline_v2",
+    "media_header_info",
+    "stream_near_dedup",
+]
+
 
 def vector_grid(spark, sf_dir: str) -> dict[str, float]:
     """The reference's benchmark parameter grid (BASELINE.md): search
@@ -105,6 +120,14 @@ def main() -> None:
     grid = vector_grid(spark, sf_dir)
     print(f"# vector_grid: {grid}", file=sys.stderr)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        qd = QUERIES[name]
+        t0 = time.time()
+        n = qd.fn(spark, sf_dir).count()
+        extended[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {extended[name]}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -113,6 +136,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
                 "vector_grid": grid,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

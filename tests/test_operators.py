@@ -532,3 +532,26 @@ def test_train_val_split_deterministic_and_leakage_safe(spark):
     # normalized duplicates always land in the same split (hash on text)
     assert a[100] == a[101]
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_shaped_ops_have_no_shuffle(spark, sf_dir):
+    """The per-document text ops must stay embarrassingly parallel:
+    zero Exchange anywhere in the plan (a shuffle here would serialize
+    a 100 TB corpus scan behind a partitioner)."""
+    docs = load_table(spark, sf_dir, "documents")
+    for op in (textops.pii_scrub, textops.bpe_token_counts, textops.train_val_split,
+               textops.repetition_stats):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, op.__name__
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast — a shuffled join would move
+    the full training shingle stream for a tiny build side."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(textops.decontaminate(docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
