@@ -40,9 +40,12 @@ def add_sequential_ids(
     The ordinal window and the per-partition counts are two separate
     jobs over the same lineage; if the input were recomputed with a
     different physical partitioning between them, offsets could mismatch
-    ordinals. Pin the partitioning with a cache before either job runs.
+    ordinals. localCheckpoint pins the materialized partitioning before
+    either job runs — unlike .cache() its blocks are reclaimed by the
+    ContextCleaner once the DataFrame is unreferenced, so repeated
+    ingests don't accumulate pinned storage.
     """
-    df = df.withColumn("__pid", F.spark_partition_id()).cache()
+    df = df.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
     w = Window.partitionBy("__pid").orderBy(order_col if order_col else F.monotonically_increasing_id())
     with_ord = df.withColumn("__ord", F.row_number().over(w) - 1)
 

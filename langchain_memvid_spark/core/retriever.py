@@ -140,16 +140,20 @@ class SparkRetriever:
 
     def decode_frame(self, frame_no: int) -> Document | None:
         """≙ retriever.py:318-378: fetch one payload row ("frame"),
-        LRU-cached so repeated access skips the Spark job."""
+        LRU-cached so repeated access skips the Spark job.
+        frame_cache_size <= 0 disables caching."""
         if frame_no in self._frame_cache:
-            return self._frame_cache[frame_no]
+            doc = self._frame_cache.pop(frame_no)  # move-to-end: true LRU
+            self._frame_cache[frame_no] = doc
+            return doc
         d = self.store.get_document_by_id(frame_no, include_full_metadata=True)
         if d is None:
             return None
         doc = Document(page_content=d["page_content"], metadata=d["metadata"])
-        if len(self._frame_cache) >= self.frame_cache_size:
-            self._frame_cache.pop(next(iter(self._frame_cache)))
-        self._frame_cache[frame_no] = doc
+        if self.frame_cache_size > 0:
+            while len(self._frame_cache) >= self.frame_cache_size:
+                self._frame_cache.pop(next(iter(self._frame_cache)))
+            self._frame_cache[frame_no] = doc
         return doc
 
     def decode_all_frames(self) -> list[Document]:

@@ -220,10 +220,15 @@ class SparkVectorStore:
                 F.struct(F.col("text"), F.col("metadata_json").alias("metadata"))
             ).alias("payload_json"),
         )
+        old_index, old_payload = self._doc_index, self._payload
         self._doc_index = self._doc_index.unionByName(new_index).cache()
         self._payload = self._payload.unionByName(new_payload).cache()
         self._count = self._doc_index.count()
         self._payload.count()
+        # the new tables are materialized — release the superseded
+        # cache entries so repeated ingests don't pin storage forever
+        old_index.unpersist()
+        old_payload.unpersist()
         return [str(i) for i in range(len(texts))]
 
     def add_documents(self, documents: Iterable[Any]) -> list[str]:
@@ -235,7 +240,9 @@ class SparkVectorStore:
         """≙ Encoder.clear (encoder.py:229-232): drop everything staged/
         stored and reset to an empty corpus. Ingest here is atomic (no
         separate staging buffer), so clearing means truncating both
-        tables."""
+        tables (and releasing their cache entries)."""
+        self._doc_index.unpersist()
+        self._payload.unpersist()
         self._doc_index = self.spark.createDataFrame([], INDEX_SCHEMA)
         self._payload = self.spark.createDataFrame([], PAYLOAD_SCHEMA)
         self._count = 0
@@ -390,6 +397,7 @@ class SparkVectorStore:
             order_col="doc_id",
             start=0,
         )
+        old_index, old_payload = self._doc_index, self._payload
         self._doc_index = (
             self._doc_index.join(old_new, "doc_id")
             .drop("doc_id")
@@ -406,6 +414,8 @@ class SparkVectorStore:
         )
         self._count = self._doc_index.count()
         self._payload.count()
+        old_index.unpersist()
+        old_payload.unpersist()
 
     def delete_by_ids(self, doc_ids: list[int | str]) -> bool:
         """≙ vectorstore.py:290-352 / index.py:347-376: validate, anti-join
@@ -438,10 +448,9 @@ class SparkVectorStore:
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("doc_id")
-            .cache()
+            .localCheckpoint()  # materialized once; reclaimed on GC
         )
         if not victims.head(1):
-            victims.unpersist()
             return False
         self._doc_index = self._doc_index.join(victims, "doc_id", "left_anti")
         self._payload = self._payload.join(victims, "doc_id", "left_anti")

@@ -48,6 +48,11 @@ def setup_logging(
 
 def get_logger(name: str | None = None) -> logging.Logger:
     """Module logger namespaced under the package root (configures the
-    root on first use)."""
+    root on first use). Accepts bare suffixes ("core.store") and
+    already-qualified ``__name__`` values without double-prefixing."""
     setup_logging()
-    return logging.getLogger(f"{PACKAGE_LOGGER}.{name}" if name else PACKAGE_LOGGER)
+    if not name:
+        return logging.getLogger(PACKAGE_LOGGER)
+    if name == PACKAGE_LOGGER or name.startswith(PACKAGE_LOGGER + "."):
+        return logging.getLogger(name)
+    return logging.getLogger(f"{PACKAGE_LOGGER}.{name}")

@@ -165,7 +165,11 @@ def ngram_jaccard_pairs(
         _shingle_rows(documents, k, text_col)
         .withColumn("shh", F.xxhash64("sh"))
         .drop("sh")
-        .cache()
+        # localCheckpoint, not cache: materialized once (the Python
+        # shingle scan must not run once per join branch), and the
+        # blocks are reclaimed when the DataFrame goes out of scope
+        # instead of pinning storage for the session's lifetime
+        .localCheckpoint()
     )
     if max_df is not None:
         hot = (
@@ -176,7 +180,10 @@ def ngram_jaccard_pairs(
         )
         hot_keys = [r["shh"] for r in hot.limit(10_001).collect()]
         if len(hot_keys) > 10_000:
-            sh = sh.join(F.broadcast(hot), "shh", "left_anti")
+            # pathological breadth: a shuffled anti-join (no broadcast
+            # hint — the hot side is unbounded here and would OOM a
+            # forced broadcast)
+            sh = sh.join(hot, "shh", "left_anti")
         elif hot_keys:
             sh = sh.filter(~F.col("shh").isin(hot_keys))
     a = sh.select(F.col("doc_id").alias("a_id"), "shh", F.col("n_sh").alias("na"))

@@ -116,7 +116,10 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
             out = {"doc_id": pdf["doc_id"], "n_tokens": [], "top_token_frac": [],
                    "dup_2gram_frac": [], "dup_3gram_frac": []}
             for text in pdf[text_col]:
-                toks = re.split(r"\s+", (text or "").strip())
+                # ASCII \s: the DuckDB oracle tokenizes with RE2, whose
+                # \s is ASCII-only — Python's default Unicode \s would
+                # diverge on NBSP-style whitespace
+                toks = re.split(r"\s+", (text or "").strip(), flags=re.ASCII)
                 n = len(toks)
                 out["n_tokens"].append(n)
                 tc = Counter(toks)

@@ -473,7 +473,9 @@ WHERE {COS.format(a='a.embedding', b='b.embedding')} >= 0.4
 """,
 )
 def q_embpairs(spark, sf_dir):
-    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"))
+    # exact=True: this query IS the exact all-pairs scorer on the
+    # 500-row table; skipping the size gate avoids a redundant count job
+    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), exact=True)
 
 
 def _rhp_candidate_sql() -> str:

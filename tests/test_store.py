@@ -167,7 +167,10 @@ def test_ingest_plan_has_no_single_partition_stage(spark):
     assert "Coalesce 1" not in plan and "coalesce(1)" not in plan
     # global window sort = Exchange SinglePartition feeding a Sort
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # the range-partitioned id stage is materialized behind a
+    # localCheckpoint (lineage truncated), so verify the property on
+    # the physical data: the ingest output spans multiple partitions
+    assert s._doc_index.rdd.getNumPartitions() > 1
     # ids are still the strict 0..n-1 sequence in batch order
     docs = s.get_all_documents()
     assert [d["doc_id"] for d in docs] == list(range(600))
