@@ -2081,6 +2081,56 @@ def q_stream_near_dedup(spark, sf_dir):
 
 
 @_reg(
+    "udaf_median_price",
+    """
+SELECT o_orderstatus,
+  round(median(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4)
+    AS median_price,
+  count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_udaf_median(spark, sf_dir):
+    """Pandas GROUPED-AGG UDAF (the third custom-function shape next to
+    the scalar pandas_udf and the UDTF): per-status exact median price.
+    Arrow ships each group's column once; the median runs vectorized in
+    numpy over integer cents, so both engines compute the identical
+    exact half-integer and the value hash matches bit-for-bit. At scale
+    a grouped-agg UDAF shuffles once on the group key — same dataflow
+    as a built-in agg, with the combine running in Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median_cents(cents):
+        return float(np.median(cents.to_numpy(dtype=np.int64)))
+
+    # real annotation objects (PEP 563 is active in this module, which
+    # would stringify inline hints and break pandas_udf's Series->scalar
+    # grouped-agg inference)
+    _median_cents.__annotations__ = {"cents": pd.Series, "return": float}
+    median_cents = pandas_udf(_median_cents, "double")
+
+    # grouped-agg pandas UDFs cannot share an agg() with built-in
+    # aggregates, so the row count is a (trivial) second UDAF
+    def _n_rows(cents):
+        return len(cents)
+
+    _n_rows.__annotations__ = {"cents": pd.Series, "return": int}
+    n_rows = pandas_udf(_n_rows, "long")
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("__cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(median_cents(F.col("__cents")) / 100.0, 4).alias("median_price"),
+            n_rows(F.col("__cents")).alias("n_orders"),
+        )
+    )
+
+
+@_reg(
     "udtf_bigram_counts",
     f"""
 SELECT bigram, count(*) AS n FROM (
