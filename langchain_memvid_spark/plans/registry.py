@@ -529,6 +529,31 @@ def q_embcand(spark, sf_dir):
     )
 
 
+@_reg(
+    "embedding_quantization",
+    f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS scale
+  FROM embeddings),
+qq AS (
+  SELECT vec_id, embedding, scale,
+    list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale * 127 + 0.5) AS BIGINT)) AS qv
+  FROM q)
+SELECT vec_id,
+  round(scale, 4) AS scale,
+  CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+  round({COS.format(a='embedding', b='list_transform(qv, v -> v * scale / 127.0)')}, 4)
+    AS recon_cos
+FROM qq
+""",
+)
+def q_quantization(spark, sf_dir):
+    from langchain_memvid_spark.operators.quantize import quantization_report
+
+    return quantization_report(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

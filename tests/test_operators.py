@@ -555,3 +555,18 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(textops.decontaminate(docs))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_quantization_roundtrip_quality(spark, sf_dir):
+    from langchain_memvid_spark.operators.quantize import (
+        quantization_report,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    row = q.filter(F.col("vec_id") == 0).head()
+    assert all(-127 <= v <= 127 for v in row["qvec"])
+    rep = quantization_report(emb)
+    stats = rep.agg(F.min("recon_cos").alias("mn")).head()
+    assert stats["mn"] >= 0.999  # int8 loses almost nothing on unit vectors
