@@ -42,6 +42,45 @@ def quantize_embeddings(
     )
 
 
+def knn_topk_quantized(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by integer dot product over the int8 codes — search that
+    never touches the float column (the compressed-domain symmetric
+    distance). Scoring is exact int64 arithmetic, so ordering is fully
+    deterministic across engines and the oracle needs no float
+    tolerance at all. Per-vector scales mean the integer score is a
+    scaled cosine surrogate; ranking quality is bounded by the
+    quantization error measured in quantization_report.
+
+    Plan shape mirrors knn_topk: broadcast the single query code row,
+    JVM-side HOF scoring, TakeOrderedAndProject top-k (per-partition
+    heaps, no global sort)."""
+    q = quantize_embeddings(embeddings, id_col, vec_col)
+    qrow = q.filter(F.col(id_col) == query_vec_id).select(
+        F.col("qvec").alias("__qq")
+    )
+    scored = q.crossJoin(F.broadcast(qrow)).withColumn(
+        "qscore",
+        F.aggregate(
+            F.zip_with(
+                F.col("qvec"), F.col("__qq"), lambda a, b: a.cast("long") * b.cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        scored.orderBy(F.col("qscore").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "qscore")
+    )
+
+
 def quantization_report(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -554,6 +554,32 @@ def q_quantization(spark, sf_dir):
     return quantization_report(_t(spark, sf_dir, "embeddings"))
 
 
+@_reg(
+    "knn_topk_quantized",
+    """
+WITH q AS (
+  SELECT vec_id,
+    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS scale,
+    embedding
+  FROM embeddings),
+qq AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale * 127 + 0.5) AS BIGINT)) AS qv
+  FROM q),
+qvq AS (SELECT qv AS query_qv FROM qq WHERE vec_id = 0)
+SELECT d.vec_id,
+  CAST(list_sum(list_transform(range(1, len(d.qv) + 1),
+       i -> d.qv[i] * qvq.query_qv[i])) AS BIGINT) AS qscore
+FROM qq d, qvq
+ORDER BY qscore DESC, d.vec_id ASC LIMIT 10
+""",
+)
+def q_knn_quantized(spark, sf_dir):
+    from langchain_memvid_spark.operators.quantize import knn_topk_quantized
+
+    return knn_topk_quantized(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -570,3 +570,14 @@ def test_quantization_roundtrip_quality(spark, sf_dir):
     rep = quantization_report(emb)
     stats = rep.agg(F.min("recon_cos").alias("mn")).head()
     assert stats["mn"] >= 0.999  # int8 loses almost nothing on unit vectors
+
+
+def test_knn_quantized_close_to_exact(spark, sf_dir):
+    from langchain_memvid_spark.operators.quantize import knn_topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qk = [r["vec_id"] for r in knn_topk_quantized(emb, query_vec_id=0, k=10).collect()]
+    exact = [r["vec_id"] for r in topk.knn_topk(emb, query_vec_id=0, k=10).collect()]
+    assert qk[0] == 0  # self-match survives quantization
+    # int8 codes keep most of the exact top-10
+    assert len(set(qk) & set(exact)) >= 7
