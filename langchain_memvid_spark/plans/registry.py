@@ -2914,15 +2914,21 @@ _DRIVER_GREEN = {
 }
 
 
-# Queries whose OUTPUT changed this round: their round-1 green rows are
-# stale (minhash perm 7 decorrelated -> signatures, band pairs, jaccard
-# estimates, and the clusters built on them all shifted), so they need
-# a fresh driver row even though they sit in _DRIVER_GREEN.
+# Queries whose OUTPUT or ORACLE changed this round: their round-1
+# rows (green or absent) don't reflect current code, so they must land
+# inside the driver's ~50-query budget. minhash perm 7 was decorrelated
+# (signatures, band pairs, jaccard estimates, clusters, canonical docs
+# all shifted); event_funnel/value_outliers_iqr got the HUGEINT->BIGINT
+# oracle cast; pretrain_pipeline_v2 is new and registered late.
 _CHANGED_THIS_ROUND = (
     "minhash_signatures",
     "minhash_band_pairs",
     "minhash_jaccard_estimates",
     "dedup_clusters",
+    "canonical_docs",
+    "event_funnel",
+    "value_outliers_iqr",
+    "pretrain_pipeline_v2",
 )
 
 
