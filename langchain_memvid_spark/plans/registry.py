@@ -2929,6 +2929,7 @@ _CHANGED_THIS_ROUND = (
     "event_funnel",
     "value_outliers_iqr",
     "pretrain_pipeline_v2",
+    "udaf_median_price",
 )
 
 
