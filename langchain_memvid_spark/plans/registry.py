@@ -2930,6 +2930,18 @@ _CHANGED_THIS_ROUND = (
     "value_outliers_iqr",
     "pretrain_pipeline_v2",
     "udaf_median_price",
+    "stream_near_dedup",
+    "embedding_candidate_pairs",
+    "embedding_quantization",
+    "knn_topk_quantized",
+    "text_bpe_token_counts",
+    "train_val_split",
+    "text_repetition_stats",
+    "decontaminate",
+    "pii_scrub",
+    "media_header_info",
+    "dedup_clusters_star",
+    "q12_priority_by_returnflag",
 )
 
 
