@@ -136,3 +136,63 @@ def test_star_contraction_chain_round_count(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 10  # log2(64)=6 contraction rounds + convergence check slack
+
+
+@given(
+    w=st.integers(1, 64),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**32 - 1),
+)
+@SET
+def test_png_codec_roundtrip_property(w, h, seed):
+    """Any dims + any pixel bytes: encode -> parse recovers the exact
+    header, and the closed-form size the oracle relies on holds."""
+    import numpy as np
+
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    pixels = np.random.RandomState(seed).bytes(w * h)
+    blob = mm.encode_png(w, h, pixels)
+    assert mm.parse_png_info(blob) == {
+        "width": w, "height": h, "bit_depth": 8, "color_type": 0
+    }
+    assert len(blob) == 57 + h * (w + 1) + 11
+
+
+@given(
+    rate=st.integers(1, 192_000),
+    nch=st.integers(1, 8),
+    n=st.integers(0, 500),
+)
+@SET
+def test_wav_codec_roundtrip_property(rate, nch, n):
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    blob = mm.encode_wav(rate, nch, bytes(n * nch * 2))
+    info = mm.parse_wav_info(blob)
+    assert info == {
+        "n_channels": nch, "sample_rate": rate,
+        "bits_per_sample": 16, "n_samples": n,
+    }
+    assert len(blob) == 44 + n * nch * 2
+
+
+@given(
+    vec=st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=1, max_size=64),
+)
+@SET
+def test_quantization_error_bound_property(spark_handle, vec):
+    """Dequantized values stay within half a quantization step of the
+    original: |x - q*scale/127| <= scale/254 (+ float slack)."""
+    spark = spark_handle
+    from langchain_memvid_spark.operators.quantize import quantize_embeddings
+
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    row = quantize_embeddings(df).head()
+    scale, q = row["scale"], row["qvec"]
+    import numpy as np
+
+    x = np.array(vec, dtype=np.float32).astype(np.float64)
+    deq = np.array(q, dtype=np.float64) * scale / 127
+    assert np.all(np.abs(x - deq) <= scale / 254 + 1e-9)
+    assert all(-127 <= v <= 127 for v in q)
