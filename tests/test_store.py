@@ -187,3 +187,24 @@ def test_clear_resets_store(spark):
     # store is reusable after clear, ids restart at 0
     s.add_texts(["z"])
     assert [d["doc_id"] for d in s.get_all_documents()] == [0]
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from langchain_memvid_spark.sources.compact import (
+        compact_parquet,
+        parquet_file_count,
+    )
+
+    path = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(path)
+    assert parquet_file_count(path) == 40
+    before = spark.read.parquet(path)
+    total_before = before.count()
+    sum_before = before.agg({"id": "sum"}).head()[0]
+
+    n = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert n < 40
+    after = spark.read.parquet(path)
+    assert after.count() == total_before
+    assert after.agg({"id": "sum"}).head()[0] == sum_before
