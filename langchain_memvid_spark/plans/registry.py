@@ -2892,15 +2892,13 @@ def q_string_ops(spark, sf_dir):
 _DRIVER_GREEN = {
     # CORRECTNESS_r01.json: 48 full passes + ivf_kmeans_search (rows-only
     # by design — KMeans is not SQL-expressible; its weaker check ran as
-    # intended).  q12_priority_by_returnflag is excluded: its oracle was
-    # fixed this round (HUGEINT->BIGINT cast) and needs a fresh check.
+    # intended).
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "top_customers_per_nation", "orders_rollup", "running_revenue",
     "customers_without_orders", "urgent_building_customers",
     "scalar_showcase", "events_hourly", "events_sessionize",
     "events_json_stats", "knn_topk", "knn_batch", "ivf_search",
-    "dedup_exact", "ngram_jaccard", "minhash_signatures",
-    "minhash_band_pairs", "simhash", "embedding_cosine_pairs",
+    "dedup_exact", "ngram_jaccard", "simhash", "embedding_cosine_pairs",
     "text_token_counts", "text_quality", "text_lang_id",
     "text_fingerprint", "vs_essential_projection", "vs_delete_renumber",
     "vs_point_lookup", "vs_semi_join", "vs_storage_stats",
@@ -2908,56 +2906,95 @@ _DRIVER_GREEN = {
     "orders_cube", "customer_quartiles", "order_gaps",
     "monthly_order_stats", "part_type_stats", "event_type_pivot",
     "above_avg_customers", "doc_length_histogram", "knn_topk_l2",
-    "ivf_centroid_stats", "minhash_jaccard_estimates",
-    "purchase_attribution", "price_percentiles", "ivf_kmeans_search",
-    "big_spender_customers", "q4_late_shipment_priority",
+    "ivf_centroid_stats", "purchase_attribution", "price_percentiles",
+    "ivf_kmeans_search", "big_spender_customers",
+    "q4_late_shipment_priority",
+    # CORRECTNESS_r02.json: 47 full passes + 3 rows-only-as-intended
+    # (multimodal_features, lsh_ann_search, approx_distinct_stats).
+    "minhash_signatures", "minhash_band_pairs",
+    "minhash_jaccard_estimates", "dedup_clusters", "canonical_docs",
+    "event_funnel", "value_outliers_iqr", "pretrain_pipeline_v2",
+    "udaf_median_price", "stream_near_dedup", "embedding_candidate_pairs",
+    "embedding_quantization", "knn_topk_quantized",
+    "text_bpe_token_counts", "train_val_split", "text_repetition_stats",
+    "decontaminate", "pii_scrub", "media_header_info",
+    "dedup_clusters_star", "q12_priority_by_returnflag",
+    "q14_promo_revenue_share", "q15_top_suppliers", "q18_large_orders",
+    "q22_idle_rich_customers", "q8_market_share",
+    "q17_small_quantity_revenue", "orders_grouping_sets",
+    "simhash_near_pairs", "stream_tumbling_counts",
+    "stream_session_windows", "stream_user_lifetime", "salted_skew_join",
+    "bucketed_colocated_join", "payload_roundtrip", "distinct_counts",
+    "rolling_30d_revenue", "vocab_top_terms",
+    "stream_click_purchase_join", "stream_sliding_activity",
+    "chunk_documents", "chunk_dedup", "tfidf_top_terms",
+    "q19_disjunctive_revenue", "priority_balance_full_outer",
+    "building_without_urgent_except", "cheapest_parts_per_type",
+    "multimodal_features", "lsh_ann_search", "approx_distinct_stats",
 }
 
 
-# Queries whose OUTPUT or ORACLE changed this round: their round-1
-# rows (green or absent) don't reflect current code, so they must land
-# inside the driver's ~50-query budget. minhash perm 7 was decorrelated
-# (signatures, band pairs, jaccard estimates, clusters, canonical docs
-# all shifted); event_funnel/value_outliers_iqr got the HUGEINT->BIGINT
-# oracle cast; pretrain_pipeline_v2 is new and registered late.
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 3:
+# their old driver rows (green or absent) don't reflect current code, so
+# they must land inside the driver's ~50-query budget.  Grown as round-3
+# work lands: the global-window rewrites (rolling_30d_revenue,
+# customer_quartiles), the ngram_jaccard df-pass fix, the
+# multimodal_features real-stats oracle upgrade, and every new round-3
+# query (quantized search path, video codec, streaming store ingest).
 _CHANGED_THIS_ROUND = (
-    "minhash_signatures",
-    "minhash_band_pairs",
-    "minhash_jaccard_estimates",
-    "dedup_clusters",
-    "canonical_docs",
-    "event_funnel",
-    "value_outliers_iqr",
-    "pretrain_pipeline_v2",
-    "udaf_median_price",
-    "stream_near_dedup",
-    "embedding_candidate_pairs",
-    "embedding_quantization",
-    "knn_topk_quantized",
-    "text_bpe_token_counts",
-    "train_val_split",
-    "text_repetition_stats",
-    "decontaminate",
-    "pii_scrub",
-    "media_header_info",
-    "dedup_clusters_star",
-    "q12_priority_by_returnflag",
+    "rolling_30d_revenue",
+    "customer_quartiles",
+    "ngram_jaccard",
+    "multimodal_features",
+    "knn_topk_requantized",
+    "video_header_info",
+    "stream_ingest_store",
+)
+
+
+# Stale-green rotation (VERDICT r2 "Next round" #2): r1-only greens that
+# were never re-verified in round 2.  Placed after the never-checked
+# pending tier so the driver re-verifies the oldest greens with whatever
+# budget remains; rotate this list each round so every query gets hard
+# driver signal at least every ~2 rounds.
+_STALE_ROTATION = (
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "top_customers_per_nation", "orders_rollup", "running_revenue",
+    "customers_without_orders", "urgent_building_customers",
+    "scalar_showcase", "events_hourly", "events_sessionize",
+    "events_json_stats", "knn_topk", "knn_batch", "ivf_search",
+    "dedup_exact", "simhash", "embedding_cosine_pairs",
+    "text_token_counts", "text_quality", "text_lang_id",
+    "text_fingerprint", "vs_essential_projection", "vs_point_lookup",
+    "vs_semi_join", "vs_storage_stats",
 )
 
 
 def _reorder_for_driver() -> None:
-    """Stable-partition QUERIES: output-changed entries first (their old
-    driver rows are stale), then never-green entries (these fill the
-    driver's ~50-query budget), already-green entries last."""
+    """Stable-partition QUERIES into four tiers for the driver's capped
+    (~50-query) correctness sweep:
+
+    1. changed   — round-3 output/impl changes; old rows are stale.
+    2. pending   — never had any driver row (the 14 from VERDICT r2).
+    3. rotation  — oldest r1-only greens, re-verified this round.
+    4. green     — remaining driver-green entries.
+    """
     global QUERIES
     changed = {n: QUERIES[n] for n in _CHANGED_THIS_ROUND if n in QUERIES}
     pending = {
         n: q for n, q in QUERIES.items() if n not in _DRIVER_GREEN and n not in changed
     }
-    green = {
-        n: q for n, q in QUERIES.items() if n in _DRIVER_GREEN and n not in changed
+    rotation = {
+        n: QUERIES[n]
+        for n in _STALE_ROTATION
+        if n in QUERIES and n not in changed and n not in pending
     }
-    QUERIES = {**changed, **pending, **green}
+    green = {
+        n: q
+        for n, q in QUERIES.items()
+        if n in _DRIVER_GREEN and n not in changed and n not in rotation
+    }
+    QUERIES = {**changed, **pending, **rotation, **green}
 
 
 _reorder_for_driver()
