@@ -330,14 +330,29 @@ def orders_cube(orders: DataFrame) -> DataFrame:
 
 
 def customer_quartiles(customer: DataFrame) -> DataFrame:
-    """ntile + percent_rank + cume_dist over account balance."""
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return customer.select(
+    """ntile + percent_rank + cume_dist over account balance.
+
+    A direct ``Window.orderBy`` with no partitionBy is an
+    ``Exchange SinglePartition`` — the whole table through one task.
+    Instead: scale-safe global row_number (range partition + broadcast
+    offsets, operators/scale_windows.py) and closed-form rank stats —
+    valid because (c_acctbal, c_custkey) is a tie-free total order.
+    """
+    from langchain_memvid_spark.operators.scale_windows import (
+        global_row_number,
+        rank_stats,
+    )
+
+    ranked, n = global_row_number(
+        customer, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], "__rn"
+    )
+    ntile, pct_rank, cume = rank_stats(F.col("__rn"), n, 4)
+    return ranked.select(
         "c_custkey",
         F.round("c_acctbal", 2).alias("c_acctbal"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile.alias("quartile"),
+        F.round(pct_rank, 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
     )
 
 

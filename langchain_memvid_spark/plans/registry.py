@@ -1701,16 +1701,27 @@ def q_rolling(spark, sf_dir):
     """Time-RANGE window frame (not ROWS): each order sees the revenue
     of the trailing 30 days. RANGE frames bound by the ORDER BY value —
     all same-timestamp rows share one frame result, so the output is
-    deterministic without an id tie-break."""
-    w = (
+    deterministic without an id tie-break.
+
+    Computed with the scale-safe probe-row prefix-sum pattern
+    (operators/scale_windows.trailing_range_sum) instead of a global
+    ``Window.orderBy`` — the latter is an Exchange SinglePartition that
+    single-tasks the whole fact table."""
+    from langchain_memvid_spark.operators.scale_windows import trailing_range_sum
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
         # NTZ timestamps cast to long via timestamp (UTC session: lossless)
-        Window.orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
-        .rangeBetween(-30 * 86400, 0)
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("__sec"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("__rev"),
     )
-    return _t(spark, sf_dir, "orders").select(
+    return trailing_range_sum(
+        orders, "o_orderkey", "__sec", "__rev", 30 * 86400, "rev_30d"
+    ).select(
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
-        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).over(w).cast("double").alias("rev_30d"),
+        F.col("rev_30d").cast("double").alias("rev_30d"),
     )
 
 

@@ -581,3 +581,75 @@ def test_knn_quantized_close_to_exact(spark, sf_dir):
     assert qk[0] == 0  # self-match survives quantization
     # int8 codes keep most of the exact top-10
     assert len(set(qk) & set(exact)) >= 7
+
+def test_scale_windows_match_global_window(spark):
+    """The two-phase scale-safe window ops must agree exactly with the
+    global-window semantics they replace, and their plans must contain
+    no Exchange SinglePartition (the 100 TB killer)."""
+    from pyspark.sql import Window
+
+    from langchain_memvid_spark.operators import scale_windows as sw
+
+    rows = [(i, float((i * 37) % 101), (i * 13) % 997) for i in range(523)]
+    df = spark.createDataFrame(rows, "k INT, bal DOUBLE, ts INT").repartition(7)
+
+    ranked, n = sw.global_row_number(df, [F.col("bal").asc(), F.col("k").asc()], "rn")
+    assert n == 523
+    w = Window.orderBy(F.col("bal").asc(), F.col("k").asc())
+    expect = {
+        r["k"]: (r["rn"], r["q"], r["pr"], r["cd"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("q"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    ntile, pr, cd = sw.rank_stats(F.col("rn"), n, 4)
+    got = {
+        r["k"]: (r["rn"], r["q"], r["pr"], r["cd"])
+        for r in ranked.select(
+            "k", "rn", ntile.alias("q"), pr.alias("pr"), cd.alias("cd")
+        ).collect()
+    }
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert got[k][1] == expect[k][1], k
+        assert abs(got[k][2] - expect[k][2]) < 1e-12, k
+        assert abs(got[k][3] - expect[k][3]) < 1e-12, k
+    assert "SinglePartition" not in _plan(ranked)
+
+
+def test_trailing_range_sum_matches_global_range_window(spark):
+    """Probe-row prefix-sum == RANGE BETWEEN w PRECEDING AND CURRENT ROW,
+    including tied timestamps (RANGE semantics: ties share one frame)."""
+    from pyspark.sql import Window
+
+    from langchain_memvid_spark.operators import scale_windows as sw
+
+    # duplicate ts values on purpose (i // 3) to exercise tie handling
+    rows = [(i, (i // 3) * 11, float(i % 7 + 1)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k INT, ts LONG, v DOUBLE").repartition(5)
+
+    got_df = sw.trailing_range_sum(df, "k", "ts", "v", 50, "s")
+    got = {r["k"]: r["s"] for r in got_df.collect()}
+    w = Window.orderBy("ts").rangeBetween(-50, 0)
+    expect = {
+        r["k"]: r["s"]
+        for r in df.select("k", F.sum("v").over(w).alias("s")).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9, k
+    assert "SinglePartition" not in _plan(got_df)
+
+
+def test_registry_global_window_queries_have_no_single_partition(spark):
+    """customer_quartiles and rolling_30d_revenue (the two VERDICT-r2
+    scale-killers) must keep their scale-safe plans."""
+    from langchain_memvid_spark.plans.registry import QUERIES
+
+    for name in ("customer_quartiles", "rolling_30d_revenue"):
+        df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+        assert "SinglePartition" not in _plan(df), name
