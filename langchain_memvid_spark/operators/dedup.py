@@ -146,7 +146,12 @@ def ngram_jaccard_pairs(
     which are collected and dropped with a plain literal filter — no
     join, no broadcast barrier in front of the candidate join. If the
     list is ever pathologically large (>10k keys) it falls back to a
-    broadcast anti-join instead of bloating the plan. The shingle scan
+    broadcast anti-join instead of bloating the plan. A shingle's df is
+    bounded by the corpus document count, so when count(documents) ≤
+    max_df the pass provably cannot bind and is skipped — one cheap
+    narrow count instead of a groupBy over every shingle row (reclaims
+    the r2 bench regression at test SFs while keeping the cap armed at
+    corpus scale). The shingle scan
     is cached so signatures are computed ONCE (the Python scan is the
     CPU-hot stage; without the cache the self-join's two branches each
     re-run it). Jaccard denominators (na/nb) keep the FULL set sizes,
@@ -171,7 +176,7 @@ def ngram_jaccard_pairs(
         # instead of pinning storage for the session's lifetime
         .localCheckpoint()
     )
-    if max_df is not None:
+    if max_df is not None and documents.count() > max_df:
         hot = (
             sh.groupBy("shh")
             .agg(F.count("*").alias("df"))

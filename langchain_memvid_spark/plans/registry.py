@@ -2956,6 +2956,7 @@ _CHANGED_THIS_ROUND = (
     "rolling_30d_revenue",
     "customer_quartiles",
     "ngram_jaccard",
+    "stream_near_dedup",
     "multimodal_features",
     "knn_topk_requantized",
     "video_header_info",

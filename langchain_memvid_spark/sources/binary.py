@@ -13,6 +13,7 @@ typed header fields.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,18 +30,26 @@ def read_media_dir(
     media_type is sniffed from the file extension (the header parsers
     downstream validate the actual bytes — a mislabeled file fails
     loudly in decode_media_info, not silently). media_id is a stable
-    hash of the file name, so re-reading the same directory yields the
-    same ids regardless of listing order — no zipWithIndex, no driver
-    listing, scales to millions of files.
+    hash of the file path RELATIVE to the load root (not the basename:
+    two `part.png` files in different subdirectories must not collide
+    into one id), so re-reading the same directory yields the same ids
+    regardless of listing order — no zipWithIndex, no driver listing,
+    scales to millions of files.
     """
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)
+    # binaryFile's path column is a URI (file:/abs/root/sub/f.png);
+    # strip the scheme and the load root so the hashed key is the
+    # root-relative path — stable if the tree is ever relocated
+    root_abs = os.path.abspath(path).rstrip("/")
+    no_scheme = F.regexp_replace(F.col("path"), r"^[a-zA-Z][\w+.-]*:(//)?", "")
+    rel = F.regexp_replace(no_scheme, "^" + re.escape(root_abs) + "/?", "")
     name = F.element_at(F.split(F.col("path"), "/"), -1)
     ext = F.lower(F.element_at(F.split(name, r"\."), -1))
     return raw.select(
-        F.xxhash64(name).alias("media_id"),
+        F.xxhash64(rel).alias("media_id"),
         F.when(ext == "png", "image")
         .when(ext == "wav", "audio")
         .otherwise("unknown")

@@ -3,8 +3,15 @@
 Streaming sinks and incremental ingests leave thousands of tiny files
 per partition; at 100 TB the resulting footer reads and task overhead
 dominate scan time. Compaction rewrites a table at a target file size
-with an atomic overwrite-swap (write to a sibling temp dir, then
-rename), so readers never observe a half-written table.
+with an overwrite-swap (write to a sibling temp dir, then rename).
+
+Swap semantics are SINGLE-WRITER, NO-CONCURRENT-READER: between the
+two renames the table path briefly does not exist, and a crash there
+leaves the data under a ``__old_*`` suffixed name (recoverable by
+hand, never silently lost — the new data is fully written before the
+first rename).  A truly atomic cutover for live readers needs a
+manifest/symlink indirection layer (Delta/Iceberg-style), out of scope
+for a plain-parquet table.
 """
 
 from __future__ import annotations
@@ -39,8 +46,10 @@ def compact_parquet(
     sizes) rather than coalesce: coalesce(n) would also narrow the
     UPSTREAM read parallelism to n tasks, so a large compaction would
     read with too few tasks; repartition keeps the scan wide and only
-    the write narrow. Atomicity: the rewrite lands in a temp sibling
-    dir and swaps in via rename, with the old data removed last."""
+    the write narrow. The rewrite lands in a temp sibling dir and swaps
+    in via two renames with the old data removed last — safe for a
+    single writer with no concurrent readers (see module docstring for
+    the exact crash/reader window)."""
     size = table_bytes(path)
     n_files = max(1, -(-size // target_file_bytes))
     df = spark.read.parquet(path)

@@ -21,10 +21,14 @@ from langchain_memvid_spark.operators.dedup import simhash
 DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 
 # deterministic synthetic ingestion time: the testdata documents table
-# has no event-time column, so arrival is modeled as one doc per second
-# from a fixed epoch — both engines reproduce it, keeping the oracle
-# exact
+# has no event-time column, so arrival is modeled as doc_id mod 3600
+# seconds past a fixed epoch — both engines reproduce it, and the whole
+# corpus spans <1 hour REGARDLESS of corpus size, strictly inside the
+# 2-hour dedup watermark.  (One-doc-per-second was latent-buggy: past
+# ~7200 docs, same-signature docs farther apart than the watermark
+# would both survive and diverge from the SELECT DISTINCT oracle.)
 INGEST_EPOCH = 1_600_000_000
+INGEST_SPAN_SECONDS = 3600
 
 
 def read_documents_stream(
@@ -54,7 +58,10 @@ def near_dedup_stream(documents: DataFrame, watermark: str = "2 hours") -> DataF
     microbatch arrival order (which doc of a signature group survives
     is order-dependent; its signature is not)."""
     signed = simhash(documents).withColumn(
-        "ts", F.timestamp_seconds(F.lit(INGEST_EPOCH) + F.col("doc_id"))
+        "ts",
+        F.timestamp_seconds(
+            F.lit(INGEST_EPOCH) + F.pmod(F.col("doc_id"), F.lit(INGEST_SPAN_SECONDS))
+        ),
     )
     return (
         signed.withWatermark("ts", watermark)
