@@ -30,6 +30,12 @@ class IndexConfig:
     # IVF is only worth it past this many points per cluster on average
     # (reference gates on 30*nlist, index.py:152-162).
     ivf_min_points_factor: int = 30
+    # Two-phase search: int8 compressed-domain first pass keeps this
+    # many candidates for the exact float re-rank. 0 disables the
+    # compressed path entirely; below this corpus size the direct exact
+    # scan is already cheaper than two passes. (FAISS SQ8+refine analog;
+    # the reference scans flat float32, index.py:144-148.)
+    rerank_candidates: int = 4096
 
     def __post_init__(self) -> None:
         if self.metric not in _VALID_METRICS:
@@ -38,6 +44,8 @@ class IndexConfig:
             raise ConfigError(f"dim must be positive, got {self.dim}")
         if self.nlist <= 0 or self.nprobe <= 0:
             raise ConfigError("nlist and nprobe must be positive")
+        if self.rerank_candidates < 0:
+            raise ConfigError("rerank_candidates must be >= 0")
 
 
 @dataclass

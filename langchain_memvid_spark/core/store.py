@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    ByteType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -53,6 +55,7 @@ from langchain_memvid_spark.core.ids import add_sequential_ids
 from langchain_memvid_spark.embeddings import HashEmbeddings
 from langchain_memvid_spark.exceptions import IndexError_, RetrievalError, StorageError
 from langchain_memvid_spark.functions.vector import dot, l2_normalize, l2_sq
+from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols
 
 INGEST_SCHEMA = StructType(
     [
@@ -71,6 +74,11 @@ INDEX_SCHEMA = StructType(
         StructField("metadata_json", StringType()),
         StructField("metadata_hash", StringType()),
         StructField("embedding", ArrayType(FloatType())),
+        # int8 codes + per-vector scale for the compressed-domain first
+        # pass: 1 byte/dim vs 4 — the 100 TB search path scans these and
+        # touches float32 only for the re-rank candidates.
+        StructField("qscale", DoubleType()),
+        StructField("qvec", ArrayType(ByteType())),
     ]
 )
 
@@ -210,9 +218,12 @@ class SparkVectorStore:
         )
         if self.config.index.metric == "cosine":
             enriched = enriched.withColumn("embedding", l2_normalize(F.col("embedding")))
+        qscale, qvec = quantize_cols(F.col("embedding"))
+        enriched = enriched.withColumn("qscale", qscale).withColumn("qvec", qvec)
 
         new_index = enriched.select(
-            "doc_id", "text", "source", "category", "metadata_json", "metadata_hash", "embedding"
+            "doc_id", "text", "source", "category", "metadata_json", "metadata_hash",
+            "embedding", "qscale", "qvec",
         )
         new_payload = enriched.select(
             "doc_id",

@@ -27,6 +27,26 @@ def _scale(v: Column) -> Column:
     )
 
 
+def quantize_cols(v: Column) -> tuple[Column, Column]:
+    """(scale, qvec array<tinyint>) column pair for an embedding column —
+    the building block SparkVectorStore / IVFIndex use to persist codes
+    alongside the float vectors at ingest."""
+    scale = _scale(v)
+    qvec = F.transform(
+        v, lambda x: F.floor(x.cast("double") / scale * 127 + F.lit(0.5)).cast("tinyint")
+    )
+    return scale, qvec
+
+
+def int8_dot(qvec: Column, query_codes: Column) -> Column:
+    """Exact int64 dot product of two int8 code arrays (JVM HOFs)."""
+    return F.aggregate(
+        F.zip_with(qvec, query_codes, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -80,6 +100,64 @@ def knn_topk_quantized(
         scored.orderBy(F.col("qscore").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "qscore")
+    )
+
+
+def knn_topk_requantized(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase search: compressed-domain first pass → exact re-rank.
+
+    Phase 1 scores int8 codes with exact int64 arithmetic and keeps the
+    top-`candidates` rows (qscore desc, id asc — a total order, so the
+    candidate cut is deterministic). Phase 2 joins ONLY those candidates
+    back to the float column and re-ranks them by true cosine.
+
+    This is the 100 TB shape: the first pass reads 1-byte codes (4×
+    fewer scan bytes than float32), the expensive float math touches
+    `candidates` rows instead of the corpus. SparkVectorStore and
+    IVFIndex store the codes at ingest so phase 1 never materializes
+    them (core/store.py, core/ivf.py); here they are derived in-plan so
+    the operator works on any embeddings table.
+
+    Reference analog: FAISS SQ8 + refine (the reference stores flat
+    float32, index.py:144-148 — this beats its scan bytes 4×).
+    """
+    from langchain_memvid_spark.functions.vector import cosine_sim
+
+    q = quantize_embeddings(embeddings, id_col, vec_col)
+    qrow = q.filter(F.col(id_col) == query_vec_id).select(F.col("qvec").alias("__qq"))
+    first_pass = (
+        q.crossJoin(F.broadcast(qrow))
+        .withColumn(
+            "qscore",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"), F.col("__qq"), lambda a, b: a.cast("long") * b.cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy(F.col("qscore").desc(), F.col(id_col).asc())
+        .limit(candidates)
+        .select(id_col, "qscore")
+    )
+    fqrow = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__fq")
+    )
+    return (
+        embeddings.join(F.broadcast(first_pass), id_col)
+        .crossJoin(F.broadcast(fqrow))
+        .withColumn("sim", F.round(cosine_sim(F.col(vec_col), F.col("__fq")), 4))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "qscore", "sim")
     )
 
 

@@ -580,6 +580,42 @@ def q_knn_quantized(spark, sf_dir):
     return knn_topk_quantized(_t(spark, sf_dir, "embeddings"))
 
 
+@_reg(
+    "knn_topk_requantized",
+    f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS scale
+  FROM embeddings),
+qq AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale * 127 + 0.5) AS BIGINT)) AS qv
+  FROM q),
+qvq AS (SELECT qv AS query_qv FROM qq WHERE vec_id = 0),
+fp AS (
+  SELECT d.vec_id,
+    CAST(list_sum(list_transform(range(1, len(d.qv) + 1),
+         i -> d.qv[i] * qvq.query_qv[i])) AS BIGINT) AS qscore
+  FROM qq d, qvq
+  ORDER BY qscore DESC, d.vec_id ASC LIMIT 50),
+fq AS (SELECT embedding AS fqe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, fp.qscore,
+  round({COS.format(a='e.embedding', b='fq.fqe')}, 4) AS sim
+FROM embeddings e JOIN fp USING (vec_id), fq
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def q_knn_requantized(spark, sf_dir):
+    """Compressed-domain first pass (int8 codes, exact int64 scoring,
+    top-50 candidates) → exact float re-rank of only those candidates.
+    The production path stores the codes at ingest (core/store.py,
+    core/ivf.py) so the first pass scans 4× fewer bytes."""
+    from langchain_memvid_spark.operators.quantize import knn_topk_requantized
+
+    return knn_topk_requantized(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

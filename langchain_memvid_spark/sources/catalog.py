@@ -47,6 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.typeName() == "timestamp_ntz":
+            # newer generator writes TIMESTAMP(MICROS) without a zone;
+            # normalize to the session-zoned type (UTC session → same
+            # instant) so downstream epoch casts keep working
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

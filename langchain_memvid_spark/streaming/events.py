@@ -58,12 +58,16 @@ def read_events_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = None,
-    nanos: bool = True,
+    nanos: bool | None = None,
 ) -> DataFrame:
-    """File-source stream of events; with nanos=True (the driver's
-    testdata files, TIMESTAMP(NANOS)) converts nano-long ts to micros
-    exactly like the batch loader (sources/catalog.py); nanos=False
-    reads Spark-written parquet whose ts is already a timestamp.
+    """File-source stream of events. The file stream source needs an
+    explicit schema, and the testdata's ts physical type has varied
+    across generator versions (TIMESTAMP(NANOS) → read as long under
+    nanosAsLong; TIMESTAMP(MICROS) → a real timestamp). nanos=None
+    (default) autodetects from a one-footer batch schema read — exactly
+    the representation the batch loader (sources/catalog.py) sees — so
+    stream and batch stay bit-identical whatever the generator wrote.
+    Pass nanos=True/False to pin the layout explicitly.
 
     max_files_per_trigger splits a multi-file directory into that many
     microbatches — the test harness's way of exercising cross-batch
@@ -71,6 +75,12 @@ def read_events_stream(
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos is None:
+        inferred = spark.read.parquet(path).schema
+        nanos = any(
+            f.name == "ts" and f.dataType.typeName() in ("long", "bigint")
+            for f in inferred.fields
+        )
     # The file stream source accepts directories or GLOBS, not plain
     # file paths. Turn ".../events.parquet" into ".../events.parque[t]"
     # so a single read-only file works without copying it anywhere.
