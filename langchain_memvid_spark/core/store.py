@@ -335,15 +335,20 @@ class SparkVectorStore:
                 n = math.sqrt(sum(x * x for x in v)) or 1.0
                 v = [x / n for x in v]
             qrows.append((qid, qtext, [float(x) for x in v]))
+        # __qv, not "qvec": the doc_index carries its own qvec (int8 codes)
+        # column, and an unqualified name would be AMBIGUOUS after the join.
+        # Project the index down to the three columns scoring needs so the
+        # codes/payload columns never enter the join at all.
         qdf = self.spark.createDataFrame(
-            qrows, "query_id LONG, query STRING, qvec ARRAY<DOUBLE>"
+            qrows, "query_id LONG, query STRING, __qv ARRAY<DOUBLE>"
         )
-        joined = self._doc_index.crossJoin(F.broadcast(qdf))
+        docs = self._doc_index.select("doc_id", "text", "embedding")
+        joined = docs.crossJoin(F.broadcast(qdf))
         if self.config.index.metric == "l2":
-            scored = joined.withColumn("similarity", l2_sq(F.col("embedding"), F.col("qvec")))
+            scored = joined.withColumn("similarity", l2_sq(F.col("embedding"), F.col("__qv")))
             order = [F.col("similarity").asc(), F.col("doc_id").asc()]
         else:
-            scored = joined.withColumn("similarity", dot(F.col("embedding"), F.col("qvec")))
+            scored = joined.withColumn("similarity", dot(F.col("embedding"), F.col("__qv")))
             order = [F.col("similarity").desc(), F.col("doc_id").asc()]
         w = Window.partitionBy("query_id").orderBy(*order)
         return (
@@ -413,7 +418,10 @@ class SparkVectorStore:
             self._doc_index.join(old_new, "doc_id")
             .drop("doc_id")
             .withColumnRenamed("__new_id", "doc_id")
-            .select("doc_id", "text", "source", "category", "metadata_json", "metadata_hash", "embedding")
+            .select(
+                "doc_id", "text", "source", "category", "metadata_json",
+                "metadata_hash", "embedding", "qscale", "qvec",
+            )
             .cache()
         )
         self._payload = (

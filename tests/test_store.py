@@ -84,6 +84,18 @@ def test_delete_by_ids_renumbers(spark):
     assert [d["page_content"] for d in docs] == ["t0", "t2", "t3"]
 
 
+def test_add_and_batch_search_after_delete(spark):
+    # regression: _renumber must preserve the qscale/qvec code columns or
+    # the next add_texts unionByName fails, and batch_search must not
+    # collide with the index's qvec column (r3 AMBIGUOUS_REFERENCE break)
+    s = SparkVectorStore.from_texts(["t0", "t1", "t2", "t3"], spark)
+    s.delete_by_ids([1])
+    s.add_texts(["t4"])
+    assert [d["doc_id"] for d in s.get_all_documents()] == [0, 1, 2, 3]
+    rows = s.batch_search(["t4", "t0"], k=1).collect()
+    assert {(r["query_id"], r["text"]) for r in rows} == {(0, "t4"), (1, "t0")}
+
+
 def test_delete_invalid_id_raises(spark):
     s = SparkVectorStore.from_texts(["x", "y"], spark)
     with pytest.raises(IndexError_):
