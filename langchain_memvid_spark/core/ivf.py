@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from langchain_memvid_spark.exceptions import IndexError_
 from langchain_memvid_spark.functions.vector import cosine_sim
+from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols
 
 
 class IVFIndex:
@@ -52,10 +53,12 @@ class IVFIndex:
         (index.py:152-162): under-populated corpora stay flat (single
         cluster) rather than training a degenerate quantizer.
         """
+        qscale, qvec = quantize_cols(F.col(vec_col))
+        embeddings = embeddings.withColumn("qscale", qscale).withColumn("qvec", qvec)
         n = embeddings.count()
         if n < min_points_factor * nlist:
             assigned = embeddings.withColumn("cluster_id", F.lit(0))
-            dim = len(embeddings.select(vec_col).head()[0])
+            dim = len(assigned.select(vec_col).head()[0])
             return cls([(0, [0.0] * dim)]), assigned
 
         try:
@@ -99,13 +102,42 @@ class IVFIndex:
         nprobe: int = 2,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        rerank_candidates: int = 256,
     ) -> DataFrame:
-        """Partition-pruned exact top-k within the probed clusters."""
+        """Partition-pruned top-k within the probed clusters.
+
+        Two pruning levels compose: (1) cluster probing → partition
+        pruning, only nprobe/nlist of the files are read; (2) inside the
+        probed partitions an int8 first pass scans the stored 1-byte
+        codes (ranked by qscore·qscale, debiased — see
+        operators/quantize.py) and only the top `rerank_candidates`
+        rows touch the float32 column for the exact cosine re-rank.
+        `rerank_candidates=0` disables the second level (direct exact
+        scan). Layouts written before the code columns existed are
+        backfilled in-plan."""
         if self.path is None:
             raise IndexError_("IVF layout not written; call write_layout first")
         probes = self.probe_clusters(qvec, nprobe)
         corpus = spark.read.parquet(self.path).filter(F.col("cluster_id").isin(probes))
         q = F.array(*[F.lit(float(x)) for x in qvec])
+        if rerank_candidates and rerank_candidates > 0:
+            if "qvec" not in corpus.columns:
+                qs, qv = quantize_cols(F.col(vec_col))
+                corpus = corpus.withColumn("qscale", qs).withColumn("qvec", qv)
+            s = max((abs(x) for x in qvec), default=0.0) or 1e-30
+            qcodes = [int(math.floor(x / s * 127 + 0.5)) for x in qvec]
+            qc = F.array(*[F.lit(c) for c in qcodes])
+            cands = (
+                corpus.select(id_col, "qscale", "qvec")
+                .withColumn("__qs", int8_dot(F.col("qvec"), qc))
+                .orderBy(
+                    (F.col("__qs").cast("double") * F.col("qscale")).desc(),
+                    F.col(id_col).asc(),
+                )
+                .limit(max(rerank_candidates, k))
+                .select(id_col)
+            )
+            corpus = corpus.join(F.broadcast(cands), id_col)
         return (
             corpus.withColumn("__s", cosine_sim(F.col(vec_col), q))
             .orderBy(F.col("__s").desc(), F.col(id_col).asc())
@@ -135,15 +167,17 @@ class IVFIndex:
             for qid, qvec in queries
             for cid in self.probe_clusters(qvec, nprobe)
         ]
+        # __qv, not "qvec": the persisted layout carries an int8 `qvec`
+        # codes column, so an unqualified name would be ambiguous.
         qdf = spark.createDataFrame(
-            probe_rows, f"query_id INT, qvec ARRAY<FLOAT>, cluster_id INT"
+            probe_rows, f"query_id INT, __qv ARRAY<FLOAT>, cluster_id INT"
         )
         all_probes = sorted({r[2] for r in probe_rows})
         corpus = spark.read.parquet(self.path).filter(F.col("cluster_id").isin(all_probes))
         from pyspark.sql import Window
 
         scored = corpus.join(F.broadcast(qdf), "cluster_id").withColumn(
-            "__s", cosine_sim(F.col(vec_col), F.col("qvec"))
+            "__s", cosine_sim(F.col(vec_col), F.col("__qv"))
         )
         w = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col(id_col).asc())
         return (

@@ -266,6 +266,53 @@ class SparkVectorStore:
             return self._doc_index.withColumn("similarity", l2_sq(F.col("embedding"), q))
         return self._doc_index.withColumn("similarity", dot(F.col("embedding"), q))
 
+    def _phase1_candidates(self, qvec: list[float], candidates: int) -> DataFrame:
+        """Compressed-domain first pass: integer dot over the stored int8
+        codes (1 byte/dim — 4× fewer scan bytes than float32), ranked by
+        qscore·qscale. Codes are x/scale·127, so the raw int dot is
+        ∝ dot(a,q)/scale_a; multiplying back by the stored per-row scale
+        removes the systematic under-ranking of large-max-component
+        vectors. Only (doc_id, qscale, qvec) enter this plan — the float
+        embedding column is never touched until the re-rank.
+        FAISS SQ8+refine analog (the reference scans flat float32,
+        /root/reference/src/langchain_memvid/index.py:144-148)."""
+        s = max((abs(x) for x in qvec), default=0.0) or 1e-30
+        import math
+
+        qcodes = [int(math.floor(x / s * 127 + 0.5)) for x in qvec]
+        qc = F.array(*[F.lit(c) for c in qcodes])
+        return (
+            self._doc_index.select("doc_id", "qscale", "qvec")
+            .withColumn("__qscore", int8_dot(F.col("qvec"), qc))
+            .orderBy(
+                (F.col("__qscore").cast("double") * F.col("qscale")).desc(),
+                F.col("doc_id").asc(),
+            )
+            .limit(candidates)
+            .select("doc_id")
+        )
+
+    def _topk(self, qvec: list[float], k: int) -> DataFrame:
+        """Pick the physical search strategy: direct exact scan, or int8
+        first pass → exact re-rank of config.index.rerank_candidates
+        when the corpus is big enough for two passes to win. l2 stays
+        direct (the integer dot is a cosine/ip surrogate only)."""
+        asc = self.config.index.metric == "l2"
+        order = [
+            F.col("similarity").asc() if asc else F.col("similarity").desc(),
+            F.col("doc_id").asc(),
+        ]
+        cand = self.config.index.rerank_candidates
+        if self.config.index.metric != "l2" and 0 < cand < self._count:
+            cands = self._phase1_candidates(qvec, max(cand, k))
+            q = F.array(*[F.lit(float(x)) for x in qvec])
+            scored = self._doc_index.join(F.broadcast(cands), "doc_id").withColumn(
+                "similarity", dot(F.col("embedding"), q)
+            )
+        else:
+            scored = self._score(qvec)
+        return scored.orderBy(*order).limit(k)
+
     def similarity_search_with_score(
         self, query: str, k: int = 4, include_full_metadata: bool = False
     ) -> list[tuple[dict[str, Any], float]]:
@@ -279,10 +326,7 @@ class SparkVectorStore:
 
             n = math.sqrt(sum(x * x for x in qvec)) or 1.0
             qvec = [x / n for x in qvec]
-        scored = self._score(qvec)
-        asc = self.config.index.metric == "l2"
-        order = [F.col("similarity").asc() if asc else F.col("similarity").desc(), F.col("doc_id").asc()]
-        top = scored.orderBy(*order).limit(k)
+        top = self._topk(qvec, k)
         if include_full_metadata:
             top = top.join(self._payload, "doc_id", "left")
         out = []
@@ -491,6 +535,8 @@ class SparkVectorStore:
                     F.length(F.col("text"))
                     + F.coalesce(F.length("metadata_json"), F.lit(0))
                     + F.size("embedding") * 4
+                    # int8 codes: 1 byte/dim + 8-byte per-row scale
+                    + F.coalesce(F.size("qvec"), F.lit(0)) + 8
                     + 72
                 ).alias("b")
             ).collect()[0]["b"]
@@ -529,7 +575,14 @@ class SparkVectorStore:
         """≙ IndexManager.load (index.py:637-670)."""
         store = cls(spark, embeddings=embeddings, config=config)
         try:
-            store._doc_index = spark.read.parquet(os.path.join(path, "doc_index")).cache()
+            idx = spark.read.parquet(os.path.join(path, "doc_index"))
+            if "qvec" not in idx.columns:
+                # store saved before the int8 code columns existed:
+                # backfill codes from the stored float vectors so appends
+                # (unionByName) and the compressed first pass keep working
+                qscale, qvec = quantize_cols(F.col("embedding"))
+                idx = idx.withColumn("qscale", qscale).withColumn("qvec", qvec)
+            store._doc_index = idx.select([f.name for f in INDEX_SCHEMA.fields]).cache()
             store._payload = spark.read.parquet(os.path.join(path, "payload")).cache()
         except Exception as e:
             raise StorageError(f"load from {path} failed: {e}") from e

@@ -87,14 +87,7 @@ def knn_topk_quantized(
         F.col("qvec").alias("__qq")
     )
     scored = q.crossJoin(F.broadcast(qrow)).withColumn(
-        "qscore",
-        F.aggregate(
-            F.zip_with(
-                F.col("qvec"), F.col("__qq"), lambda a, b: a.cast("long") * b.cast("long")
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
+        "qscore", int8_dot(F.col("qvec"), F.col("__qq"))
     )
     return (
         scored.orderBy(F.col("qscore").desc(), F.col(id_col).asc())
@@ -114,9 +107,13 @@ def knn_topk_requantized(
     """Two-phase search: compressed-domain first pass → exact re-rank.
 
     Phase 1 scores int8 codes with exact int64 arithmetic and keeps the
-    top-`candidates` rows (qscore desc, id asc — a total order, so the
-    candidate cut is deterministic). Phase 2 joins ONLY those candidates
-    back to the float column and re-ranks them by true cosine.
+    top-`candidates` rows ranked by qscore·scale (codes are x/scale·127,
+    so the raw integer dot is ∝ dot(a,q)/scale_a — multiplying back by
+    the per-vector scale removes the systematic under-ranking of
+    large-max-component vectors; the int64·double product is exact and
+    identical across engines, tie-broken by id, so the candidate cut is
+    still deterministic). Phase 2 joins ONLY those candidates back to
+    the float column and re-ranks them by true cosine.
 
     This is the 100 TB shape: the first pass reads 1-byte codes (4×
     fewer scan bytes than float32), the expensive float math touches
@@ -134,17 +131,11 @@ def knn_topk_requantized(
     qrow = q.filter(F.col(id_col) == query_vec_id).select(F.col("qvec").alias("__qq"))
     first_pass = (
         q.crossJoin(F.broadcast(qrow))
-        .withColumn(
-            "qscore",
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"), F.col("__qq"), lambda a, b: a.cast("long") * b.cast("long")
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
+        .withColumn("qscore", int8_dot(F.col("qvec"), F.col("__qq")))
+        .orderBy(
+            (F.col("qscore").cast("double") * F.col("scale")).desc(),
+            F.col(id_col).asc(),
         )
-        .orderBy(F.col("qscore").desc(), F.col(id_col).asc())
         .limit(candidates)
         .select(id_col, "qscore")
     )

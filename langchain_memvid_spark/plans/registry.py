@@ -588,7 +588,7 @@ WITH q AS (
     greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS scale
   FROM embeddings),
 qq AS (
-  SELECT vec_id,
+  SELECT vec_id, scale,
     list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale * 127 + 0.5) AS BIGINT)) AS qv
   FROM q),
 qvq AS (SELECT qv AS query_qv FROM qq WHERE vec_id = 0),
@@ -597,7 +597,7 @@ fp AS (
     CAST(list_sum(list_transform(range(1, len(d.qv) + 1),
          i -> d.qv[i] * qvq.query_qv[i])) AS BIGINT) AS qscore
   FROM qq d, qvq
-  ORDER BY qscore DESC, d.vec_id ASC LIMIT 50),
+  ORDER BY qscore::DOUBLE * d.scale DESC, d.vec_id ASC LIMIT 50),
 fq AS (SELECT embedding AS fqe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, fp.qscore,
   round({COS.format(a='e.embedding', b='fq.fqe')}, 4) AS sim

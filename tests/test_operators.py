@@ -225,6 +225,28 @@ def test_ivf_kmeans_trained_recall(spark, tmp_path):
     assert len(got & exact) >= 6  # recall >= 0.6 with nprobe=2/8
 
 
+def test_ivf_rerank_matches_direct_and_backfills(spark, tmp_path):
+    """The int8 first pass inside the probed clusters must not change
+    the top-k vs the direct exact scan, and layouts written before the
+    code columns existed must be backfilled in-plan."""
+    from langchain_memvid_spark.core.ivf import IVFIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx, assigned = IVFIndex.build(emb, nlist=8)
+    assert "qvec" in assigned.columns  # codes persisted with the layout
+    idx.write_layout(assigned, str(tmp_path / "ivf"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    reranked = [(r["vec_id"], r["sim"]) for r in idx.search(spark, qvec, k=5, nprobe=2, rerank_candidates=64).collect()]
+    direct = [(r["vec_id"], r["sim"]) for r in idx.search(spark, qvec, k=5, nprobe=2, rerank_candidates=0).collect()]
+    assert reranked == direct
+
+    # legacy layout without code columns: search must backfill and agree
+    legacy = IVFIndex(idx.centroids)
+    legacy.write_layout(assigned.drop("qscale", "qvec"), str(tmp_path / "ivf_legacy"))
+    legacy_res = [(r["vec_id"], r["sim"]) for r in legacy.search(spark, qvec, k=5, nprobe=2, rerank_candidates=64).collect()]
+    assert legacy_res == direct
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salting must not change inner-join semantics: revenue by p_type
     via salted join == plain join."""

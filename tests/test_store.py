@@ -129,12 +129,59 @@ def test_storage_stats(store):
     assert st.payload_bytes > 0
 
 
+def test_two_phase_search_matches_direct(spark):
+    """int8 first pass -> exact re-rank must return the same top-k as the
+    direct exact scan, and the first pass must never touch the float
+    embedding column (it scans 1-byte codes only)."""
+    cfg = EngineConfig(index=IndexConfig(dim=64, rerank_candidates=32))
+    texts = [f"chunk {i} topic {i % 11} extra {i * 7 % 13}" for i in range(200)]
+    s = SparkVectorStore.from_texts(texts, spark, config=cfg)
+    qv = s.embeddings.embed_query("chunk 42 topic 9 extra 6")
+    n = sum(x * x for x in qv) ** 0.5
+    qv = [x / n for x in qv]
+
+    # phase-1 scan reads codes, not floats: the cached-table scan must be
+    # column-pruned to (doc_id, qscale, qvec). The full plan string still
+    # mentions `embedding` inside the InMemoryRelation build lineage, so
+    # assert on the scan line itself.
+    p1 = s._phase1_candidates(qv, 32)
+    plan = p1._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "InMemoryTableScan" in l]
+    assert scan_lines, plan
+    assert all("qvec" in l and "embedding" not in l for l in scan_lines), scan_lines
+
+    two_phase = [(r["doc_id"], round(r["similarity"], 6)) for r in s._topk(qv, 5).collect()]
+    s.config.index.rerank_candidates = 0
+    direct = [(r["doc_id"], round(r["similarity"], 6)) for r in s._topk(qv, 5).collect()]
+    s.config.index.rerank_candidates = 32
+    assert two_phase == direct
+
+
 def test_save_load_roundtrip(spark, tmp_path):
     s = SparkVectorStore.from_texts(["p", "q"], spark)
     s.save(str(tmp_path / "store"))
     s2 = SparkVectorStore.load(str(tmp_path / "store"), spark)
     assert s2.get_document_count() == 2
     assert {d["page_content"] for d in s2.get_all_documents()} == {"p", "q"}
+
+
+def test_load_backfills_pre_qvec_saves(spark, tmp_path):
+    """A store saved before the int8 code columns existed must still
+    load, append, and search (codes recomputed from the float vectors)."""
+    s = SparkVectorStore.from_texts(["old a", "old b", "old c"], spark)
+    s.save(str(tmp_path / "new"))
+    legacy = str(tmp_path / "legacy")
+    spark.read.parquet(str(tmp_path / "new/doc_index")).drop("qscale", "qvec").write.parquet(
+        legacy + "/doc_index"
+    )
+    spark.read.parquet(str(tmp_path / "new/payload")).write.parquet(legacy + "/payload")
+
+    s2 = SparkVectorStore.load(legacy, spark)
+    assert "qvec" in s2.doc_index.columns
+    s2.add_texts(["new d"])  # unionByName must not fail on missing columns
+    assert s2.get_document_count() == 4
+    res = s2.similarity_search_with_score("new d", k=1)
+    assert res[0][0]["page_content"] == "new d"
 
 
 def test_concurrent_similarity_search_thread_safety(store):
