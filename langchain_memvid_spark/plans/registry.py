@@ -2978,43 +2978,63 @@ _DRIVER_GREEN = {
     "q19_disjunctive_revenue", "priority_balance_full_outer",
     "building_without_urgent_except", "cheapest_parts_per_type",
     "multimodal_features", "lsh_ann_search", "approx_distinct_stats",
+    # CORRECTNESS_r03.json: 49 full passes (multimodal_features stayed
+    # rows-only).  New greens not already listed above:
+    "knn_topk_requantized", "stream_dedup_within_watermark",
+    "udtf_bigram_counts", "window_function_showcase",
+    "quality_filter_summary", "pretrain_pipeline_stats",
+    "orders_unpivot", "q21_sole_late_supplier", "sql_interface_demo",
+    "dense_hourly_counts", "cohort_retention", "filtered_aggregates",
+    "per_user_zscore", "order_age_buckets", "part_name_string_ops",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 3:
-# their old driver rows (green or absent) don't reflect current code, so
-# they must land inside the driver's ~50-query budget.  Grown as round-3
-# work lands: the global-window rewrites (rolling_30d_revenue,
-# customer_quartiles), the ngram_jaccard df-pass fix, the
-# multimodal_features real-stats oracle upgrade, and every new round-3
-# query (quantized search path, video codec, streaming store ingest).
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 4:
+# their old driver rows don't reflect current code, so they must land
+# inside the driver's ~50-query budget.  ONLY names whose change has
+# actually landed belong here (the r3 list claimed work that never
+# shipped — VERDICT r3 "What's wrong" #3); grown as round-4 work lands.
 _CHANGED_THIS_ROUND = (
-    "rolling_30d_revenue",
-    "customer_quartiles",
-    "ngram_jaccard",
-    "stream_near_dedup",
-    "multimodal_features",
+    # phase-1 ranking debiased to qscore*scale; oracle updated to match
     "knn_topk_requantized",
-    "video_header_info",
-    "stream_ingest_store",
+    # same int8_dot refactor (identical expression, output unchanged)
+    "knn_topk_quantized",
+    # IVF layout now persists int8 codes; search reranks inside probes
+    "ivf_kmeans_search",
 )
 
 
-# Stale-green rotation (VERDICT r2 "Next round" #2): r1-only greens that
-# were never re-verified in round 2.  Placed after the never-checked
-# pending tier so the driver re-verifies the oldest greens with whatever
-# budget remains; rotate this list each round so every query gets hard
-# driver signal at least every ~2 rounds.
+# Stale-green rotation: greens whose newest driver row is oldest come
+# first.  Round 4 rotates onto (a) r1-greens the r3 sweep did not
+# re-check, then (b) r2-greens not re-checked in r3; the r3-checked
+# queries drop to the green tier.  Rotate each round so every query
+# gets hard driver signal at least every ~2 rounds.
 _STALE_ROTATION = (
-    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-    "top_customers_per_nation", "orders_rollup", "running_revenue",
-    "customers_without_orders", "urgent_building_customers",
-    "scalar_showcase", "events_hourly", "events_sessionize",
-    "events_json_stats", "knn_topk", "knn_batch", "ivf_search",
-    "dedup_exact", "simhash", "embedding_cosine_pairs",
-    "text_token_counts", "text_quality", "text_lang_id",
-    "text_fingerprint", "vs_essential_projection", "vs_point_lookup",
-    "vs_semi_join", "vs_storage_stats",
+    # r1-only signal (oldest)
+    "vs_delete_renumber", "q6_forecast_revenue", "q10_returned_items",
+    "q7_nation_volume", "orders_cube", "order_gaps",
+    "monthly_order_stats", "part_type_stats", "event_type_pivot",
+    "above_avg_customers", "doc_length_histogram", "knn_topk_l2",
+    "ivf_centroid_stats", "purchase_attribution", "price_percentiles",
+    "big_spender_customers", "q4_late_shipment_priority",
+    # r2 signal not re-checked in r3
+    "minhash_jaccard_estimates", "dedup_clusters", "canonical_docs",
+    "event_funnel", "value_outliers_iqr", "pretrain_pipeline_v2",
+    "udaf_median_price", "text_bpe_token_counts", "train_val_split",
+    "text_repetition_stats", "decontaminate", "pii_scrub",
+    "media_header_info", "dedup_clusters_star",
+    "q12_priority_by_returnflag", "q14_promo_revenue_share",
+    "q15_top_suppliers", "q18_large_orders", "q22_idle_rich_customers",
+    "q8_market_share", "q17_small_quantity_revenue",
+    "orders_grouping_sets", "simhash_near_pairs",
+    "stream_tumbling_counts", "stream_session_windows",
+    "stream_user_lifetime", "salted_skew_join",
+    "bucketed_colocated_join", "payload_roundtrip", "distinct_counts",
+    "vocab_top_terms", "stream_click_purchase_join",
+    "stream_sliding_activity", "chunk_documents", "chunk_dedup",
+    "tfidf_top_terms", "q19_disjunctive_revenue",
+    "priority_balance_full_outer", "building_without_urgent_except",
+    "cheapest_parts_per_type", "lsh_ann_search", "approx_distinct_stats",
 )
 
 
@@ -3022,9 +3042,9 @@ def _reorder_for_driver() -> None:
     """Stable-partition QUERIES into four tiers for the driver's capped
     (~50-query) correctness sweep:
 
-    1. changed   — round-3 output/impl changes; old rows are stale.
-    2. pending   — never had any driver row (the 14 from VERDICT r2).
-    3. rotation  — oldest r1-only greens, re-verified this round.
+    1. changed   — this round's output/impl changes; old rows are stale.
+    2. pending   — never had any driver row (new queries this round).
+    3. rotation  — oldest-signal greens, re-verified this round.
     4. green     — remaining driver-green entries.
     """
     global QUERIES
