@@ -1675,22 +1675,104 @@ def q_media_headers(spark, sf_dir):
 
 
 @_reg(
-    "multimodal_features",
-    None,  # fake-decoder features are Python-side — driver rows-only check
+    "video_header_info",
+    """
+WITH v AS (
+  SELECT doc_id, 16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+         1 + doc_id % 4 AS n, 5 + doc_id % 10 AS fps,
+         68 + (8 + doc_id % 5) * (16 + doc_id % 8 + 1) AS png
+  FROM documents)
+SELECT doc_id AS media_id,
+  (232 + n * (8 + png + png % 2) + 16 * n)::BIGINT AS content_bytes,
+  w::INT AS width, h::INT AS height, n::INT AS n_frames, fps::INT AS fps,
+  (n * png)::BIGINT AS frame_bytes, png::BIGINT AS first_frame_bytes
+FROM v
+""",
 )
-def q_multimodal(spark, sf_dir):
-    """Multimodal plumbing end-to-end: documents → synthetic binary
-    media column → Arrow-batched feature extraction (mapInPandas; the
-    decode itself is a deterministic stub — multimodal/binary.py)."""
+def q_video_headers(spark, sf_dir):
+    """Real video container codec, end-to-end: documents → spec-valid
+    AVI/RIFF blobs with PNG frames (encode_avi) → container walk
+    (parse_avi_info) that cross-checks avih's declared frame count
+    against the actual '00dc' chunks and the idx1 index. The oracle
+    predicts every parsed field AND the full container byte size in
+    closed form — agreement proves n_frames/fps/dims were parsed from
+    real container bytes. ≙ reference get_video_info + encode_video
+    (video/default.py:190-286,448-486; ffmpeg.py:288-349)."""
     from langchain_memvid_spark.multimodal import binary as mm
 
-    media = mm.synthesize_media(_t(spark, sf_dir, "documents"))
-    feats = mm.extract_features(media)
+    media = mm.synthesize_video_media(_t(spark, sf_dir, "documents"))
+    return mm.decode_video_info(media)
+
+
+@_reg(
+    "video_frames_extract",
+    """
+WITH v AS (
+  SELECT doc_id, 16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+         1 + doc_id % 4 AS n,
+         68 + (8 + doc_id % 5) * (16 + doc_id % 8 + 1) AS png
+  FROM documents)
+SELECT doc_id AS media_id, fno::INT AS frame_no, png::BIGINT AS frame_bytes,
+  w::INT AS frame_width, h::INT AS frame_height
+FROM v, LATERAL (SELECT unnest(range(0, n)) AS fno) f
+""",
+)
+def q_video_frames(spark, sf_dir):
+    """Frame extraction from the AVI containers: explode each video
+    into per-frame rows and re-parse each extracted frame's PNG header
+    (CRC-validated). ≙ reference decode_video frame generator + QR
+    extract (video/default.py:244-286,288-322), distributed: different
+    videos' frames decode on different partitions."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    media = mm.synthesize_video_media(_t(spark, sf_dir, "documents"))
+    return mm.extract_video_frames(media)
+
+
+@_reg(
+    "multimodal_features",
+    """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+  32 AS feature_dim,
+  CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 8 ELSE 0 END::INT AS f_width,
+  CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 5 ELSE 0 END::INT AS f_height,
+  CASE WHEN doc_id % 2 = 1 THEN 8 + doc_id % 4 ELSE 0 END::INT AS f_rate_khz,
+  CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 2 ELSE 0 END::INT AS f_channels,
+  CASE WHEN doc_id % 2 = 0
+       THEN 57 + (8 + doc_id % 5) * (16 + doc_id % 8 + 1) + 11
+       ELSE 44 + (100 + doc_id % 50) * (1 + doc_id % 2) * 2
+  END::BIGINT AS f_bytes,
+  1.0::DOUBLE AS hist_mass
+FROM documents
+""",
+)
+def q_multimodal(spark, sf_dir):
+    """Multimodal feature extraction over REAL decoded bytes: documents
+    → spec-valid PNG/WAV blobs → Arrow-batched mapInPandas running the
+    chunk-walking parsers + byte-statistics tower (decoder='real',
+    multimodal/binary.py). The oracle predicts the header-derived
+    feature components in closed form from doc_id, and the 16-slot
+    nibble histogram must carry unit mass — agreement proves the
+    features came from parsing actual encoded bytes, not a stub.
+    ≙ reference frame decode + feature path (video/default.py:244-322)."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    media = mm.synthesize_real_media(_t(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media, decoder="real")
+    f = F.col("features")
     return feats.select(
         "media_id",
         "media_type",
         F.size("features").alias("feature_dim"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
+        F.element_at(f, 1).cast("int").alias("f_width"),
+        F.element_at(f, 2).cast("int").alias("f_height"),
+        F.element_at(f, 3).cast("int").alias("f_rate_khz"),
+        F.element_at(f, 4).cast("int").alias("f_channels"),
+        F.element_at(f, 5).cast("long").alias("f_bytes"),
+        F.round(
+            F.aggregate(F.slice(f, 9, 16), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("hist_mass"),
     )
 
 
@@ -2176,6 +2258,43 @@ def q_stream_near_dedup(spark, sf_dir):
     dedup_stream = _sd.near_dedup_stream(d1.unionByName(d2))
     name = f"reg_sneardedup_{next(_STREAM_SEQ)}"
     return _ev.run_to_memory(dedup_stream, name, mode="append", state_partitions=8)
+
+
+@_reg(
+    "stream_ingest_store",
+    """
+SELECT doc_id, sha256(text) AS text_sha,
+  sha256('{"lang":"' || lang || '","source":"' || source || '"}') AS meta_hash,
+  64 AS dim, 64 AS qdim
+FROM documents
+""",
+)
+def q_stream_ingest_store(spark, sf_dir):
+    """Streaming add_texts into the store's index table: document feed
+    → watermarked exact-text dedup → embed → int8 codes → exactly-once
+    parquet sink (streaming/documents.py:stream_ingest_store). The
+    oracle recomputes the text sha and the canonical metadata_hash
+    closed-form, proving the sunk rows carry the batch add_texts
+    columns; full column-level batch-parity (embeddings, codes) is
+    asserted by tests/test_streaming.py."""
+    import tempfile
+
+    from langchain_memvid_spark.streaming import documents as _sd
+
+    base = tempfile.mkdtemp(prefix="stream_ingest_")
+    out = _sd.stream_ingest_store(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        f"{base}/table",
+        f"{base}/ckpt",
+    )
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.col("metadata_hash").alias("meta_hash"),
+        F.size("embedding").alias("dim"),
+        F.size("qvec").alias("qdim"),
+    )
 
 
 @_reg(
@@ -3001,6 +3120,8 @@ _CHANGED_THIS_ROUND = (
     "knn_topk_quantized",
     # IVF layout now persists int8 codes; search reranks inside probes
     "ivf_kmeans_search",
+    # rows-only -> real-decoder features with a closed-form oracle
+    "multimodal_features",
 )
 
 

@@ -46,6 +46,72 @@ def read_documents_stream(
     return reader.parquet(path)
 
 
+def stream_ingest_store(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    dim: int = 64,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ``add_texts``: a document feed flows through the
+    store's ingest pipeline — watermarked exact-text dedup (the
+    streaming flavor of the batch anti-join, reference index.py:202-218)
+    → embed (Arrow pandas_udf) → L2-normalize → metadata hash → int8
+    codes — and lands in the index table through the exactly-once
+    parquet sink (streaming/events.py:284: each microbatch commits
+    atomically via the checkpoint WAL, so restarts never duplicate).
+
+    ≙ reference repeated add_texts sessions
+    (/root/reference/src/langchain_memvid/vectorstore.py:174-225), with
+    the divergence SURVEY §4 prescribes: appends accumulate instead of
+    clobbering the archive. Returns a batch read of the ingested table;
+    rows are column-identical to batch ``SparkVectorStore.add_texts``
+    on the same documents (asserted by the parity test)."""
+    from langchain_memvid_spark.embeddings import HashEmbeddings
+    from langchain_memvid_spark.functions.vector import l2_normalize
+    from langchain_memvid_spark.operators.quantize import quantize_cols
+    from langchain_memvid_spark.streaming.events import start_parquet_sink
+
+    emb = HashEmbeddings(dim)
+    stream = read_documents_stream(spark, docs_path)
+    # canonical metadata JSON: keys sorted (lang < source), separators
+    # (",", ":") — byte-identical to store._canonical_meta_json so the
+    # sha256 metadata_hash matches the batch path exactly
+    meta_json = F.concat(
+        F.lit('{"lang":"'), F.col("lang"),
+        F.lit('","source":"'), F.col("source"), F.lit('"}'),
+    )
+    staged = (
+        stream.withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(INGEST_EPOCH) + F.pmod(F.col("doc_id"), F.lit(INGEST_SPAN_SECONDS))
+            ),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text"])
+        .withColumn("metadata_json", meta_json)
+        .withColumn("metadata_hash", F.sha2(F.col("metadata_json"), 256))
+        # two steps: the analyzer rejects a Python UDF result referenced
+        # directly inside a higher-order function's lambda
+        .withColumn("embedding", emb.udf()(F.col("text")))
+        .withColumn("embedding", l2_normalize(F.col("embedding")))
+    )
+    qscale, qvec = quantize_cols(F.col("embedding"))
+    staged = (
+        staged.withColumn("qscale", qscale)
+        .withColumn("qvec", qvec)
+        .select(
+            "doc_id", "text", "source", "metadata_json", "metadata_hash",
+            "embedding", "qscale", "qvec",
+        )
+    )
+    q = start_parquet_sink(staged, out_path, checkpoint_path)
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
 def near_dedup_stream(documents: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming near-dup suppression: sign each arriving doc (SimHash,
     one stateless Arrow map — no shuffle), then keep the first document

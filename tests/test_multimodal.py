@@ -74,6 +74,43 @@ def test_real_media_decode_end_to_end(spark, sf_dir):
     assert feats[1]["features"][2] == 9.0  # sample_rate/1000
 
 
+def test_avi_roundtrip_and_validation():
+    frames = [mm.encode_png(20, 10, mm._stretch_bytes(b"f%d" % i, 200)) for i in range(3)]
+    blob = mm.encode_avi(20, 10, frames, fps=7)
+    info = mm.parse_avi_info(blob)
+    png = 68 + 10 * 21
+    assert info == {
+        "width": 20, "height": 10, "n_frames": 3, "fps": 7,
+        "frame_bytes": 3 * png, "first_frame_bytes": png,
+    }
+    assert len(blob) == 232 + 3 * (8 + png + png % 2) + 16 * 3
+    # declared/actual frame-count mismatch must be caught: zero out the
+    # avih total-frames field (offset: RIFF 12 + LIST hdr 12 + 'avih'+size 8
+    # + 16 bytes into avih payload)
+    bad = bytearray(blob)
+    bad[12 + 12 + 8 + 16 : 12 + 12 + 8 + 20] = b"\x63\x00\x00\x00"
+    with pytest.raises(ValueError, match="frames"):
+        mm.parse_avi_info(bytes(bad))
+
+
+def test_video_decode_end_to_end(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    vids = mm.synthesize_video_media(docs)
+    decoded = {r["media_id"]: r for r in mm.decode_video_info(vids).collect()}
+    assert len(decoded) == 500
+    for mid in (0, 1, 7):
+        r = decoded[mid]
+        assert r["width"] == 16 + mid % 8 and r["height"] == 8 + mid % 5
+        assert r["n_frames"] == 1 + mid % 4 and r["fps"] == 5 + mid % 10
+    # per-frame extraction re-parses every PNG frame
+    frames = mm.extract_video_frames(vids.filter(F.col("media_id") < 8))
+    rows = frames.orderBy("media_id", "frame_no").collect()
+    assert len(rows) == sum(1 + m % 4 for m in range(8))
+    for r in rows:
+        assert r["frame_width"] == 16 + r["media_id"] % 8
+        assert r["frame_height"] == 8 + r["media_id"] % 5
+
+
 def test_resize_changes_dims(media):
     out = mm.resize_images(media, 32, 24)
     row = out.limit(1).collect()[0]

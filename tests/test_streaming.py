@@ -141,3 +141,32 @@ def test_stream_near_dedup_matches_batch_signature_set(spark, sf_dir):
     )
     batch = simhash(load_table(spark, sf_dir, "documents")).select("simhash").distinct()
     assert _sorted_rows(got, ["simhash"]) == _sorted_rows(batch, ["simhash"])
+
+
+def test_stream_ingest_store_matches_batch_add_texts(spark, sf_dir, tmp_path_factory):
+    """Streaming ingest through the exactly-once sink must produce rows
+    column-identical to batch SparkVectorStore.add_texts on the same
+    documents: same texts, same metadata hashes, same (normalized)
+    embeddings, same int8 codes."""
+    from langchain_memvid_spark import SparkVectorStore
+    from langchain_memvid_spark.streaming import documents as sd
+
+    base = tmp_path_factory.mktemp("ingest")
+    streamed = sd.stream_ingest_store(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        str(base / "table"),
+        str(base / "ckpt"),
+    )
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").collect()
+    store = SparkVectorStore.from_texts(
+        [r["text"] for r in docs],
+        spark,
+        metadatas=[{"lang": r["lang"], "source": r["source"]} for r in docs],
+    )
+    cols = ["doc_id", "text", "metadata_hash", "embedding", "qscale", "qvec"]
+    got = _sorted_rows(streamed, cols)
+    want = _sorted_rows(store.doc_index, cols)
+    assert len(got) == len(docs)
+    assert got == want
