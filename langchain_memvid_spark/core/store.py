@@ -369,6 +369,17 @@ class SparkVectorStore:
         """All queries in ONE scored join — replaces the reference's
         sequential per-query loop (retriever.py:110-136). Queries side
         is broadcast; per-query top-k via window row_number.
+
+        When the corpus exceeds config.index.rerank_candidates (and the
+        metric is cosine/ip), the join runs two-phase like the single-
+        query path: phase 1 scores every (doc, query) pair on the stored
+        1-byte int8 codes (ranked by qscore·qscale, debiased) and keeps
+        the top candidates per query; only those (query, doc) pairs
+        touch the float column for the exact re-rank. The heavy
+        all-pairs pass scans 4× fewer bytes — at 100 TB that is the
+        difference between scanning the corpus once in codes vs once in
+        floats per query batch.
+
         Returns DataFrame(query_id, doc_id, text, similarity, rank)."""
         import math
 
@@ -378,16 +389,40 @@ class SparkVectorStore:
             if self.config.index.metric == "cosine":
                 n = math.sqrt(sum(x * x for x in v)) or 1.0
                 v = [x / n for x in v]
-            qrows.append((qid, qtext, [float(x) for x in v]))
-        # __qv, not "qvec": the doc_index carries its own qvec (int8 codes)
-        # column, and an unqualified name would be AMBIGUOUS after the join.
-        # Project the index down to the three columns scoring needs so the
-        # codes/payload columns never enter the join at all.
+            s = max((abs(x) for x in v), default=0.0) or 1e-30
+            qcodes = [int(math.floor(x / s * 127 + 0.5)) for x in v]
+            qrows.append((qid, qtext, [float(x) for x in v], qcodes))
+        # __qv/__qc, not "qvec": the doc_index carries its own qvec (int8
+        # codes) column, and an unqualified name would be AMBIGUOUS after
+        # the join. Project the index down to the columns each phase
+        # needs so the payload columns never enter the join at all.
         qdf = self.spark.createDataFrame(
-            qrows, "query_id LONG, query STRING, __qv ARRAY<DOUBLE>"
+            qrows, "query_id LONG, query STRING, __qv ARRAY<DOUBLE>, __qc ARRAY<INT>"
         )
-        docs = self._doc_index.select("doc_id", "text", "embedding")
-        joined = docs.crossJoin(F.broadcast(qdf))
+        cand = self.config.index.rerank_candidates
+        if self.config.index.metric != "l2" and 0 < cand < self._count:
+            codes = self._doc_index.select("doc_id", "qscale", "qvec")
+            p1 = (
+                codes.crossJoin(F.broadcast(qdf.select("query_id", "__qc")))
+                .withColumn("__qscore", int8_dot(F.col("qvec"), F.col("__qc")))
+            )
+            w1 = Window.partitionBy("query_id").orderBy(
+                (F.col("__qscore").cast("double") * F.col("qscale")).desc(),
+                F.col("doc_id").asc(),
+            )
+            cands = (
+                p1.withColumn("__r", F.row_number().over(w1))
+                .filter(F.col("__r") <= max(cand, k))
+                .select("query_id", "doc_id")
+            )
+            docs = self._doc_index.select("doc_id", "text", "embedding")
+            joined = (
+                docs.join(F.broadcast(cands), "doc_id")
+                .join(F.broadcast(qdf), "query_id")
+            )
+        else:
+            docs = self._doc_index.select("doc_id", "text", "embedding")
+            joined = docs.crossJoin(F.broadcast(qdf))
         if self.config.index.metric == "l2":
             scored = joined.withColumn("similarity", l2_sq(F.col("embedding"), F.col("__qv")))
             order = [F.col("similarity").asc(), F.col("doc_id").asc()]

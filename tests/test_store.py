@@ -157,6 +157,25 @@ def test_two_phase_search_matches_direct(spark):
     assert two_phase == direct
 
 
+def test_batch_search_two_phase_matches_direct(spark):
+    cfg = EngineConfig(index=IndexConfig(dim=64, rerank_candidates=32))
+    texts = [f"item {i} group {i % 9} tag {i * 3 % 17}" for i in range(150)]
+    s = SparkVectorStore.from_texts(texts, spark, config=cfg)
+    queries = [texts[7], "item 12 group 3 tag 2", "something else entirely"]
+    two_phase = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["similarity"], 6))
+        for r in s.batch_search(queries, k=4).collect()
+    )
+    s.config.index.rerank_candidates = 0
+    direct = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["similarity"], 6))
+        for r in s.batch_search(queries, k=4).collect()
+    )
+    s.config.index.rerank_candidates = 32
+    assert two_phase == direct
+    assert len(two_phase) == 12
+
+
 def test_save_load_roundtrip(spark, tmp_path):
     s = SparkVectorStore.from_texts(["p", "q"], spark)
     s.save(str(tmp_path / "store"))
