@@ -1247,6 +1247,39 @@ def q_ivf_kmeans(spark, sf_dir):
 
 
 @_reg(
+    "pq_search",
+    None,  # per-subspace KMeans codebooks are not SQL-expressible — rows-only
+)
+def q_pq_search(spark, sf_dir):
+    """Product-quantized ANN (operators/pq.py): 32× compressed m-byte
+    codes ranked by ADC table lookups (pure JVM), exact re-rank of the
+    survivors. The sub-byte tier of the quantization ladder below the
+    int8 path (knn_topk_requantized). Reference analog: the FAISS IVFPQ
+    index type the reference names but never trains (config.py:111-134)."""
+    from langchain_memvid_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq.pq_train(emb, m=8, k=16)
+    coded = pq.pq_assign(emb, cbs)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return pq.pq_topk(coded, cbs, qvec, k=10, rerank=50)
+
+
+@_reg(
+    "pq_compression_stats",
+    None,  # codebooks from KMeans — rows-only (1 summary row)
+)
+def q_pq_stats(spark, sf_dir):
+    """PQ space/quality summary: bytes per vector before/after (256→8
+    at dim 64), compression ratio, mean reconstruction cosine."""
+    from langchain_memvid_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq.pq_train(emb, m=8, k=16)
+    return pq.pq_compression_stats(pq.pq_assign(emb, cbs), cbs)
+
+
+@_reg(
     "big_spender_customers",
     """
 SELECT c_custkey, c_name, c_mktsegment

@@ -247,6 +247,39 @@ def test_ivf_rerank_matches_direct_and_backfills(spark, tmp_path):
     assert legacy_res == direct
 
 
+def test_pq_search_recall_and_compression(spark):
+    """PQ: self-match must survive, ADC+rerank recall vs exact top-10
+    must clear 0.5 even on uniform random vectors (the hard case), and
+    the ADC first pass must read codes, not floats."""
+    from langchain_memvid_spark.functions.vector import cosine_sim
+    from langchain_memvid_spark.operators import pq
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    cbs = pq.pq_train(emb, m=8, k=16)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    coded = pq.pq_assign(emb, cbs).cache()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    got = [r["vec_id"] for r in pq.pq_topk(coded, cbs, qvec, k=10, rerank=50).collect()]
+    assert got[0] == 0  # exact re-rank puts the self-match first
+    q = F.array(*[F.lit(x) for x in qvec])
+    exact = [
+        r["vec_id"]
+        for r in emb.withColumn("s", cosine_sim(F.col("embedding"), q))
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert len(set(got) & set(exact)) >= 5
+
+    stats = pq.pq_compression_stats(coded, cbs).collect()[0]
+    assert stats["code_bytes_per_vec"] == 8
+    assert stats["compression_ratio"] == 32.0
+    assert stats["mean_recon_cos"] > 0.5
+    emb.unpersist()
+    coded.unpersist()
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salting must not change inner-join semantics: revenue by p_type
     via salted join == plain join."""
