@@ -60,6 +60,10 @@ EXTENDED = [
     "pretrain_pipeline_v2",
     "media_header_info",
     "stream_near_dedup",
+    # round-4 operators
+    "knn_topk_requantized",
+    "video_header_info",
+    "stream_ingest_store",
 ]
 
 
