@@ -622,3 +622,100 @@ def orders_grouping_sets(orders: DataFrame) -> DataFrame:
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         )
     )
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    keyword: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the testdata has no partsupp, so
+    p_retailprice·quantity·0.1 stands in for ps_supplycost): profit by
+    supplier nation and order year over the keyword-matched parts.
+    Plan: the filtered part dim and supplier→nation dims broadcast; the
+    one shuffled join is lineitem⋈orders on orderkey; profit
+    accumulates in DECIMAL before the final double cast."""
+    p = part.filter(F.col("p_name").contains(keyword)).select("p_partkey", "p_retailprice")
+    s = supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "n_name"
+    )
+    amount = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1,
+        4,
+    )
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"), F.count("*").alias("n_lines"))
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts INCLUDING
+    zero — a left outer join with the filter in the JOIN CONDITION (an
+    ON-clause predicate on the right side must not eliminate unmatched
+    customers; pushing it to a WHERE would). Two aggregations: count
+    per customer, then histogram over counts."""
+    j = customer.select("c_custkey").join(
+        orders.filter(F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+def q16_supplier_counts(
+    part: DataFrame,
+    lineitem: DataFrame,
+    excluded_brand: str = "Brand#5",
+    sizes: tuple[int, ...] = (1, 4, 9, 16, 25, 36, 49),
+) -> DataFrame:
+    """TPC-H Q16 shape (adapted: lineitem is the part↔supplier bridge
+    since the testdata has no partsupp): distinct suppliers per
+    (brand, type, size) over a size IN-list with a brand exclusion.
+    COUNT(DISTINCT) expands to a two-phase agg; the part dim filter
+    pushes to the scan."""
+    p = part.filter(
+        (F.col("p_brand") != excluded_brand) & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_shipments(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    keyword: str = "blue",
+    year: int = 1997,
+    min_qty: float = 50.0,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped quantity of the
+    keyword-matched parts within one year exceeds a threshold — an
+    aggregate-then-semi-join chain (IN over a GROUP BY ... HAVING
+    subquery). The part filter broadcasts into the lineitem scan; the
+    supplier table is probed with a left-semi join, never duplicated."""
+    p = part.filter(F.col("p_name").contains(keyword)).select("p_partkey")
+    heavy = (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q").cast("double") > min_qty)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )

@@ -1266,6 +1266,34 @@ def q_pq_search(spark, sf_dir):
 
 
 @_reg(
+    "ivfpq_search",
+    None,  # KMeans clusters + codebooks — rows-only
+)
+def q_ivfpq_search(spark, sf_dir):
+    """Full FAISS-IVFPQ analog: KMeans-partitioned layout carrying PQ
+    codes, searched with every pruning layer composed — (1) centroid
+    probing prunes to nprobe/nlist of the files (PartitionFilters),
+    (2) ADC over the m-byte codes ranks the surviving rows JVM-side,
+    (3) exact re-rank touches the float column for the finalists only.
+    At 100 TB: scan nprobe/nlist of the files, read ~m bytes per
+    surviving row, float math on `rerank` rows."""
+    import tempfile
+
+    from langchain_memvid_spark.core.ivf import IVFIndex
+    from langchain_memvid_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx, assigned = IVFIndex.build(emb, nlist=8)
+    cbs = pq.pq_train(emb, m=8, k=16)
+    coded = pq.pq_assign(assigned, cbs)
+    idx.write_layout(coded, tempfile.mkdtemp(prefix="ivfpq_layout_"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probes = idx.probe_clusters(qvec, nprobe=2)
+    corpus = spark.read.parquet(idx.path).filter(F.col("cluster_id").isin(probes))
+    return pq.pq_topk(corpus, cbs, qvec, k=10, rerank=50)
+
+
+@_reg(
     "pq_compression_stats",
     None,  # codebooks from KMeans — rows-only (1 summary row)
 )
@@ -1448,6 +1476,82 @@ WHERE l_quantity < 0.2 * avg_qty
 def q_q17(spark, sf_dir):
     return relational.q17_small_quantity_revenue(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_reg(
+    "q9_product_profit",
+    f"""
+SELECT n_name, year(o_orderdate)::INT AS o_year,
+  {dsum('l_extendedprice*(1-l_discount) - p_retailprice*l_quantity*0.1', 4)} AS profit,
+  count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def q_q9(spark, sf_dir):
+    return relational.q9_product_profit(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_reg(
+    "q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) cc
+GROUP BY c_count
+""",
+)
+def q_q13(spark, sf_dir):
+    return relational.q13_customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_reg(
+    "q16_supplier_counts",
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1,4,9,16,25,36,49)
+GROUP BY 1, 2, 3
+""",
+)
+def q_q16(spark, sf_dir):
+    return relational.q16_supplier_counts(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_reg(
+    "q20_excess_shipments",
+    """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+  GROUP BY l_suppkey
+  HAVING CAST(sum(CAST(round(l_quantity,2) AS DECIMAL(18,2))) AS DOUBLE) > 50.0)
+""",
+)
+def q_q20(spark, sf_dir):
+    return relational.q20_excess_shipments(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
     )
 
 

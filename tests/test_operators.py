@@ -280,6 +280,27 @@ def test_pq_search_recall_and_compression(spark):
     coded.unpersist()
 
 
+def test_ivfpq_composed_search(spark, tmp_path):
+    """IVFPQ composition: partition-pruned scan + ADC ranking + exact
+    re-rank must find the self-match and the plan must show partition
+    filters on cluster_id."""
+    from langchain_memvid_spark.core.ivf import IVFIndex
+    from langchain_memvid_spark.operators import pq
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx, assigned = IVFIndex.build(emb, nlist=8)
+    cbs = pq.pq_train(emb, m=8, k=16)
+    idx.write_layout(pq.pq_assign(assigned, cbs), str(tmp_path / "ivfpq"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probes = idx.probe_clusters(qvec, nprobe=2)
+    corpus = spark.read.parquet(idx.path).filter(F.col("cluster_id").isin(probes))
+    res = pq.pq_topk(corpus, cbs, qvec, k=5, rerank=30)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    rows = res.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["sim"] == 1.0
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salting must not change inner-join semantics: revenue by p_type
     via salted join == plain join."""
