@@ -275,3 +275,80 @@ def train_val_split(
         .otherwise("train")
         .alias("split"),
     )
+
+
+def sequence_packing(
+    documents: DataFrame, budget: int = 512, text_col: str = "text"
+) -> DataFrame:
+    """Concat-and-chunk sample packing: documents are laid end-to-end
+    in doc_id order and cut into fixed-token training sequences —
+    each doc gets the sequence id and offset where it STARTS (docs may
+    straddle a boundary, as in standard pretraining packing).
+
+    The global token prefix-sum would be an unpartitioned window
+    (Exchange SinglePartition — fatal at 100 TB); instead it runs as
+    the two-phase range-partition pattern (operators/scale_windows.py):
+    per-partition window sums + a broadcast O(#partitions) offset
+    table. seq_id/offset come from integer division of the exclusive
+    prefix (`div`), exact at any corpus size — no doubles."""
+    from pyspark.sql import Window
+
+    from langchain_memvid_spark.operators.scale_windows import (
+        _num_range_partitions,
+        _two_phase_offsets,
+    )
+
+    toks = documents.select(
+        "doc_id", token_count(F.col(text_col)).alias("n_tokens")
+    )
+    ranged = toks.repartitionByRange(_num_range_partitions(toks), "doc_id")
+    pinned, offsets_df, _total = _two_phase_offsets(ranged, F.col("n_tokens"))
+    w = Window.partitionBy("__pid").orderBy("doc_id")
+    return (
+        pinned.withColumn("__local", F.sum("n_tokens").over(w))
+        .join(F.broadcast(offsets_df), "__pid")
+        .withColumn(
+            "__cum_excl",
+            (F.col("__off") + F.col("__local") - F.col("n_tokens")).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"__cum_excl div {budget}").alias("seq_id"),
+            F.pmod(F.col("__cum_excl"), F.lit(budget)).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+# Domain mixing rates in basis points (rate·10000); sources absent from
+# the map fall back to the default. Fixed here so the oracle can inline
+# the same table; a real pipeline feeds its mixture config in.
+DOMAIN_RATES_BP = {"src0": 10000, "src1": 8000, "src2": 5000, "src3": 2500}
+DOMAIN_DEFAULT_BP = 7500
+
+
+def domain_weighted_sample(
+    documents: DataFrame,
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DOMAIN_DEFAULT_BP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic domain-mixing sampler: keep each document with a
+    per-source rate (web-dump downweighted, curated sources kept) by
+    hashing the TEXT into 10,000 buckets and keeping buckets below
+    rate·10⁴. Hash-on-text (not id) means the same document keeps the
+    same fate across corpus versions and exact duplicates never
+    diverge; integer basis points avoid float-boundary drift between
+    engines. Pure Catalyst scan — no shuffle, no RNG state."""
+    from langchain_memvid_spark.functions.hashing import stable_hash64
+
+    rates = rates_bp if rates_bp is not None else DOMAIN_RATES_BP
+    bkt = F.pmod(stable_hash64(F.col(text_col), salt="mix:"), F.lit(10000))
+    rate = F.lit(default_bp)
+    for src, bp in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(bp)).otherwise(rate)
+    return (
+        documents.select("doc_id", "source", bkt.alias("bucket"), rate.alias("rate_bp"))
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select("doc_id", "source", "bucket")
+    )

@@ -633,6 +633,44 @@ def q_tokens(spark, sf_dir):
     return textops.token_counts(_t(spark, sf_dir, "documents"))
 
 
+@_reg(
+    "sequence_packing",
+    f"""
+WITH t AS (SELECT doc_id, len({TOKS})::INT AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS cum_excl FROM t)
+SELECT doc_id, n_tokens, cum_excl // 512 AS seq_id, cum_excl % 512 AS seq_offset
+FROM c
+""",
+)
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sample packing into 512-token training
+    sequences — the global token prefix sum runs as the scale-safe
+    two-phase range-partition pattern, never a SinglePartition window
+    (operators/textops.py:sequence_packing)."""
+    return textops.sequence_packing(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "domain_weighted_sample",
+    f"""
+SELECT doc_id, source, bkt AS bucket FROM (
+  SELECT doc_id, source,
+    {{h}} % 10000 AS bkt
+  FROM documents) s
+WHERE bkt < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+                        WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
+                        ELSE 7500 END
+""".format(h="('0x' || substring(sha256(concat('mix:', CAST(text AS VARCHAR))), 1, 15))::BIGINT"),
+)
+def q_domain_sample(spark, sf_dir):
+    """Deterministic domain-mixing sampler: per-source keep rates in
+    integer basis points over a text-hash bucket — the data-mixture
+    step of a pretraining pipeline, reproducible across engines and
+    corpus versions (operators/textops.py:domain_weighted_sample)."""
+    return textops.domain_weighted_sample(_t(spark, sf_dir, "documents"))
+
+
 def _quality_sql() -> str:
     sw_list = ",".join(f"'{w}'" for w in STOPWORDS_EN)
     toks_lower = "string_split_regex(trim(lower(text)),'\\s+')"

@@ -301,6 +301,39 @@ def test_ivfpq_composed_search(spark, tmp_path):
     assert rows[0]["vec_id"] == 0 and rows[0]["sim"] == 1.0
 
 
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing must be a contiguous concat-and-chunk: offsets advance by
+    exactly n_tokens across doc order (mod budget), seq ids are
+    non-decreasing, and the plan has no single-partition window."""
+    from langchain_memvid_spark.operators.textops import sequence_packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sequence_packing(docs, budget=512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    cum = 0
+    for r in rows:
+        assert r["seq_id"] == cum // 512
+        assert r["seq_offset"] == cum % 512
+        cum += r["n_tokens"]
+
+
+def test_domain_weighted_sample_rates(spark, sf_dir):
+    """Kept fraction per source must track its configured rate, and the
+    same text must always get the same fate (deterministic)."""
+    from langchain_memvid_spark.operators.textops import domain_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept1 = domain_weighted_sample(docs)
+    kept2 = domain_weighted_sample(docs)
+    ids1 = {r["doc_id"] for r in kept1.collect()}
+    assert ids1 == {r["doc_id"] for r in kept2.collect()}
+    by_src = {r["source"]: r["n"] for r in kept1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("src0", 0) == 25  # rate 1.0 keeps everything (25/source at sf0.01)
+    assert by_src.get("src3", 0) < 25  # rate 0.25 drops most
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salting must not change inner-join semantics: revenue by p_type
     via salted join == plain join."""
