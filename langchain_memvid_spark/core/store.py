@@ -436,6 +436,72 @@ class SparkVectorStore:
             .select("query_id", "query", "doc_id", "text", "similarity", "rank")
         )
 
+    def similarity_search_with_relevance_scores(
+        self, query: str, k: int = 4
+    ) -> list[tuple[dict[str, Any], float]]:
+        """LangChain-standard normalized relevance in [0, 1]: cosine/ip
+        maps via (1+sim)/2, l2 via 1/(1+d). (Beyond the reference,
+        which returns raw FAISS scores only — vectorstore.py:659-684;
+        LangChain VectorStore exposes this normalization as part of the
+        standard surface a switching user expects.)"""
+        res = self.similarity_search_with_score(query, k)
+        if self.config.index.metric == "l2":
+            scored = [(d, 1.0 / (1.0 + s)) for d, s in res]
+        else:
+            scored = [(d, (1.0 + s) / 2.0) for d, s in res]
+        # float32 dot products can exceed |1| by ~1e-7 on self-matches;
+        # clamp so the [0,1] contract holds
+        return [(d, min(1.0, max(0.0, s))) for d, s in scored]
+
+    def max_marginal_relevance_search(
+        self,
+        query: str,
+        k: int = 4,
+        fetch_k: int = 20,
+        lambda_mult: float = 0.5,
+    ) -> list[dict[str, Any]]:
+        """MMR re-ranking (LangChain-standard, beyond the reference):
+        fetch the top `fetch_k` candidates with the distributed
+        (two-phase when large) search, then greedily pick k docs
+        maximizing λ·sim(query, d) − (1−λ)·max sim(d, selected).
+
+        The O(fetch_k²) greedy step runs driver-side on the collected
+        candidate vectors — bounded by fetch_k (a user knob ≪ corpus),
+        NOT corpus size, so the distributed part stays the heavy part."""
+        if self._count == 0:
+            return []
+        import math
+
+        qvec = self.embeddings.embed_query(query)
+        if self.config.index.metric == "cosine":
+            n = math.sqrt(sum(x * x for x in qvec)) or 1.0
+            qvec = [x / n for x in qvec]
+        cand_rows = self._topk(qvec, max(fetch_k, k)).collect()
+        if not cand_rows:
+            return []
+        import numpy as np
+
+        vecs = np.asarray([list(r["embedding"]) for r in cand_rows], dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = np.linalg.norm(q) or 1.0
+        qsim = unit @ (q / qn)
+        selected: list[int] = [int(np.argmax(qsim))]
+        while len(selected) < min(k, len(cand_rows)):
+            rest = [i for i in range(len(cand_rows)) if i not in selected]
+            red = unit[rest] @ unit[selected].T  # (rest, selected) sims
+            scores = lambda_mult * qsim[rest] - (1 - lambda_mult) * red.max(axis=1)
+            selected.append(rest[int(np.argmax(scores))])
+        out = []
+        for i in selected:
+            r = cand_rows[i]
+            meta = json.loads(r["metadata_json"] or "{}")
+            meta["metadata_type"] = "essential"
+            out.append({"page_content": r["text"], "metadata": meta, "doc_id": r["doc_id"]})
+        return out
+
     # ------------------------------------------------------------ point lookups
 
     def get_document_by_id(self, doc_id: int | str, include_full_metadata: bool = False):

@@ -122,6 +122,30 @@ def test_l2_metric(spark):
     assert res[0][1] == pytest.approx(0.0, abs=1e-6)
 
 
+def test_relevance_scores_normalized(store):
+    res = store.similarity_search_with_relevance_scores(TEXTS[1], k=3)
+    assert all(0.0 <= s <= 1.0 for _, s in res)
+    assert res[0][1] == pytest.approx(1.0, abs=1e-5)  # self-match -> 1.0
+    assert res[0][1] >= res[1][1]
+
+
+def test_mmr_mechanics(spark):
+    """lambda=1 reduces MMR to plain similarity order; any lambda keeps
+    the best match first and returns k distinct docs. (Semantic
+    diversity needs a real embedder — hash embeddings give uncorrelated
+    vectors, so only the mechanics are assertable here.)"""
+    texts = [f"doc number {i}" for i in range(12)]
+    s = SparkVectorStore.from_texts(texts, spark)
+    plain = [d["doc_id"] for d, _ in s.similarity_search_with_score("doc number 5", k=4)]
+    pure_sim = [d["doc_id"] for d in s.max_marginal_relevance_search(
+        "doc number 5", k=4, fetch_k=12, lambda_mult=1.0)]
+    assert pure_sim == plain
+    diverse = s.max_marginal_relevance_search("doc number 5", k=4, fetch_k=8, lambda_mult=0.2)
+    ids = [d["doc_id"] for d in diverse]
+    assert ids[0] == plain[0]  # best match always first
+    assert len(ids) == 4 and len(set(ids)) == 4
+
+
 def test_storage_stats(store):
     st = store.get_storage_stats()
     assert st.document_count == 4
