@@ -196,3 +196,55 @@ def test_quantization_error_bound_property(spark_handle, vec):
     deq = np.array(q, dtype=np.float64) * scale / 127
     assert np.all(np.abs(x - deq) <= scale / 254 + 1e-9)
     assert all(-127 <= v <= 127 for v in q)
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    n_frames=st.integers(1, 6),
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 2**32 - 1),
+)
+@SET
+def test_avi_codec_roundtrip_property(w, h, n_frames, fps, seed):
+    """Any dims/frame-count/fps: encode -> parse recovers the container
+    fields, and the closed-form total size holds (including RIFF word
+    alignment for odd frame sizes)."""
+    import numpy as np
+
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    rng = np.random.RandomState(seed)
+    frames = [mm.encode_png(w, h, rng.bytes(w * h)) for _ in range(n_frames)]
+    blob = mm.encode_avi(w, h, frames, fps)
+    info = mm.parse_avi_info(blob)
+    png = 68 + h * (w + 1)
+    assert info["width"] == w and info["height"] == h
+    assert info["n_frames"] == n_frames
+    assert info["fps"] == 1_000_000 // (1_000_000 // fps)
+    assert info["frame_bytes"] == n_frames * png
+    assert len(blob) == 232 + n_frames * (8 + png + png % 2) + 16 * n_frames
+
+
+@given(
+    tokens=st.lists(st.integers(1, 300), min_size=1, max_size=40),
+    budget=st.integers(8, 1024),
+)
+@SET
+def test_sequence_packing_matches_python_reference(spark_handle, tokens, budget):
+    """Packing over random token counts == plain running-sum reference."""
+    from langchain_memvid_spark.operators.textops import sequence_packing
+
+    spark = spark_handle
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(t))) for i, t in enumerate(tokens)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in sequence_packing(docs, budget=budget).collect()
+    }
+    cum = 0
+    for i, t in enumerate(tokens):
+        assert got[i] == (t, cum // budget, cum % budget), (i, got[i], cum)
+        cum += t
