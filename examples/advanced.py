@@ -1,0 +1,81 @@
+"""Advanced usage — mirrors the reference's examples/advanced.py
+(/root/reference/examples/advanced.py): the lower-level components the
+quickstart hides. Config tree, direct search_text, the archival codec
+round-trip (the reference encodes QR frames into a video; this engine
+encodes payload JSON into parquet and ships a REAL AVI/PNG container
+codec for media columns), the retriever facade, IVF layout, and
+save/load.
+
+Run: python examples/advanced.py
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from langchain_memvid_spark import SparkVectorStore
+from langchain_memvid_spark.config import EngineConfig, IndexConfig, StorageConfig
+from langchain_memvid_spark.core.retriever import SparkRetriever
+from langchain_memvid_spark.multimodal import binary as mm
+from langchain_memvid_spark.session import get_spark
+
+texts = [
+    "The quick brown fox jumps over the lazy dog",
+    "A fast orange fox leaps across a sleepy canine",
+    "The weather is beautiful today",
+    "It's raining cats and dogs outside",
+    "Python is a popular programming language",
+    "JavaScript is widely used for web development",
+]
+metadata = [
+    {"id": 0, "source": "example1.txt", "category": "animals"},
+    {"id": 1, "source": "example1.txt", "category": "animals"},
+    {"id": 2, "source": "example2.txt", "category": "weather"},
+    {"id": 3, "source": "example2.txt", "category": "weather"},
+    {"id": 4, "source": "example3.txt", "category": "programming"},
+    {"id": 5, "source": "example3.txt", "category": "programming"},
+]
+
+
+def main() -> None:
+    spark = get_spark("advanced", shuffle_partitions=8)
+
+    # config tree ≙ VectorStoreConfig{index, video} (reference
+    # config.py:137-160): metric/IVF knobs + storage codec knob
+    cfg = EngineConfig(
+        index=IndexConfig(metric="cosine", dim=64, nlist=6, rerank_candidates=4),
+        storage=StorageConfig(codec="zstd"),
+    )
+    vs = SparkVectorStore.from_texts(texts, spark, metadatas=metadata, config=cfg)
+
+    # direct search_text ≙ IndexManager.search_text (SearchResult rows)
+    for query in ["Tell me about foxes", "What's the weather like?"]:
+        print(f"\n== search_text: {query}")
+        for r in vs.search_text(query, k=2):
+            print(f"  {r.similarity:8.4f}  {r.text}  [{r.category}]")
+
+    # archival codec round-trip ≙ create_qr_code → encode_video →
+    # decode_video → extract_qr_codes: here a real AVI container of
+    # PNG frames, encoded and chunk-walk decoded from actual bytes
+    frames = [mm.encode_png(16, 8, mm._stretch_bytes(t.encode(), 16 * 8)) for t in texts]
+    avi = mm.encode_avi(16, 8, frames, fps=30)
+    info = mm.parse_avi_info(avi)
+    print(f"\nAVI round-trip: {info['n_frames']} frames, "
+          f"{info['width']}x{info['height']} @ {info['fps']} fps, {len(avi)} bytes")
+
+    # retriever facade ≙ Retriever(video_file, index_dir, k=2)
+    retriever = SparkRetriever(vs, k=2)
+    docs = retriever.batch(["Tell me about foxes", "What programming languages are mentioned?"])
+    print(f"\nretriever.batch: {[len(d) for d in docs]} results per query")
+
+    # save / load ≙ IndexManager.save/load (parquet instead of faiss+json)
+    path = tempfile.mkdtemp(prefix="advanced_store_")
+    vs.save(path)
+    vs2 = SparkVectorStore.load(path, spark, config=cfg)
+    print(f"reloaded store: {vs2.get_document_count()} docs from {path}")
+
+
+if __name__ == "__main__":
+    main()
