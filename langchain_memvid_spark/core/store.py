@@ -502,6 +502,14 @@ class SparkVectorStore:
             out.append({"page_content": r["text"], "metadata": meta, "doc_id": r["doc_id"]})
         return out
 
+    def as_retriever(self, k: int = 4, frame_cache_size: int = 100):
+        """LangChain-convention retriever factory ≙ the reference's
+        lazy ``retriever`` property (vectorstore.py:147-172), explicit
+        instead of implicit."""
+        from langchain_memvid_spark.core.retriever import SparkRetriever
+
+        return SparkRetriever(self, k=k, frame_cache_size=frame_cache_size)
+
     # ------------------------------------------------------------ point lookups
 
     def get_document_by_id(self, doc_id: int | str, include_full_metadata: bool = False):

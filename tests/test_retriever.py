@@ -5,6 +5,15 @@ RetrievalError)."""
 
 import pytest
 
+
+def test_as_retriever_factory(spark):
+    from langchain_memvid_spark import SparkVectorStore
+
+    s = SparkVectorStore.from_texts(["one", "two"], spark)
+    r = s.as_retriever(k=1)
+    docs = r.invoke("one")
+    assert len(docs) == 1 and docs[0].page_content == "one"
+
 from langchain_memvid_spark import Document, RetrievalError, SparkRetriever, SparkVectorStore
 
 TEXTS = [
