@@ -153,32 +153,67 @@ class IVFIndex:
         nprobe: int = 2,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        rerank_candidates: int = 256,
     ) -> DataFrame:
         """Batch ANN: N queries in ONE job. Probe clusters are computed
         driver-side (centroids ≪ corpus), the (query, probe) pairs
         broadcast-join the partition-pruned corpus — the scan still
         reads only the UNION of probed clusters' files, and each query
-        scores only its own probes. One shuffle (the per-query top-k
-        window), regardless of query count."""
+        scores only its own probes. With `rerank_candidates` > 0 the
+        heavy per-(query, doc) pass runs on the stored int8 codes (the
+        same debiased two-phase as single-query search); floats are
+        read only for the per-query candidate re-rank. One shuffle (the
+        per-query top-k window), regardless of query count."""
         if self.path is None:
             raise IndexError_("IVF layout not written; call write_layout first")
+
+        def _codes(qvec: list[float]) -> list[int]:
+            s = max((abs(x) for x in qvec), default=0.0) or 1e-30
+            return [int(math.floor(x / s * 127 + 0.5)) for x in qvec]
+
         probe_rows = [
-            (qid, list(map(float, qvec)), cid)
+            (qid, list(map(float, qvec)), _codes(qvec), cid)
             for qid, qvec in queries
             for cid in self.probe_clusters(qvec, nprobe)
         ]
-        # __qv, not "qvec": the persisted layout carries an int8 `qvec`
-        # codes column, so an unqualified name would be ambiguous.
+        # __qv/__qc, not "qvec": the persisted layout carries an int8
+        # `qvec` codes column, so an unqualified name would be ambiguous.
         qdf = spark.createDataFrame(
-            probe_rows, f"query_id INT, __qv ARRAY<FLOAT>, cluster_id INT"
+            probe_rows,
+            "query_id INT, __qv ARRAY<FLOAT>, __qc ARRAY<INT>, cluster_id INT",
         )
-        all_probes = sorted({r[2] for r in probe_rows})
+        all_probes = sorted({r[3] for r in probe_rows})
         corpus = spark.read.parquet(self.path).filter(F.col("cluster_id").isin(all_probes))
         from pyspark.sql import Window
 
-        scored = corpus.join(F.broadcast(qdf), "cluster_id").withColumn(
-            "__s", cosine_sim(F.col(vec_col), F.col("__qv"))
-        )
+        if rerank_candidates and rerank_candidates > 0:
+            if "qvec" not in corpus.columns:
+                qs, qv = quantize_cols(F.col(vec_col))
+                corpus = corpus.withColumn("qscale", qs).withColumn("qvec", qv)
+            p1 = (
+                corpus.select(id_col, "cluster_id", "qscale", "qvec")
+                .join(F.broadcast(qdf.select("query_id", "__qc", "cluster_id")), "cluster_id")
+                .withColumn("__qs", int8_dot(F.col("qvec"), F.col("__qc")))
+            )
+            w1 = Window.partitionBy("query_id").orderBy(
+                (F.col("__qs").cast("double") * F.col("qscale")).desc(),
+                F.col(id_col).asc(),
+            )
+            cands = (
+                p1.withColumn("__r", F.row_number().over(w1))
+                .filter(F.col("__r") <= max(rerank_candidates, k))
+                .select("query_id", id_col)
+            )
+            scored = (
+                corpus.select(id_col, "cluster_id", vec_col)
+                .join(F.broadcast(cands), id_col)
+                .join(F.broadcast(qdf.select("query_id", "__qv").dropDuplicates(["query_id"])), "query_id")
+                .withColumn("__s", cosine_sim(F.col(vec_col), F.col("__qv")))
+            )
+        else:
+            scored = corpus.join(F.broadcast(qdf), "cluster_id").withColumn(
+                "__s", cosine_sim(F.col(vec_col), F.col("__qv"))
+            )
         w = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col(id_col).asc())
         return (
             scored.withColumn("rank", F.row_number().over(w))

@@ -246,6 +246,12 @@ def test_ivf_rerank_matches_direct_and_backfills(spark, tmp_path):
     legacy_res = [(r["vec_id"], r["sim"]) for r in legacy.search(spark, qvec, k=5, nprobe=2, rerank_candidates=64).collect()]
     assert legacy_res == direct
 
+    # batch: two-phase must equal the direct batch join per query
+    queries = [(0, qvec), (7, [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]])]
+    b2 = sorted(tuple(r) for r in idx.search_batch(spark, queries, k=5, nprobe=2, rerank_candidates=64).collect())
+    b0 = sorted(tuple(r) for r in idx.search_batch(spark, queries, k=5, nprobe=2, rerank_candidates=0).collect())
+    assert b2 == b0
+
 
 def test_pq_search_recall_and_compression(spark):
     """PQ: self-match must survive, ADC+rerank recall vs exact top-10
