@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from langchain_memvid_spark.exceptions import IndexError_
 from langchain_memvid_spark.functions.vector import cosine_sim
-from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols
+from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols, query_codes
 
 
 class IVFIndex:
@@ -124,9 +124,7 @@ class IVFIndex:
             if "qvec" not in corpus.columns:
                 qs, qv = quantize_cols(F.col(vec_col))
                 corpus = corpus.withColumn("qscale", qs).withColumn("qvec", qv)
-            s = max((abs(x) for x in qvec), default=0.0) or 1e-30
-            qcodes = [int(math.floor(x / s * 127 + 0.5)) for x in qvec]
-            qc = F.array(*[F.lit(c) for c in qcodes])
+            qc = F.array(*[F.lit(c) for c in query_codes(qvec)])
             cands = (
                 corpus.select(id_col, "qscale", "qvec")
                 .withColumn("__qs", int8_dot(F.col("qvec"), qc))
@@ -167,12 +165,8 @@ class IVFIndex:
         if self.path is None:
             raise IndexError_("IVF layout not written; call write_layout first")
 
-        def _codes(qvec: list[float]) -> list[int]:
-            s = max((abs(x) for x in qvec), default=0.0) or 1e-30
-            return [int(math.floor(x / s * 127 + 0.5)) for x in qvec]
-
         probe_rows = [
-            (qid, list(map(float, qvec)), _codes(qvec), cid)
+            (qid, list(map(float, qvec)), query_codes(qvec), cid)
             for qid, qvec in queries
             for cid in self.probe_clusters(qvec, nprobe)
         ]

@@ -55,7 +55,7 @@ from langchain_memvid_spark.core.ids import add_sequential_ids
 from langchain_memvid_spark.embeddings import HashEmbeddings
 from langchain_memvid_spark.exceptions import IndexError_, RetrievalError, StorageError
 from langchain_memvid_spark.functions.vector import dot, l2_normalize, l2_sq
-from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols
+from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols, query_codes
 
 INGEST_SCHEMA = StructType(
     [
@@ -114,7 +114,12 @@ class StorageStats:
 
 
 def _canonical_meta_json(meta: dict[str, Any]) -> str:
-    return json.dumps(meta, sort_keys=True, separators=(",", ":"), default=str)
+    # ensure_ascii=False: raw UTF-8 matches Spark's to_json and DuckDB's
+    # to_json byte-for-byte, so streaming ingest and the SQL oracles can
+    # reproduce the metadata_hash for non-ASCII values too
+    return json.dumps(
+        meta, sort_keys=True, separators=(",", ":"), default=str, ensure_ascii=False
+    )
 
 
 class SparkVectorStore:
@@ -276,11 +281,7 @@ class SparkVectorStore:
         embedding column is never touched until the re-rank.
         FAISS SQ8+refine analog (the reference scans flat float32,
         /root/reference/src/langchain_memvid/index.py:144-148)."""
-        s = max((abs(x) for x in qvec), default=0.0) or 1e-30
-        import math
-
-        qcodes = [int(math.floor(x / s * 127 + 0.5)) for x in qvec]
-        qc = F.array(*[F.lit(c) for c in qcodes])
+        qc = F.array(*[F.lit(c) for c in query_codes(qvec)])
         return (
             self._doc_index.select("doc_id", "qscale", "qvec")
             .withColumn("__qscore", int8_dot(F.col("qvec"), qc))
@@ -389,9 +390,7 @@ class SparkVectorStore:
             if self.config.index.metric == "cosine":
                 n = math.sqrt(sum(x * x for x in v)) or 1.0
                 v = [x / n for x in v]
-            s = max((abs(x) for x in v), default=0.0) or 1e-30
-            qcodes = [int(math.floor(x / s * 127 + 0.5)) for x in v]
-            qrows.append((qid, qtext, [float(x) for x in v], qcodes))
+            qrows.append((qid, qtext, [float(x) for x in v], query_codes(v)))
         # __qv/__qc, not "qvec": the doc_index carries its own qvec (int8
         # codes) column, and an unqualified name would be AMBIGUOUS after
         # the join. Project the index down to the columns each phase

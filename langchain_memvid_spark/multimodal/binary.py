@@ -277,6 +277,8 @@ def encode_avi(width: int, height: int, frames: list[bytes], fps: int) -> bytes:
     so every chunk size — and therefore the total file size — is a
     closed form the DuckDB oracle can reproduce:
     total = 232 + Σ(8 + len(f) + len(f)%2) + 16·n_frames."""
+    if not 1 <= fps <= 1_000_000:
+        raise ValueError(f"fps must be in [1, 1000000], got {fps}")
     n = len(frames)
     uspf = 1_000_000 // fps
     max_size = max((len(f) for f in frames), default=0)
@@ -476,7 +478,7 @@ def extract_video_frames(media: DataFrame) -> DataFrame:
             }
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
-                pos, fno = 12, 0
+                fno = 0
                 stack = [(12, len(blob))]
                 while stack:
                     pos, end = stack.pop()

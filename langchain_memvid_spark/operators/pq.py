@@ -60,6 +60,10 @@ def pq_train(
     except ImportError as e:  # pragma: no cover
         raise IndexError_(f"MLlib unavailable: {e}") from e
 
+    if not 1 <= k <= 128:
+        # codes are stored as signed ByteType; ids past 127 would wrap
+        # negative and silently corrupt the ADC table lookups
+        raise IndexError_(f"k must be in [1, 128] for int8 codes, got {k}")
     dim = len(embeddings.select(vec_col).head()[0])
     if dim % m != 0:
         raise IndexError_(f"dim {dim} not divisible by m={m}")

@@ -38,6 +38,17 @@ def quantize_cols(v: Column) -> tuple[Column, Column]:
     return scale, qvec
 
 
+def query_codes(qvec: list[float]) -> list[int]:
+    """Driver-side int8 codes for a query vector — the same
+    floor(x/scale·127 + 0.5) arithmetic as quantize_cols, kept in ONE
+    place so the store/IVF two-phase paths can never drift from the
+    stored codes or the DuckDB oracle."""
+    import math
+
+    s = max((abs(x) for x in qvec), default=0.0) or 1e-30
+    return [int(math.floor(x / s * 127 + 0.5)) for x in qvec]
+
+
 def int8_dot(qvec: Column, query_codes: Column) -> Column:
     """Exact int64 dot product of two int8 code arrays (JVM HOFs)."""
     return F.aggregate(

@@ -2466,7 +2466,7 @@ def q_stream_near_dedup(spark, sf_dir):
     "stream_ingest_store",
     """
 SELECT doc_id, sha256(text) AS text_sha,
-  sha256('{"lang":"' || lang || '","source":"' || source || '"}') AS meta_hash,
+  sha256(to_json(struct_pack(lang := lang, source := source))::VARCHAR) AS meta_hash,
   64 AS dim, 64 AS qdim
 FROM documents
 """,

@@ -75,13 +75,13 @@ def stream_ingest_store(
 
     emb = HashEmbeddings(dim)
     stream = read_documents_stream(spark, docs_path)
-    # canonical metadata JSON: keys sorted (lang < source), separators
-    # (",", ":") — byte-identical to store._canonical_meta_json so the
-    # sha256 metadata_hash matches the batch path exactly
-    meta_json = F.concat(
-        F.lit('{"lang":"'), F.col("lang"),
-        F.lit('","source":"'), F.col("source"), F.lit('"}'),
-    )
+    # canonical metadata JSON via to_json: struct field order (lang,
+    # source) matches the batch path's sorted keys, and Jackson's JSON
+    # escaping is byte-identical to json.dumps(ensure_ascii=False) AND
+    # DuckDB's to_json — verified for quotes/backslashes/non-ASCII —
+    # so the sha256 metadata_hash matches batch add_texts exactly even
+    # on hostile values (raw concat would break on the first quote)
+    meta_json = F.to_json(F.struct("lang", "source"))
     staged = (
         stream.withColumn(
             "ts",
