@@ -524,7 +524,7 @@ class SparkVectorStore:
             ids = [int(d) for d in doc_ids]
         except (TypeError, ValueError) as e:
             raise RetrievalError(f"invalid doc ids {doc_ids!r}") from e
-        df = self._doc_index.filter(F.col("doc_id").isin(ids))
+        df = self._filter_ids(self._doc_index, ids, keep=True)
         if include_full_metadata:
             df = df.join(self._payload, "doc_id", "left")
         out = []
@@ -600,10 +600,22 @@ class SparkVectorStore:
         bad = [i for i in ids if i < 0 or i >= self._count]
         if bad:
             raise IndexError_(f"doc ids out of range: {bad}")
-        self._doc_index = self._doc_index.filter(~F.col("doc_id").isin(ids))
-        self._payload = self._payload.filter(~F.col("doc_id").isin(ids))
+        self._doc_index = self._filter_ids(self._doc_index, ids, keep=False)
+        self._payload = self._filter_ids(self._payload, ids, keep=False)
         self._renumber()
         return True
+
+    # A literal isin() embeds every id in the plan — fine for a handful,
+    # pathological for bulk deletes (expression-tree size, codegen).
+    # Past this count the ids become a broadcast (semi/anti) join input.
+    _ISIN_LIMIT = 1000
+
+    def _filter_ids(self, df: DataFrame, ids: list[int], keep: bool) -> DataFrame:
+        if len(ids) <= self._ISIN_LIMIT:
+            cond = F.col("doc_id").isin(ids)
+            return df.filter(cond if keep else ~cond)
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "doc_id LONG").dropDuplicates()
+        return df.join(F.broadcast(ids_df), "doc_id", "left_semi" if keep else "left_anti")
 
     def delete_by_texts(self, texts: list[str]) -> bool:
         """≙ index.py:378-402 — FIRST occurrence only per text:

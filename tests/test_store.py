@@ -96,6 +96,22 @@ def test_add_and_batch_search_after_delete(spark):
     assert {(r["query_id"], r["text"]) for r in rows} == {(0, "t4"), (1, "t0")}
 
 
+def test_bulk_delete_uses_join_path(spark):
+    """Past _ISIN_LIMIT ids the delete runs as a broadcast anti-join,
+    not a thousand-term isin expression; semantics unchanged."""
+    s = SparkVectorStore.from_texts([f"bulk {i}" for i in range(1500)], spark)
+    old_limit = SparkVectorStore._ISIN_LIMIT
+    try:
+        SparkVectorStore._ISIN_LIMIT = 100
+        assert s.delete_by_ids(list(range(0, 1500, 2))) is True  # 750 ids > limit
+    finally:
+        SparkVectorStore._ISIN_LIMIT = old_limit
+    assert s.get_document_count() == 750
+    docs = s.get_all_documents()
+    assert [d["doc_id"] for d in docs[:3]] == [0, 1, 2]  # renumbered
+    assert docs[0]["page_content"] == "bulk 1"  # odd originals survive
+
+
 def test_delete_invalid_id_raises(spark):
     s = SparkVectorStore.from_texts(["x", "y"], spark)
     with pytest.raises(IndexError_):
