@@ -2764,6 +2764,75 @@ def q_pipeline(spark, sf_dir):
 
 
 @_reg(
+    "pretrain_pipeline_v3",
+    f"""
+WITH q AS ({_quality_sql()}),
+samp AS (
+  SELECT doc_id, text FROM documents
+  WHERE ('0x' || substring(sha256(concat('mix:', CAST(text AS VARCHAR))), 1, 15))::BIGINT % 10000
+    < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+                  WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 7500 END),
+fp AS (
+  SELECT doc_id, text,
+    sha256(regexp_replace(trim(lower(text)),'\\s+',' ','g')) AS f
+  FROM samp),
+keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept AS (
+  SELECT fp.doc_id, fp.text FROM fp
+  JOIN keepers ON keepers.doc_id = fp.doc_id
+  JOIN q ON q.doc_id = fp.doc_id AND q.n_tokens >= 20 AND q.quality_score >= 0.7),
+toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text),'\\s+'))::BIGINT AS n_tokens
+  FROM kept),
+packed AS (
+  SELECT doc_id, n_tokens,
+    (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS cum_excl
+  FROM toks)
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs_in,
+  (SELECT count(*) FROM samp) AS n_sampled,
+  count(*) AS n_docs_kept,
+  sum(n_tokens)::BIGINT AS total_tokens,
+  ((sum(n_tokens)::BIGINT + 511) // 512) AS n_sequences,
+  max(cum_excl // 512) AS last_start_seq
+FROM packed
+""",
+)
+def q_pipeline_v3(spark, sf_dir):
+    """The training-ASSEMBLY pipeline as one lineage — where v2 ends at
+    filter/dedup stats, v3 continues to the tensors-adjacent output:
+    domain-weighted mixture sampling → exact dedup (min-id keeper) →
+    quality gate → concat-and-chunk sequence packing into 512-token
+    training sequences. Filters are semi-joins on doc_id; packing's
+    global prefix sum is the two-phase range-partition pattern — the
+    only single-partition stage left is the final 1-row summary
+    aggregate, which is map-side partial-agg'd (O(#partitions) rows
+    reach the reducer, not O(corpus))."""
+    from langchain_memvid_spark.operators import dedup as _dd
+
+    d = _t(spark, sf_dir, "documents")
+    samp = d.join(
+        textops.domain_weighted_sample(d).select("doc_id"), "doc_id", "left_semi"
+    )
+    keep_ids = _dd.exact_dedup(samp).select(F.col("keep_doc_id").alias("doc_id"))
+    q = textops.quality_scores(d).filter(
+        (F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.7)
+    ).select("doc_id")
+    kept = samp.join(keep_ids, "doc_id", "left_semi").join(q, "doc_id", "left_semi")
+    packed = textops.sequence_packing(kept, budget=512)
+    n_docs_in = d.count()
+    n_sampled = samp.count()
+    return packed.agg(
+        F.lit(n_docs_in).alias("n_docs_in"),
+        F.lit(n_sampled).alias("n_sampled"),
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("(sum(n_tokens) + 511) div 512").alias("n_sequences"),
+        F.max(F.expr("seq_id")).alias("last_start_seq"),
+    )
+
+
+@_reg(
     "pretrain_pipeline_v2",
     f"""
 WITH q AS ({_quality_sql()}),
