@@ -271,7 +271,9 @@ class SparkVectorStore:
             return self._doc_index.withColumn("similarity", l2_sq(F.col("embedding"), q))
         return self._doc_index.withColumn("similarity", dot(F.col("embedding"), q))
 
-    def _phase1_candidates(self, qvec: list[float], candidates: int) -> DataFrame:
+    def _phase1_candidates(
+        self, qvec: list[float], candidates: int, base: DataFrame | None = None
+    ) -> DataFrame:
         """Compressed-domain first pass: integer dot over the stored int8
         codes (1 byte/dim — 4× fewer scan bytes than float32), ranked by
         qscore·qscale. Codes are x/scale·127, so the raw int dot is
@@ -282,8 +284,9 @@ class SparkVectorStore:
         FAISS SQ8+refine analog (the reference scans flat float32,
         /root/reference/src/langchain_memvid/index.py:144-148)."""
         qc = F.array(*[F.lit(c) for c in query_codes(qvec)])
+        src = base if base is not None else self._doc_index
         return (
-            self._doc_index.select("doc_id", "qscale", "qvec")
+            src.select("doc_id", "qscale", "qvec")
             .withColumn("__qscore", int8_dot(F.col("qvec"), qc))
             .orderBy(
                 (F.col("__qscore").cast("double") * F.col("qscale")).desc(),
@@ -293,32 +296,63 @@ class SparkVectorStore:
             .select("doc_id")
         )
 
-    def _topk(self, qvec: list[float], k: int) -> DataFrame:
+    def _metadata_predicate(self, filter: dict[str, Any]) -> F.Column:
+        """AND of equality predicates: engine columns (source/category)
+        compare directly; other keys go through the metadata JSON."""
+        cond = F.lit(True)
+        for key, val in sorted(filter.items()):
+            if key in ("source", "category"):
+                cond = cond & (F.col(key) == F.lit(val))
+            else:
+                cond = cond & (
+                    F.get_json_object(F.col("metadata_json"), f"$.{key}") == F.lit(str(val))
+                )
+        return cond
+
+    def _topk(
+        self, qvec: list[float], k: int, filter: dict[str, Any] | None = None
+    ) -> DataFrame:
         """Pick the physical search strategy: direct exact scan, or int8
         first pass → exact re-rank of config.index.rerank_candidates
         when the corpus is big enough for two passes to win. l2 stays
-        direct (the integer dot is a cosine/ip surrogate only)."""
+        direct (the integer dot is a cosine/ip surrogate only).
+        A metadata filter narrows the corpus before either strategy."""
+        base = self._doc_index
+        if filter:
+            base = base.filter(self._metadata_predicate(filter))
         asc = self.config.index.metric == "l2"
         order = [
             F.col("similarity").asc() if asc else F.col("similarity").desc(),
             F.col("doc_id").asc(),
         ]
+        q = F.array(*[F.lit(float(x)) for x in qvec])
         cand = self.config.index.rerank_candidates
         if self.config.index.metric != "l2" and 0 < cand < self._count:
-            cands = self._phase1_candidates(qvec, max(cand, k))
-            q = F.array(*[F.lit(float(x)) for x in qvec])
-            scored = self._doc_index.join(F.broadcast(cands), "doc_id").withColumn(
+            cands = self._phase1_candidates(qvec, max(cand, k), base=base)
+            scored = base.join(F.broadcast(cands), "doc_id").withColumn(
                 "similarity", dot(F.col("embedding"), q)
             )
+        elif self.config.index.metric == "l2":
+            scored = base.withColumn("similarity", l2_sq(F.col("embedding"), q))
         else:
-            scored = self._score(qvec)
+            scored = base.withColumn("similarity", dot(F.col("embedding"), q))
         return scored.orderBy(*order).limit(k)
 
     def similarity_search_with_score(
-        self, query: str, k: int = 4, include_full_metadata: bool = False
+        self,
+        query: str,
+        k: int = 4,
+        include_full_metadata: bool = False,
+        filter: dict[str, Any] | None = None,
     ) -> list[tuple[dict[str, Any], float]]:
         """≙ vectorstore.py:659-684. Broadcast query vector → JVM-side
-        dot product → TakeOrderedAndProject top-k (no full sort)."""
+        dot product → TakeOrderedAndProject top-k (no full sort).
+
+        ``filter`` (LangChain-standard, beyond the reference) restricts
+        the search to rows whose metadata equals every given key/value
+        — applied BEFORE scoring, so on a filter column that is part of
+        the table layout the predicate prunes the scan rather than
+        post-filtering the top-k (which would under-fill k)."""
         if self._count == 0:
             return []
         qvec = self.embeddings.embed_query(query)
@@ -327,7 +361,7 @@ class SparkVectorStore:
 
             n = math.sqrt(sum(x * x for x in qvec)) or 1.0
             qvec = [x / n for x in qvec]
-        top = self._topk(qvec, k)
+        top = self._topk(qvec, k, filter=filter)
         if include_full_metadata:
             top = top.join(self._payload, "doc_id", "left")
         out = []

@@ -314,6 +314,28 @@ def q_knn(spark, sf_dir):
 
 
 @_reg(
+    "knn_topk_filtered",
+    f"""
+WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({COS.format(a='e.embedding', b='q.embedding')},4) AS sim
+FROM embeddings e, q
+WHERE e.label = q.label
+ORDER BY {COS.format(a='e.embedding', b='q.embedding')} DESC, e.vec_id
+LIMIT 10
+""",
+)
+def q_knn_filtered(spark, sf_dir):
+    """Metadata-filtered ANN: the predicate restricts the corpus BEFORE
+    scoring (filter pushdown to the scan; a post-filter of the top-k
+    would under-fill k). Mirrors the store's similarity_search
+    filter= kwarg; on a partitioned layout the same predicate becomes
+    partition pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    label = emb.filter(F.col("vec_id") == 0).head()["label"]
+    return topk.knn_topk(emb.filter(F.col("label") == label))
+
+
+@_reg(
     "knn_batch",
     f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4))

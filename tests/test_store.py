@@ -138,6 +138,29 @@ def test_l2_metric(spark):
     assert res[0][1] == pytest.approx(0.0, abs=1e-6)
 
 
+def test_filtered_search(spark):
+    """Metadata filter restricts BEFORE scoring (k stays filled from
+    the filtered corpus), on engine columns and JSON metadata keys,
+    and composes with the two-phase path."""
+    cfg = EngineConfig(index=IndexConfig(dim=64, rerank_candidates=8))
+    texts = [f"note {i}" for i in range(40)]
+    metas = [{"source": f"s{i % 2}.txt", "category": "even" if i % 2 == 0 else "odd", "rank": i % 4} for i in range(40)]
+    s = SparkVectorStore.from_texts(texts, spark, metadatas=metas)
+    s.config = cfg  # two-phase gate: 8 < 40
+    res = s.similarity_search_with_score("note 1", k=5, filter={"category": "odd"})
+    assert len(res) == 5
+    assert all(d["metadata"]["category"] == "odd" for d, _ in res)
+    assert res[0][0]["page_content"] == "note 1"
+    # JSON metadata key (not an engine column)
+    res2 = s.similarity_search_with_score("note 2", k=3, filter={"rank": 2})
+    assert len(res2) == 3
+    assert all(d["metadata"]["rank"] == 2 for d, _ in res2)
+    assert res2[0][0]["page_content"] == "note 2"
+    # combined filters
+    res3 = s.similarity_search_with_score("note 3", k=2, filter={"source": "s1.txt", "rank": 3})
+    assert all(d["metadata"]["source"] == "s1.txt" and d["metadata"]["rank"] == 3 for d, _ in res3)
+
+
 def test_relevance_scores_normalized(store):
     res = store.similarity_search_with_relevance_scores(TEXTS[1], k=3)
     assert all(0.0 <= s <= 1.0 for _, s in res)
