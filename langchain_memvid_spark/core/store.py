@@ -379,10 +379,19 @@ class SparkVectorStore:
         return out
 
     def similarity_search(
-        self, query: str, k: int = 4, include_full_metadata: bool = False
+        self,
+        query: str,
+        k: int = 4,
+        include_full_metadata: bool = False,
+        filter: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
         """≙ vectorstore.py:602-634."""
-        return [d for d, _ in self.similarity_search_with_score(query, k, include_full_metadata)]
+        return [
+            d
+            for d, _ in self.similarity_search_with_score(
+                query, k, include_full_metadata, filter=filter
+            )
+        ]
 
     def search_text(self, query: str, k: int = 4) -> list[SearchResult]:
         """≙ IndexManager.search_text (index.py:309-338)."""
