@@ -3398,57 +3398,68 @@ _DRIVER_GREEN = {
     "orders_unpivot", "q21_sole_late_supplier", "sql_interface_demo",
     "dense_hourly_counts", "cohort_retention", "filtered_aggregates",
     "per_user_zscore", "order_age_buckets", "part_name_string_ops",
+    # CORRECTNESS_r04.json: 46 full passes + 4 rows-only-as-intended
+    # (ivf_kmeans_search, pq_search, ivfpq_search, pq_compression_stats
+    # — trained KMeans/PQ codebooks are not SQL-expressible).  New names
+    # not already listed above:
+    "knn_topk_filtered", "sequence_packing", "domain_weighted_sample",
+    "pq_search", "ivfpq_search", "pq_compression_stats",
+    "q9_product_profit", "q13_customer_distribution",
+    "q16_supplier_counts", "q20_excess_shipments", "image_resize_stats",
+    "video_header_info", "video_frames_extract", "stream_ingest_store",
+    "pretrain_pipeline_v3",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 4:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 5:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
-# actually landed belong here (the r3 list claimed work that never
-# shipped — VERDICT r3 "What's wrong" #3); grown as round-4 work lands.
+# actually landed belongs here (the r3 list claimed work that never
+# shipped — VERDICT r3 "What's wrong" #3); grown as round-5 work lands.
 _CHANGED_THIS_ROUND = (
-    # phase-1 ranking debiased to qscore*scale; oracle updated to match
-    "knn_topk_requantized",
-    # same int8_dot refactor (identical expression, output unchanged)
-    "knn_topk_quantized",
-    # IVF layout now persists int8 codes; search reranks inside probes
-    "ivf_kmeans_search",
-    # rows-only -> real-decoder features with a closed-form oracle
-    "multimodal_features",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  Round 4 rotates onto (a) r1-greens the r3 sweep did not
-# re-check, then (b) r2-greens not re-checked in r3; the r3-checked
-# queries drop to the green tier.  Rotate each round so every query
-# gets hard driver signal at least every ~2 rounds.
+# first.  After round 4 every query's latest driver row is green; the
+# newest-signal distribution is 28 queries at r2, 48 at r3, 50 at r4.
+# Round 5 rotates onto (a) all 28 r2-era rows, then (b) the r3-era rows
+# until the ~50-query budget cuts off; r4-checked queries drop to the
+# green tier.  Rotate each round so every query gets hard driver signal
+# at least every ~2 rounds.
 _STALE_ROTATION = (
-    # r1-only signal (oldest)
-    "vs_delete_renumber", "q6_forecast_revenue", "q10_returned_items",
-    "q7_nation_volume", "orders_cube", "order_gaps",
-    "monthly_order_stats", "part_type_stats", "event_type_pivot",
-    "above_avg_customers", "doc_length_histogram", "knn_topk_l2",
-    "ivf_centroid_stats", "purchase_attribution", "price_percentiles",
-    "big_spender_customers", "q4_late_shipment_priority",
-    # r2 signal not re-checked in r3
-    "minhash_jaccard_estimates", "dedup_clusters", "canonical_docs",
-    "event_funnel", "value_outliers_iqr", "pretrain_pipeline_v2",
-    "udaf_median_price", "text_bpe_token_counts", "train_val_split",
-    "text_repetition_stats", "decontaminate", "pii_scrub",
-    "media_header_info", "dedup_clusters_star",
-    "q12_priority_by_returnflag", "q14_promo_revenue_share",
-    "q15_top_suppliers", "q18_large_orders", "q22_idle_rich_customers",
-    "q8_market_share", "q17_small_quantity_revenue",
-    "orders_grouping_sets", "simhash_near_pairs",
+    # newest signal is r2 (oldest — all 28)
+    "payload_roundtrip", "chunk_documents", "chunk_dedup",
+    "tfidf_top_terms", "vocab_top_terms", "distinct_counts",
+    "simhash_near_pairs", "salted_skew_join", "bucketed_colocated_join",
+    "q8_market_share", "q12_priority_by_returnflag",
+    "q14_promo_revenue_share", "q15_top_suppliers", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_rich_customers",
+    "orders_grouping_sets", "priority_balance_full_outer",
+    "building_without_urgent_except", "cheapest_parts_per_type",
     "stream_tumbling_counts", "stream_session_windows",
-    "stream_user_lifetime", "salted_skew_join",
-    "bucketed_colocated_join", "payload_roundtrip", "distinct_counts",
-    "vocab_top_terms", "stream_click_purchase_join",
-    "stream_sliding_activity", "chunk_documents", "chunk_dedup",
-    "tfidf_top_terms", "q19_disjunctive_revenue",
-    "priority_balance_full_outer", "building_without_urgent_except",
-    "cheapest_parts_per_type", "lsh_ann_search", "approx_distinct_stats",
+    "stream_user_lifetime", "stream_click_purchase_join",
+    "stream_sliding_activity", "lsh_ann_search", "approx_distinct_stats",
+    # newest signal is r3 (vs_* / core search paths first — they are the
+    # reference-parity surface round 5 touches)
+    "vs_essential_projection", "vs_point_lookup", "vs_semi_join",
+    "vs_storage_stats", "knn_topk", "knn_batch", "knn_topk_l2",
+    "ivf_search", "dedup_exact", "ngram_jaccard", "simhash",
+    "minhash_signatures", "minhash_band_pairs",
+    "embedding_cosine_pairs", "embedding_candidate_pairs",
+    "embedding_quantization", "stream_near_dedup",
+    "stream_dedup_within_watermark", "text_token_counts", "text_quality",
+    "text_lang_id", "text_fingerprint", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_regional_revenue",
+    "q21_sole_late_supplier", "top_customers_per_nation",
+    "orders_rollup", "running_revenue", "customers_without_orders",
+    "urgent_building_customers", "scalar_showcase", "events_hourly",
+    "events_sessionize", "events_json_stats", "customer_quartiles",
+    "cohort_retention", "dense_hourly_counts", "filtered_aggregates",
+    "per_user_zscore", "order_age_buckets", "part_name_string_ops",
+    "orders_unpivot", "sql_interface_demo", "rolling_30d_revenue",
+    "udtf_bigram_counts", "window_function_showcase",
+    "quality_filter_summary", "pretrain_pipeline_stats",
 )
 
 
