@@ -25,6 +25,7 @@ from langchain_memvid_spark.exceptions import (
     IndexError_,
     StorageError,
     ConfigError,
+    FilterError,
 )
 from langchain_memvid_spark.embeddings import HashEmbeddings
 from langchain_memvid_spark.core.store import SparkVectorStore
@@ -42,6 +43,7 @@ __all__ = [
     "IndexError_",
     "StorageError",
     "ConfigError",
+    "FilterError",
     "HashEmbeddings",
     "SparkVectorStore",
     "SparkRetriever",

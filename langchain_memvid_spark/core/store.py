@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
@@ -53,7 +54,12 @@ from pyspark.sql.types import (
 from langchain_memvid_spark.config import EngineConfig
 from langchain_memvid_spark.core.ids import add_sequential_ids
 from langchain_memvid_spark.embeddings import HashEmbeddings
-from langchain_memvid_spark.exceptions import IndexError_, RetrievalError, StorageError
+from langchain_memvid_spark.exceptions import (
+    FilterError,
+    IndexError_,
+    RetrievalError,
+    StorageError,
+)
 from langchain_memvid_spark.functions.vector import dot, l2_normalize, l2_sq
 from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols, query_codes
 
@@ -111,6 +117,90 @@ class StorageStats:
     index_bytes: int
     payload_bytes: int
     frame_mapping_count: int
+
+
+_FILTER_KEY_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_\-]*$")
+_FILTER_OPS = frozenset({"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in"})
+
+
+def metadata_predicate(filter: dict[str, Any]) -> F.Column:
+    """AND of per-key predicates over ``doc_index``-shaped rows. Engine
+    columns (source/category) compare directly (pushdown-friendly);
+    other keys go through the ``metadata_json`` column with TYPED
+    comparisons:
+
+    - bool compares against the canonical JSON literal 'true'/'false'
+      (NOT str(val) — ADVICE r4 #1);
+    - int/float casts the extracted string to double so 2 matches 2.0;
+    - str compares the unquoted extraction directly.
+
+    Values may be scalars (equality) or operator dicts in the
+    LangChain/Mongo dialect: ``{"$gt": v}`` ``$gte`` ``$lt`` ``$lte``
+    ``$ne`` ``$in`` ``$eq``.  SQL NULL semantics: rows missing the key
+    never match (including ``$ne``).  ``None`` values and
+    non-identifier keys raise FilterError — JSONPath cannot distinguish
+    a null value from a missing key, and interpolated keys with
+    ``.``/``[`` would silently query the wrong path (ADVICE r4 #2)."""
+    cond = F.lit(True)
+    for key, spec in sorted(filter.items()):
+        if not _FILTER_KEY_RE.match(key):
+            raise FilterError(
+                f"filter key {key!r} is not a plain identifier; nested/quoted "
+                "JSONPath keys are not supported"
+            )
+        ops = spec if isinstance(spec, dict) else {"$eq": spec}
+        for op, val in ops.items():
+            if op not in _FILTER_OPS:
+                raise FilterError(
+                    f"unsupported filter operator {op!r} for key {key!r}; "
+                    f"supported: {sorted(_FILTER_OPS)}"
+                )
+            cond = cond & _one_predicate(key, op, val)
+    return cond
+
+
+def _one_predicate(key: str, op: str, val: Any) -> F.Column:
+    """One typed comparison column for ``key <op> val``."""
+    vals = val if op == "$in" else [val]
+    if not isinstance(vals, (list, tuple)) or (op == "$in" and not vals):
+        raise FilterError(f"$in for key {key!r} needs a non-empty list")
+    for v in vals:
+        if v is None:
+            raise FilterError(
+                f"None is not a valid filter value for key {key!r}: JSON "
+                "extraction cannot distinguish null from a missing key"
+            )
+        if not isinstance(v, (bool, int, float, str)):
+            raise FilterError(
+                f"unsupported filter value type {type(v).__name__} for key {key!r}"
+            )
+    if key in ("source", "category"):
+        col = F.col(key)
+        lits = list(vals)
+    else:
+        raw = F.get_json_object(F.col("metadata_json"), f"$.{key}")
+        if all(isinstance(v, bool) for v in vals):
+            col, lits = raw, ["true" if v else "false" for v in vals]
+        elif all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+            col, lits = raw.cast("double"), [float(v) for v in vals]
+        elif all(isinstance(v, str) for v in vals):
+            col, lits = raw, list(vals)
+        else:
+            raise FilterError(f"mixed-type filter values for key {key!r}: {vals!r}")
+    if op == "$in":
+        return col.isin(lits)
+    lit = F.lit(lits[0])
+    if op == "$eq":
+        return col == lit
+    if op == "$ne":
+        return col != lit
+    if op == "$gt":
+        return col > lit
+    if op == "$gte":
+        return col >= lit
+    if op == "$lt":
+        return col < lit
+    return col <= lit  # $lte
 
 
 def _canonical_meta_json(meta: dict[str, Any]) -> str:
@@ -297,17 +387,7 @@ class SparkVectorStore:
         )
 
     def _metadata_predicate(self, filter: dict[str, Any]) -> F.Column:
-        """AND of equality predicates: engine columns (source/category)
-        compare directly; other keys go through the metadata JSON."""
-        cond = F.lit(True)
-        for key, val in sorted(filter.items()):
-            if key in ("source", "category"):
-                cond = cond & (F.col(key) == F.lit(val))
-            else:
-                cond = cond & (
-                    F.get_json_object(F.col("metadata_json"), f"$.{key}") == F.lit(str(val))
-                )
-        return cond
+        return metadata_predicate(filter)
 
     def _topk(
         self, qvec: list[float], k: int, filter: dict[str, Any] | None = None
@@ -479,16 +559,22 @@ class SparkVectorStore:
         )
 
     def similarity_search_with_relevance_scores(
-        self, query: str, k: int = 4
+        self, query: str, k: int = 4, filter: dict[str, Any] | None = None
     ) -> list[tuple[dict[str, Any], float]]:
-        """LangChain-standard normalized relevance in [0, 1]: cosine/ip
-        maps via (1+sim)/2, l2 via 1/(1+d). (Beyond the reference,
-        which returns raw FAISS scores only — vectorstore.py:659-684;
-        LangChain VectorStore exposes this normalization as part of the
-        standard surface a switching user expects.)"""
-        res = self.similarity_search_with_score(query, k)
+        """LangChain-standard normalized relevance in [0, 1]: cosine
+        maps via (1+sim)/2, l2 via 1/(1+d), ip via a sigmoid — the
+        unnormalized dot is unbounded, so the affine cosine map would
+        pile scores onto the clamped endpoints and destroy ordering
+        (ADVICE r4 #4). (Beyond the reference, which returns raw FAISS
+        scores only — vectorstore.py:659-684.)"""
+        import math
+
+        res = self.similarity_search_with_score(query, k, filter=filter)
         if self.config.index.metric == "l2":
             scored = [(d, 1.0 / (1.0 + s)) for d, s in res]
+        elif self.config.index.metric == "ip":
+            # monotone, order-preserving on the whole real line
+            scored = [(d, 1.0 / (1.0 + math.exp(-s))) for d, s in res]
         else:
             scored = [(d, (1.0 + s) / 2.0) for d, s in res]
         # float32 dot products can exceed |1| by ~1e-7 on self-matches;
@@ -686,6 +772,17 @@ class SparkVectorStore:
     def delete_documents(self, documents: Iterable[Any]) -> bool:
         texts = [d.page_content if hasattr(d, "page_content") else d["text"] for d in documents]
         return self.delete_by_texts(texts)
+
+    # LangChain's modern VectorStore ABC spells these `delete` /
+    # `get_by_ids`; the engine names match the reference
+    # (vectorstore.py:290,749). Aliases complete the drop-in story.
+    def delete(self, ids: list[int | str] | None = None, **kwargs: Any) -> bool:
+        if ids is None:
+            raise IndexError_("delete() requires explicit ids; refusing delete-all")
+        return self.delete_by_ids(ids)
+
+    def get_by_ids(self, ids: list[int | str]) -> list[dict[str, Any]]:
+        return self.get_documents_by_ids(ids)
 
     # ------------------------------------------------------------------ stats
 

@@ -28,3 +28,8 @@ class StorageError(MemVidSparkError):
 
 class ConfigError(MemVidSparkError):
     """Raised on invalid engine configuration."""
+
+
+class FilterError(MemVidSparkError):
+    """Raised on an invalid metadata-filter expression (engine
+    extension — the reference has no filtered search)."""

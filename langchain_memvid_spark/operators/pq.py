@@ -95,6 +95,15 @@ def pq_assign(
     cost paid once at ingest."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    # Re-validate here, not only in pq_train: externally trained
+    # codebooks with k>128 would wrap argmin ids negative on the int8
+    # cast, and element_at(code+1) then silently indexes from the array
+    # END instead of failing (ADVICE r4 #3).
+    if any(len(cb_j) > 128 for cb_j in codebooks):
+        raise IndexError_(
+            f"codebooks exceed 128 centroids (k={max(len(c) for c in codebooks)}); "
+            "int8 PQ codes support at most 128"
+        )
     cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
 
     @F.pandas_udf(ArrayType(ByteType()))

@@ -971,6 +971,48 @@ def q_vs_stats(spark, sf_dir):
     )
 
 
+@_reg(
+    "vs_metadata_filter_range",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars >= 100 AND n_chars < 400
+  AND lang IN ('en', 'de')
+  AND NOT (n_chars > 450)
+""",
+)
+def q_vs_meta_filter(spark, sf_dir):
+    """The store's metadata-filter dialect ($gte/$lt/$in/bool equality)
+    applied through the SAME typed-JSON predicate builder
+    similarity_search uses (core/store.py metadata_predicate — engine
+    extension beyond the reference, which has no filtered search). The
+    oracle states the filter directly over the typed columns, so a
+    canonicalization bug in the JSON comparison (e.g. str(True) vs
+    'true') breaks the hash match."""
+    from langchain_memvid_spark.core.store import metadata_predicate
+
+    d = _t(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.to_json(
+            F.struct(
+                F.col("lang"),
+                F.col("n_chars"),
+                (F.col("n_chars") > 450).alias("long_doc"),
+            )
+        ).alias("metadata_json"),
+    )
+    pred = metadata_predicate(
+        {
+            "n_chars": {"$gte": 100, "$lt": 400},
+            "lang": {"$in": ["en", "de"]},
+            "long_doc": False,
+        }
+    )
+    return meta.filter(pred).select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Extended relational coverage (round 1 widening)
 # ---------------------------------------------------------------------------

@@ -253,6 +253,20 @@ def test_ivf_rerank_matches_direct_and_backfills(spark, tmp_path):
     assert b2 == b0
 
 
+def test_pq_assign_rejects_oversized_codebooks(spark):
+    """Externally trained codebooks with k>128 must fail fast in
+    pq_assign — int8 codes would wrap negative and element_at(code+1)
+    silently indexes from the array END (ADVICE r4 #3)."""
+    from langchain_memvid_spark.operators import pq
+    from langchain_memvid_spark import IndexError_
+    import pytest
+
+    emb = spark.createDataFrame([(0, [0.0] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    big = [[[0.0] * 4] * 129, [[0.0] * 4] * 16]  # first subspace k=129
+    with pytest.raises(IndexError_):
+        pq.pq_assign(emb, big)
+
+
 def test_pq_search_recall_and_compression(spark):
     """PQ: self-match must survive, ADC+rerank recall vs exact top-10
     must clear 0.5 even on uniform random vectors (the hard case), and

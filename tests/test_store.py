@@ -168,6 +168,89 @@ def test_relevance_scores_normalized(store):
     assert res[0][1] >= res[1][1]
 
 
+def test_filter_typed_values(spark):
+    """Booleans/numbers compare against canonical JSON literals, not
+    str(val): {'published': True} must match rows whose JSON holds
+    true, and 2 must match a value serialized as 2 (ADVICE r4 #1)."""
+    texts = [f"doc {i}" for i in range(10)]
+    metas = [{"published": i % 2 == 0, "stars": i, "ratio": i / 2} for i in range(10)]
+    s = SparkVectorStore.from_texts(texts, spark, metadatas=metas)
+    res = s.similarity_search_with_score("doc 2", k=10, filter={"published": True})
+    assert len(res) == 5
+    assert all(d["metadata"]["published"] is True for d, _ in res)
+    res = s.similarity_search_with_score("doc 3", k=10, filter={"published": False})
+    assert len(res) == 5
+    # int filter value vs int JSON value, float filter vs float JSON
+    assert len(s.similarity_search_with_score("doc 4", k=10, filter={"stars": 4})) == 1
+    assert len(s.similarity_search_with_score("doc 4", k=10, filter={"ratio": 1.5})) == 1
+    # numeric type variants cross-match via the double cast
+    assert len(s.similarity_search_with_score("doc 4", k=10, filter={"stars": 4.0})) == 1
+
+
+def test_filter_operator_dialect(spark):
+    """$gt/$gte/$lt/$lte/$ne/$in on JSON keys and engine columns."""
+    texts = [f"doc {i}" for i in range(12)]
+    metas = [{"rank": i, "source": f"s{i % 3}.txt"} for i in range(12)]
+    s = SparkVectorStore.from_texts(texts, spark, metadatas=metas)
+    got = s.similarity_search_with_score("doc 0", k=12, filter={"rank": {"$gte": 4, "$lt": 7}})
+    assert sorted(d["metadata"]["rank"] for d, _ in got) == [4, 5, 6]
+    got = s.similarity_search_with_score("doc 0", k=12, filter={"rank": {"$gt": 9}})
+    assert sorted(d["metadata"]["rank"] for d, _ in got) == [10, 11]
+    got = s.similarity_search_with_score("doc 0", k=12, filter={"rank": {"$lte": 1}})
+    assert sorted(d["metadata"]["rank"] for d, _ in got) == [0, 1]
+    got = s.similarity_search_with_score("doc 0", k=12, filter={"rank": {"$in": [2, 5]}})
+    assert sorted(d["metadata"]["rank"] for d, _ in got) == [2, 5]
+    got = s.similarity_search_with_score("doc 0", k=12, filter={"rank": {"$ne": 0}})
+    assert sorted(d["metadata"]["rank"] for d, _ in got) == list(range(1, 12))
+    # engine column with $in
+    got = s.similarity_search_with_score("doc 0", k=12, filter={"source": {"$in": ["s0.txt"]}})
+    assert sorted(d["metadata"]["rank"] for d, _ in got) == [0, 3, 6, 9]
+
+
+def test_filter_invalid_raises(spark):
+    from langchain_memvid_spark.exceptions import FilterError
+
+    s = SparkVectorStore.from_texts(["a doc"], spark, metadatas=[{"k": 1}])
+    with pytest.raises(FilterError):
+        s.similarity_search_with_score("a doc", k=1, filter={"k": None})
+    with pytest.raises(FilterError):
+        s.similarity_search_with_score("a doc", k=1, filter={"bad.key": 1})
+    with pytest.raises(FilterError):
+        s.similarity_search_with_score("a doc", k=1, filter={"k": {"$regex": "x"}})
+    with pytest.raises(FilterError):
+        s.similarity_search_with_score("a doc", k=1, filter={"k": {"$in": []}})
+    with pytest.raises(FilterError):
+        s.similarity_search_with_score("a doc", k=1, filter={"k": [1, 2]})
+
+
+def test_relevance_scores_ip_metric_monotone(spark):
+    """ip relevance uses a sigmoid: order-preserving, no pile-up at the
+    clamp endpoints for unbounded dots (ADVICE r4 #4)."""
+    cfg = EngineConfig(index=IndexConfig(dim=64, metric="ip"))
+    s = SparkVectorStore.from_texts(TEXTS, spark, config=cfg)
+    res = s.similarity_search_with_relevance_scores(TEXTS[0], k=4)
+    scores = [sc for _, sc in res]
+    assert all(0.0 <= sc <= 1.0 for sc in scores)
+    assert scores == sorted(scores, reverse=True)
+    # distinct dots must stay distinct after the map (no clamping pile-up)
+    assert len(set(round(sc, 9) for sc in scores)) == len(scores)
+    # filter kwarg is threaded through
+    metas = [{"i": i} for i in range(len(TEXTS))]
+    s2 = SparkVectorStore.from_texts(TEXTS, spark, metadatas=metas, config=cfg)
+    res2 = s2.similarity_search_with_relevance_scores(TEXTS[0], k=4, filter={"i": {"$lt": 2}})
+    assert len(res2) == 2
+
+
+def test_langchain_standard_aliases(spark):
+    s = SparkVectorStore.from_texts(TEXTS, spark, metadatas=METAS)
+    docs = s.get_by_ids([0, 2])
+    assert [d["doc_id"] for d in docs] == [0, 2]
+    with pytest.raises(IndexError_):
+        s.delete()  # refuses delete-all
+    assert s.delete(ids=[3]) is True
+    assert s.get_document_count() == 3
+
+
 def test_mmr_mechanics(spark):
     """lambda=1 reduces MMR to plain similarity order; any lambda keeps
     the best match first and returns k distinct docs. (Semantic
