@@ -186,13 +186,35 @@ def pq_compression_stats(
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
 ) -> DataFrame:
-    """One-row summary: corpus size, float vs code bytes, compression
-    ratio, and mean reconstruction cosine (decode = concat of assigned
-    centroids) — the quality/space tradeoff in one scan."""
+    """One-row SPACE summary: corpus size, float vs code bytes, and the
+    compression ratio — every column closed-form from the schema
+    (dim·4 vs m bytes), so a plain SQL oracle can hash it. The QUALITY
+    half (reconstruction cosine, which needs the trained codebooks)
+    lives in pq_reconstruction_stats."""
+    m = len(codebooks)
+    return coded.select(F.size(F.col(vec_col)).alias("__dim")).agg(
+        F.count("*").alias("n_vectors"),
+        (F.first("__dim") * 4).alias("float_bytes_per_vec"),
+        F.lit(m).alias("code_bytes_per_vec"),
+        F.round(F.first("__dim") * 4.0 / m, 2).alias("compression_ratio"),
+    )
+
+
+def pq_reconstruction_stats(
+    coded: DataFrame,
+    codebooks: list[list[list[float]]],
+    min_mean_cos: float = 0.0,
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """One-row QUALITY summary: mean/min reconstruction cosine (decode
+    = concat of assigned centroids). Rows-only for any SQL oracle (the
+    codebooks are trained), so it self-asserts instead: when
+    ``min_mean_cos`` > 0 and the mean reconstruction cosine falls below
+    it, the row is filtered away and the query loudly returns EMPTY."""
     from langchain_memvid_spark.functions.vector import cosine_sim
 
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
     # reconstruct[j] = codebook_j[code_j]: build as JVM expression
     parts = [
         F.element_at(
@@ -202,13 +224,12 @@ def pq_compression_stats(
         for j in range(m)
     ]
     recon = F.flatten(F.array(*parts))
-    return coded.select(
-        F.size(F.col(vec_col)).alias("__dim"),
-        cosine_sim(F.col(vec_col), recon).alias("__rc"),
-    ).agg(
-        F.count("*").alias("n_vectors"),
-        (F.first("__dim") * 4).alias("float_bytes_per_vec"),
-        F.lit(m).alias("code_bytes_per_vec"),
-        F.round(F.first("__dim") * 4.0 / m, 2).alias("compression_ratio"),
-        F.round(F.avg("__rc"), 4).alias("mean_recon_cos"),
+    return (
+        coded.select(cosine_sim(F.col(vec_col), recon).alias("__rc"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("__rc"), 4).alias("mean_recon_cos"),
+            F.round(F.min("__rc"), 4).alias("min_recon_cos"),
+        )
+        .filter(F.col("mean_recon_cos") >= min_mean_cos)
     )

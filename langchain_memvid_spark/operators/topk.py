@@ -215,3 +215,37 @@ def lsh_search(
     return res.select(
         id_col, F.round(F.col("distCol"), 4).alias("l2_dist")
     ).orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
+
+
+def self_check_recall(
+    results: DataFrame,
+    exact_topk: DataFrame,
+    k: int,
+    bound: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append an IN-PLAN recall assertion to an approximate search.
+
+    Joins the approximate result ids against the exact top-k (computed
+    by the caller with the brute-force operator), attaches the measured
+    ``recall_at_k`` as a constant column, and FILTERS THE WHOLE RESULT
+    AWAY when recall < bound: an approximate query whose quality
+    silently degrades returns ZERO rows instead of quietly keeping a
+    rows-only green. This is the self-asserting harness for the
+    queries whose trained components (KMeans centroids, PQ codebooks,
+    LSH tables, HLL sketches) no SQL oracle can reproduce — the driver
+    still records a rows-only row, but a non-empty result now PROVES
+    the quality bound held at run time.
+
+    Both inputs are top-k frames (≤ k rows), so the semi join and the
+    1-row aggregate broadcast — the guard adds no shuffle at any scale.
+    """
+    hits = results.select(id_col).join(
+        exact_topk.select(id_col), id_col, "left_semi"
+    )
+    recall = hits.agg(
+        F.round(F.count("*") / F.lit(float(k)), 4).alias("recall_at_k")
+    )
+    return results.crossJoin(F.broadcast(recall)).filter(
+        F.col("recall_at_k") >= bound
+    )

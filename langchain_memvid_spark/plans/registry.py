@@ -1329,14 +1329,19 @@ def q_percentiles(spark, sf_dir):
 
 @_reg(
     "ivf_kmeans_search",
-    None,  # KMeans training is not SQL-expressible — driver rows-only check
+    None,  # KMeans training is not SQL-expressible — driver rows-only
+    # check, but SELF-ASSERTING: empty result <=> recall@10 < 0.5
 )
 def q_ivf_kmeans(spark, sf_dir):
     """KMeans-trained IVF layout: partitionBy(cluster_id) write →
     centroid-pruned partition-scan search (core/ivf.py). The 100 TB
     scale path for ANN — only nprobe/nlist of the corpus files are
     scanned. Reference analog: the dead-code FAISS IVF gate
-    (/root/reference/src/langchain_memvid/index.py:152-162)."""
+    (/root/reference/src/langchain_memvid/index.py:152-162).
+
+    Self-asserting (no SQL oracle can retrain the KMeans): the result
+    carries recall@10 vs the exact brute-force top-10 and returns ZERO
+    rows if it drops below 0.5 (measured 0.6 with these fixed seeds)."""
     import tempfile
 
     from langchain_memvid_spark.core.ivf import IVFIndex
@@ -1345,31 +1350,38 @@ def q_ivf_kmeans(spark, sf_dir):
     idx, assigned = IVFIndex.build(emb, nlist=8)
     idx.write_layout(assigned, tempfile.mkdtemp(prefix="ivf_layout_"))
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return idx.search(spark, qvec, k=10, nprobe=2)
+    res = idx.search(spark, qvec, k=10, nprobe=2)
+    return topk.self_check_recall(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
 @_reg(
     "pq_search",
-    None,  # per-subspace KMeans codebooks are not SQL-expressible — rows-only
+    None,  # per-subspace KMeans codebooks are not SQL-expressible —
+    # rows-only, but SELF-ASSERTING: empty result <=> recall@10 < 0.5
 )
 def q_pq_search(spark, sf_dir):
     """Product-quantized ANN (operators/pq.py): 32× compressed m-byte
     codes ranked by ADC table lookups (pure JVM), exact re-rank of the
     survivors. The sub-byte tier of the quantization ladder below the
     int8 path (knn_topk_requantized). Reference analog: the FAISS IVFPQ
-    index type the reference names but never trains (config.py:111-134)."""
+    index type the reference names but never trains (config.py:111-134).
+
+    Self-asserting: carries recall@10 vs the exact brute-force top-10;
+    ZERO rows if below 0.5 (measured 0.7 with fixed seeds)."""
     from langchain_memvid_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
     cbs = pq.pq_train(emb, m=8, k=16)
     coded = pq.pq_assign(emb, cbs)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return pq.pq_topk(coded, cbs, qvec, k=10, rerank=50)
+    res = pq.pq_topk(coded, cbs, qvec, k=10, rerank=50)
+    return topk.self_check_recall(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
 @_reg(
     "ivfpq_search",
-    None,  # KMeans clusters + codebooks — rows-only
+    None,  # KMeans clusters + codebooks — rows-only, but
+    # SELF-ASSERTING: empty result <=> recall@10 < 0.5
 )
 def q_ivfpq_search(spark, sf_dir):
     """Full FAISS-IVFPQ analog: KMeans-partitioned layout carrying PQ
@@ -1378,7 +1390,10 @@ def q_ivfpq_search(spark, sf_dir):
     (2) ADC over the m-byte codes ranks the surviving rows JVM-side,
     (3) exact re-rank touches the float column for the finalists only.
     At 100 TB: scan nprobe/nlist of the files, read ~m bytes per
-    surviving row, float math on `rerank` rows."""
+    surviving row, float math on `rerank` rows.
+
+    Self-asserting: carries recall@10 vs the exact brute-force top-10;
+    ZERO rows if below 0.5 (measured 0.6 with fixed seeds)."""
     import tempfile
 
     from langchain_memvid_spark.core.ivf import IVFIndex
@@ -1392,21 +1407,49 @@ def q_ivfpq_search(spark, sf_dir):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     probes = idx.probe_clusters(qvec, nprobe=2)
     corpus = spark.read.parquet(idx.path).filter(F.col("cluster_id").isin(probes))
-    return pq.pq_topk(corpus, cbs, qvec, k=10, rerank=50)
+    res = pq.pq_topk(corpus, cbs, qvec, k=10, rerank=50)
+    return topk.self_check_recall(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
 @_reg(
     "pq_compression_stats",
-    None,  # codebooks from KMeans — rows-only (1 summary row)
+    """
+SELECT count(*) AS n_vectors,
+  CAST(max(len(embedding)) * 4 AS INT) AS float_bytes_per_vec,
+  8 AS code_bytes_per_vec,
+  round(max(len(embedding)) * 4.0 / 8, 2) AS compression_ratio
+FROM embeddings
+""",
 )
 def q_pq_stats(spark, sf_dir):
-    """PQ space/quality summary: bytes per vector before/after (256→8
-    at dim 64), compression ratio, mean reconstruction cosine."""
+    """PQ SPACE summary: bytes per vector before/after (256→8 at dim
+    64) and the compression ratio. Every column is closed-form from the
+    schema, so this half of the old rows-only query now hash-matches a
+    plain SQL oracle; the trained-codebook quality half lives in
+    pq_reconstruction_error."""
     from langchain_memvid_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
     cbs = pq.pq_train(emb, m=8, k=16)
     return pq.pq_compression_stats(pq.pq_assign(emb, cbs), cbs)
+
+
+@_reg(
+    "pq_reconstruction_error",
+    None,  # codebooks from KMeans — rows-only, but SELF-ASSERTING:
+    # empty result <=> mean reconstruction cosine < 0.6
+)
+def q_pq_recon(spark, sf_dir):
+    """PQ QUALITY summary: mean/min reconstruction cosine of the
+    decode (concat of assigned centroids) vs the original vectors.
+    Self-asserting: the single row is filtered away — loud EMPTY —
+    when the mean reconstruction cosine drops below 0.6 (measured
+    0.677 with fixed seeds at m=8, k=16, dim 64)."""
+    from langchain_memvid_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq.pq_train(emb, m=8, k=16)
+    return pq.pq_reconstruction_stats(pq.pq_assign(emb, cbs), cbs, min_mean_cos=0.6)
 
 
 @_reg(
@@ -2208,28 +2251,53 @@ def q_stream_interval_join(spark, sf_dir):
 
 @_reg(
     "lsh_ann_search",
-    None,  # random-hyperplane buckets are MLlib-internal — rows-only check
+    None,  # random-hyperplane buckets are MLlib-internal — rows-only,
+    # but SELF-ASSERTING: empty result <=> recall@10 < 0.6
 )
 def q_lsh(spark, sf_dir):
     """ANN via MLlib BucketedRandomProjectionLSH — the no-training
-    alternative to the KMeans/IVF layout (operators/topk.lsh_search)."""
-    return topk.lsh_search(_t(spark, sf_dir, "embeddings"))
+    alternative to the KMeans/IVF layout (operators/topk.lsh_search).
+
+    Self-asserting: carries recall@10 vs the exact brute-force L2
+    top-10; ZERO rows if below 0.6 (measured 0.9 with fixed seed)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = topk.lsh_search(emb)
+    return topk.self_check_recall(res, topk.knn_topk_l2(emb, k=10), k=10, bound=0.6)
 
 
 @_reg(
     "approx_distinct_stats",
-    None,  # HyperLogLog sketches are implementation-specific — rows-only
+    """
+SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+  CAST(1 AS BOOLEAN) AS approx_within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
 )
 def q_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++, rsd=0.02) next to exact counts —
-    at 100 TB the sketch is the only affordable distinct; the exact
-    column exists so the relative error is visible in the output."""
+    """approx_count_distinct (HLL++, rsd=0.02) checked against the
+    exact distinct IN-PLAN: a group whose sketch misses the exact count
+    by more than 10% relative (5× the configured rsd) is filtered away,
+    so the row-count/hash mismatch vs the oracle's exact-side SQL
+    flags the violation loudly. This upgrades the old rows-only check
+    to a full hash oracle: the sketch value itself is
+    implementation-specific, so it is asserted in-plan rather than
+    emitted. At 100 TB the sketch is the only affordable distinct."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__approx"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .filter(
+            F.abs(F.col("__approx") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.1
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            F.lit(True).alias("approx_within_bound"),
         )
     )
 
@@ -3459,6 +3527,15 @@ _DRIVER_GREEN = {
 # actually landed belongs here (the r3 list claimed work that never
 # shipped — VERDICT r3 "What's wrong" #3); grown as round-5 work lands.
 _CHANGED_THIS_ROUND = (
+    # rows-only -> self-asserting recall guard (empty on violation)
+    "ivf_kmeans_search",
+    "pq_search",
+    "ivfpq_search",
+    "lsh_ann_search",
+    # rows-only -> FULL hash oracle (space half / exact-side + in-plan
+    # error assertion); quality half moved to pq_reconstruction_error
+    "pq_compression_stats",
+    "approx_distinct_stats",
 )
 
 

@@ -295,7 +295,10 @@ def test_pq_search_recall_and_compression(spark):
     stats = pq.pq_compression_stats(coded, cbs).collect()[0]
     assert stats["code_bytes_per_vec"] == 8
     assert stats["compression_ratio"] == 32.0
-    assert stats["mean_recon_cos"] > 0.5
+    recon = pq.pq_reconstruction_stats(coded, cbs, min_mean_cos=0.5).collect()
+    assert len(recon) == 1 and recon[0]["mean_recon_cos"] > 0.5
+    # the self-assertion goes loudly EMPTY when the bound is violated
+    assert pq.pq_reconstruction_stats(coded, cbs, min_mean_cos=0.999).count() == 0
     emb.unpersist()
     coded.unpersist()
 
@@ -423,6 +426,22 @@ def test_lsh_search_recall_vs_exact(spark, sf_dir):
     exact = {r["vec_id"] for r in topk.knn_topk_l2(emb, query_vec_id=0, k=10).collect()}
     assert 0 in got  # self-match always survives bucketing
     assert len(got & exact) >= 7
+
+
+def test_self_check_recall_guard(spark, sf_dir):
+    """self_check_recall passes results through (plus a constant
+    recall_at_k column) when the bound holds, and returns ZERO rows
+    when it cannot be met — the loud-empty contract the rows-only
+    driver checks rely on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = topk.knn_topk(emb, k=10)
+    ok = topk.self_check_recall(exact, exact, k=10, bound=1.0)
+    rows = ok.collect()
+    assert len(rows) == 10
+    assert all(r["recall_at_k"] == 1.0 for r in rows)
+    # a disjoint "exact" set drives recall to 0 -> empty result
+    fake_exact = exact.select((F.col("vec_id") + 100000).alias("vec_id"))
+    assert topk.self_check_recall(exact, fake_exact, k=10, bound=0.5).count() == 0
 
 
 def test_chunk_documents_overlap_semantics(spark):
