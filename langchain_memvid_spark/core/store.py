@@ -335,7 +335,28 @@ class SparkVectorStore:
         # cache entries so repeated ingests don't pin storage forever
         old_index.unpersist()
         old_payload.unpersist()
+        self._maybe_truncate_lineage()
         return [str(i) for i in range(len(texts))]
+
+    # Each append/delete nests the logical plan one level deeper
+    # (union/anti-join over the previous plan). Caching bounds
+    # RECOMPUTATION but not driver-side plan processing — thousands of
+    # appends in one session would bloat analysis/optimization time.
+    # localCheckpoint() every N mutations truncates the lineage to a
+    # scan of materialized blocks (same trick dedup.py's iterative
+    # connected-components uses per round).
+    _CHECKPOINT_EVERY = 16
+
+    def _maybe_truncate_lineage(self) -> None:
+        self._mutations = getattr(self, "_mutations", 0) + 1
+        if self._mutations < self._CHECKPOINT_EVERY:
+            return
+        self._mutations = 0
+        idx_cp = self._doc_index.localCheckpoint(eager=True)
+        pay_cp = self._payload.localCheckpoint(eager=True)
+        self._doc_index.unpersist()
+        self._payload.unpersist()
+        self._doc_index, self._payload = idx_cp, pay_cp
 
     def add_documents(self, documents: Iterable[Any]) -> list[str]:
         texts = [d.page_content if hasattr(d, "page_content") else d["text"] for d in documents]
@@ -716,6 +737,7 @@ class SparkVectorStore:
         self._payload.count()
         old_index.unpersist()
         old_payload.unpersist()
+        self._maybe_truncate_lineage()
 
     def delete_by_ids(self, doc_ids: list[int | str]) -> bool:
         """≙ vectorstore.py:290-352 / index.py:347-376: validate, anti-join
@@ -783,6 +805,64 @@ class SparkVectorStore:
 
     def get_by_ids(self, ids: list[int | str]) -> list[dict[str, Any]]:
         return self.get_documents_by_ids(ids)
+
+    # ------------------------------------------------------------------ async
+    # Store-level async parity with the reference
+    # (/root/reference/src/langchain_memvid/vectorstore.py:227-252,
+    # 636-657,686-707,418-467). Spark actions block a thread, so these
+    # are run_in_executor wrappers — same pattern the reference uses
+    # (its async methods delegate to the sync implementations), but
+    # actually off the event loop instead of blocking it.
+
+    async def _to_thread(self, fn, *args, **kwargs):
+        import asyncio
+        from functools import partial
+
+        return await asyncio.get_running_loop().run_in_executor(
+            None, partial(fn, *args, **kwargs)
+        )
+
+    async def aadd_texts(
+        self, texts: list[str], metadatas: list[dict[str, Any]] | None = None
+    ) -> list[str]:
+        return await self._to_thread(self.add_texts, texts, metadatas)
+
+    async def aadd_documents(self, documents: Iterable[Any]) -> list[str]:
+        return await self._to_thread(self.add_documents, documents)
+
+    async def asimilarity_search(
+        self,
+        query: str,
+        k: int = 4,
+        include_full_metadata: bool = False,
+        filter: dict[str, Any] | None = None,
+    ) -> list[dict[str, Any]]:
+        return await self._to_thread(
+            self.similarity_search, query, k, include_full_metadata, filter=filter
+        )
+
+    async def asimilarity_search_with_score(
+        self,
+        query: str,
+        k: int = 4,
+        include_full_metadata: bool = False,
+        filter: dict[str, Any] | None = None,
+    ) -> list[tuple[dict[str, Any], float]]:
+        return await self._to_thread(
+            self.similarity_search_with_score, query, k, include_full_metadata, filter=filter
+        )
+
+    async def adelete_by_ids(self, doc_ids: list[int | str]) -> bool:
+        return await self._to_thread(self.delete_by_ids, doc_ids)
+
+    async def adelete_by_texts(self, texts: list[str]) -> bool:
+        return await self._to_thread(self.delete_by_texts, texts)
+
+    async def adelete(self, ids: list[int | str] | None = None, **kwargs: Any) -> bool:
+        return await self._to_thread(self.delete, ids, **kwargs)
+
+    async def aget_by_ids(self, ids: list[int | str]) -> list[dict[str, Any]]:
+        return await self._to_thread(self.get_by_ids, ids)
 
     # ------------------------------------------------------------------ stats
 
