@@ -76,6 +76,15 @@ def main() -> None:
     vs2 = SparkVectorStore.load(path, spark, config=cfg)
     print(f"reloaded store: {vs2.get_document_count()} docs from {path}")
 
+    # tabular rendering ≙ the reference's %%as_table notebook magic
+    # (ext.py:531) — engine-side the equivalent is one createDataFrame
+    # + show(): search results are plain rows, so any Spark sink or
+    # display surface renders them without a bespoke magic.
+    spark.createDataFrame(
+        [(r.text, float(r.similarity), r.category) for r in vs.search_text("foxes", k=3)],
+        "text STRING, similarity DOUBLE, category STRING",
+    ).show(truncate=40)
+
 
 if __name__ == "__main__":
     main()

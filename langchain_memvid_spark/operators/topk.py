@@ -38,8 +38,8 @@ def knn_topk(
     qvec = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()[0]
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return (
-        embeddings.withColumn("sim", F.round(cosine_sim(F.col(vec_col), q), 4))
-        .withColumn("__s", cosine_sim(F.col(vec_col), q))
+        embeddings.withColumn("__s", cosine_sim(F.col(vec_col), q))
+        .withColumn("sim", F.round(F.col("__s"), 4))
         .orderBy(F.col("__s").desc(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), "sim")

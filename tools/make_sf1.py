@@ -1,0 +1,115 @@
+"""Generate a deterministic sf1 (10x sf0.1) dataset for local scale
+benchmarking, into .localdata/sf1/ (the driver's /root/testdata is
+read-only and ships no sf1).
+
+Construction: 10 key-shifted copies of every scaling sf0.1 table, with
+offsets consistent per key domain so all join relationships hold in
+every copy (copy i of lineitem references copy i of orders/part/
+supplier). region/nation stay fixed (dimension tables). Document texts
+are word-ROTATED per copy — same length, same token multiset, but
+different shingles — so near-dup pair structure scales linearly with
+the corpus instead of degenerating into 10-cliques of exact copies
+(which would measure data-design blowup, not plan scaling).
+
+Deterministic: pure SQL over the seed=42 driver tables, no randomness.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1")
+COPIES = 10
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
+
+    # per-domain offsets (max+1 of the base table)
+    off = {
+        k: con.sql(q).fetchone()[0] + 1
+        for k, q in {
+            "cust": "SELECT max(c_custkey) FROM customer",
+            "supp": "SELECT max(s_suppkey) FROM supplier",
+            "part": "SELECT max(p_partkey) FROM part",
+            "order": "SELECT max(o_orderkey) FROM orders",
+            "event": "SELECT max(event_id) FROM events",
+            "user": "SELECT max(user_id) FROM events",
+            "doc": "SELECT max(doc_id) FROM documents",
+            "vec": "SELECT max(vec_id) FROM embeddings",
+        }.items()
+    }
+    con.execute(f"CREATE VIEW copies AS SELECT unnest(range({COPIES})) AS i")
+
+    def emit(name: str, sql: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{DST}/{name}.parquet'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    emit("region", "SELECT * FROM region")
+    emit("nation", "SELECT * FROM nation")
+    emit(
+        "customer",
+        f"SELECT c_custkey + i*{off['cust']} AS c_custkey, c_name, c_nationkey,"
+        " c_acctbal, c_mktsegment FROM customer CROSS JOIN copies",
+    )
+    emit(
+        "supplier",
+        f"SELECT s_suppkey + i*{off['supp']} AS s_suppkey, s_name, s_nationkey,"
+        " s_acctbal FROM supplier CROSS JOIN copies",
+    )
+    emit(
+        "part",
+        f"SELECT p_partkey + i*{off['part']} AS p_partkey, p_name, p_brand,"
+        " p_type, p_size, p_retailprice FROM part CROSS JOIN copies",
+    )
+    emit(
+        "orders",
+        f"SELECT o_orderkey + i*{off['order']} AS o_orderkey,"
+        f" o_custkey + i*{off['cust']} AS o_custkey, o_orderstatus,"
+        " o_totalprice, o_orderdate, o_orderpriority FROM orders CROSS JOIN copies",
+    )
+    emit(
+        "lineitem",
+        f"SELECT l_orderkey + i*{off['order']} AS l_orderkey,"
+        f" l_partkey + i*{off['part']} AS l_partkey,"
+        f" l_suppkey + i*{off['supp']} AS l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM lineitem CROSS JOIN copies",
+    )
+    emit(
+        "events",
+        f"SELECT event_id + i*{off['event']} AS event_id, ts,"
+        f" user_id + i*{off['user']} AS user_id, event_type, value, props"
+        " FROM events CROSS JOIN copies",
+    )
+    # rotate the word list by i: same chars/tokens, different shingles
+    emit(
+        "documents",
+        f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w, lang, source, n_chars
+              FROM documents)
+SELECT doc_id + i*{off['doc']} AS doc_id,
+  array_to_string(list_concat(w[(i % len(w)) + 1:], w[1:(i % len(w))]), ' ') AS text,
+  lang, source, n_chars
+FROM base CROSS JOIN copies
+""",
+    )
+    emit(
+        "embeddings",
+        f"SELECT vec_id + i*{off['vec']} AS vec_id, embedding, label"
+        " FROM embeddings CROSS JOIN copies",
+    )
+
+
+if __name__ == "__main__":
+    main()
