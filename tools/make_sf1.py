@@ -5,11 +5,19 @@ read-only and ships no sf1).
 Construction: 10 key-shifted copies of every scaling sf0.1 table, with
 offsets consistent per key domain so all join relationships hold in
 every copy (copy i of lineitem references copy i of orders/part/
-supplier). region/nation stay fixed (dimension tables). Document texts
-are word-ROTATED per copy — same length, same token multiset, but
-different shingles — so near-dup pair structure scales linearly with
-the corpus instead of degenerating into 10-cliques of exact copies
-(which would measure data-design blowup, not plan scaling).
+supplier). region/nation stay fixed (dimension tables).
+
+Copies must NOT be near-duplicates of each other, or every pair-family
+query (ngram_jaccard, minhash/simhash bands, embedding candidates)
+degenerates into 10-cliques and measures data-design blowup instead of
+plan scaling — a first attempt that merely ROTATED each document's
+words kept ~all 3-gram shingles (only the seam changes) and inflated
+ngram_jaccard 28x. So: document words are hash-SHUFFLED per copy
+(same length and token multiset — n_chars stays valid — but the
+shingle sets are disjoint in practice), and copies of embeddings get
+independent hash-derived pseudo-random vectors with the same component
+magnitude profile (cross-copy cosine ~0.1, far below the 0.4 pair
+threshold).
 
 Deterministic: pure SQL over the seed=42 driver tables, no randomness.
 """
@@ -92,22 +100,43 @@ def main() -> None:
         f" user_id + i*{off['user']} AS user_id, event_type, value, props"
         " FROM events CROSS JOIN copies",
     )
-    # rotate the word list by i: same chars/tokens, different shingles
+    # hash-shuffle the word list per copy (copy 0 keeps the original
+    # order): same chars + token multiset, disjoint shingle sets
     emit(
         "documents",
         f"""
-WITH base AS (SELECT doc_id, string_split(text, ' ') AS w, lang, source, n_chars
-              FROM documents)
+WITH exploded AS (
+  SELECT d.doc_id, i, d.w[ix.pos] AS word, ix.pos, d.lang, d.source, d.n_chars
+  FROM (SELECT doc_id, string_split(text, ' ') AS w, lang, source, n_chars
+        FROM documents) d
+  CROSS JOIN copies, LATERAL (SELECT unnest(range(1, len(d.w) + 1)) AS pos) ix
+)
 SELECT doc_id + i*{off['doc']} AS doc_id,
-  array_to_string(list_concat(w[(i % len(w)) + 1:], w[1:(i % len(w))]), ' ') AS text,
-  lang, source, n_chars
-FROM base CROSS JOIN copies
+  string_agg(word, ' ' ORDER BY
+    CASE WHEN i = 0 THEN pos::HUGEINT
+         ELSE hash(word || '|' || pos::VARCHAR || '|' || i::VARCHAR)::HUGEINT
+    END) AS text,
+  any_value(lang) AS lang, any_value(source) AS source,
+  any_value(n_chars) AS n_chars
+FROM exploded
+GROUP BY 1
 """,
     )
+    # copy 0 keeps the real vectors; copies 1..9 get independent
+    # hash-derived uniform vectors in [-0.2, 0.2] (the base components
+    # average |x| ~= 0.1), so cross-copy cosine stays ~0.1
     emit(
         "embeddings",
-        f"SELECT vec_id + i*{off['vec']} AS vec_id, embedding, label"
-        " FROM embeddings CROSS JOIN copies",
+        f"""
+SELECT vec_id + i*{off['vec']} AS vec_id,
+  CASE WHEN i = 0 THEN embedding
+       ELSE list_transform(embedding, (x, j) ->
+         CAST(((hash((vec_id + i*{off['vec']}) * 64 + j) % 4001) / 4000.0 - 0.5) * 0.4
+              AS FLOAT))
+  END AS embedding,
+  label
+FROM embeddings CROSS JOIN copies
+""",
     )
 
 
