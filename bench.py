@@ -119,6 +119,10 @@ def main() -> None:
     # Python-stage queries removes the spin-up component from the
     # recorded numbers; host noise is documented in "notes" below.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        # benching a locally generated SF (e.g. .localdata/sf1): warm
+        # from the driver-shipped tiny SF instead.
+        warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name in ("ngram_jaccard", "minhash_band_pairs", "simhash_near_pairs",
                      "dedup_clusters", "stream_near_dedup"):

@@ -9,15 +9,17 @@ supplier). region/nation stay fixed (dimension tables).
 
 Copies must NOT be near-duplicates of each other, or every pair-family
 query (ngram_jaccard, minhash/simhash bands, embedding candidates)
-degenerates into 10-cliques and measures data-design blowup instead of
-plan scaling — a first attempt that merely ROTATED each document's
-words kept ~all 3-gram shingles (only the seam changes) and inflated
-ngram_jaccard 28x. So: document words are hash-SHUFFLED per copy
-(same length and token multiset — n_chars stays valid — but the
-shingle sets are disjoint in practice), and copies of embeddings get
+degenerates into 10x-sized cliques and measures data-design blowup
+instead of plan scaling — pair OUTPUT is quadratic in clique size, so
+correlated copies turn a 10x corpus into a 100x workload. Document
+copies therefore bijectively RENAME every token with a per-copy suffix
+(original word order kept): each copy is an independent corpus with
+the base's exact within-copy df/Jaccard/simhash structure and zero
+cross-copy shingle OR token-set collisions. Copies of embeddings get
 independent hash-derived pseudo-random vectors with the same component
-magnitude profile (cross-copy cosine ~0.1, far below the 0.4 pair
-threshold).
+magnitude profile (cross-copy cosine concentrates near 0; the residual
+tail above the 0.4 pair threshold is the iid-background rate the BASE
+vectors already exhibit — see SCALE.md's sf1 notes).
 
 Deterministic: pure SQL over the seed=42 driver tables, no randomness.
 """
@@ -100,26 +102,31 @@ def main() -> None:
         f" user_id + i*{off['user']} AS user_id, event_type, value, props"
         " FROM events CROSS JOIN copies",
     )
-    # hash-shuffle the word list per copy (copy 0 keeps the original
-    # order): same chars + token multiset, disjoint shingle sets
+    # Bijectively rename every token with a per-copy suffix, keeping the
+    # original word order (copy 0 stays untouched).  A first attempt
+    # hash-SHUFFLED word order: that decorrelates 3-gram shingles but
+    # NOT unigram token sets, so order-independent signatures (simhash
+    # signs the distinct-token set) were byte-identical across copies —
+    # the base corpus's 248-doc identical-token-set groups became
+    # 2,480-doc exact-collision cliques and simhash_near_pairs inflated
+    # 149x (pair OUTPUT is quadratic in clique size).  Renaming makes
+    # each copy an independent corpus with the base's exact within-copy
+    # df/Jaccard/simhash structure and zero cross-copy collisions:
+    # shingle pair-space (sum of df^2) scales 10x instead of 90x.
     emit(
         "documents",
         f"""
-WITH exploded AS (
-  SELECT d.doc_id, i, d.w[ix.pos] AS word, ix.pos, d.lang, d.source, d.n_chars
-  FROM (SELECT doc_id, string_split(text, ' ') AS w, lang, source, n_chars
-        FROM documents) d
-  CROSS JOIN copies, LATERAL (SELECT unnest(range(1, len(d.w) + 1)) AS pos) ix
+SELECT doc_id, text, lang, source,
+  CASE WHEN i = 0 THEN n_chars ELSE length(text) END AS n_chars
+FROM (
+  SELECT doc_id + i*{off['doc']} AS doc_id, i,
+    CASE WHEN i = 0 THEN text
+         ELSE array_to_string(
+           list_transform(string_split(text, ' '), w -> w || '~' || i), ' ')
+    END AS text,
+    lang, source, n_chars
+  FROM documents CROSS JOIN copies
 )
-SELECT doc_id + i*{off['doc']} AS doc_id,
-  string_agg(word, ' ' ORDER BY
-    CASE WHEN i = 0 THEN pos::HUGEINT
-         ELSE hash(word || '|' || pos::VARCHAR || '|' || i::VARCHAR)::HUGEINT
-    END) AS text,
-  any_value(lang) AS lang, any_value(source) AS source,
-  any_value(n_chars) AS n_chars
-FROM exploded
-GROUP BY 1
 """,
     )
     # copy 0 keeps the real vectors; copies 1..9 get independent
