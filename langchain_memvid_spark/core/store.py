@@ -182,7 +182,11 @@ def _one_predicate(key: str, op: str, val: Any) -> F.Column:
         if all(isinstance(v, bool) for v in vals):
             col, lits = raw, ["true" if v else "false" for v in vals]
         elif all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
-            col, lits = raw.cast("double"), [float(v) for v in vals]
+            # try_cast, NOT cast: under ANSI mode (Spark 4 default) a
+            # plain cast THROWS on rows whose stored value is not
+            # numeric ('false', 'abc'); the dialect's contract is that
+            # such rows simply don't match (null comparison)
+            col, lits = raw.try_cast("double"), [float(v) for v in vals]
         elif all(isinstance(v, str) for v in vals):
             col, lits = raw, list(vals)
         else:

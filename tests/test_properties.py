@@ -248,3 +248,132 @@ def test_sequence_packing_matches_python_reference(spark_handle, tokens, budget)
     for i, t in enumerate(tokens):
         assert got[i] == (t, cum // budget, cum % budget), (i, got[i], cum)
         cum += t
+
+
+# ---------------------------------------------------------------- filters
+
+_SCALAR = st.one_of(
+    st.booleans(),
+    st.integers(-5, 5),
+    st.integers(-50, 50).map(lambda n: n / 10.0),
+    st.sampled_from(["a", "b", "abc", "true", "false", "2", "x1"]),
+)
+_META_KEYS = ("k1", "k2", "source", "category")
+
+
+def _spec(key):
+    """One filter spec for a key: scalar, single-op dict, or range dict.
+    Engine columns (source/category) are string-typed, so their filter
+    values stay strings; $in stays same-typed (mixed types raise)."""
+    val = st.sampled_from(["a", "b", "abc", "x1"]) if key in ("source", "category") else _SCALAR
+    one_op = st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"])
+    return st.one_of(
+        val,
+        st.tuples(one_op, val).map(lambda t: {t[0]: t[1]}),
+        st.lists(val, min_size=1, max_size=3).map(
+            lambda vs: {"$in": [v for v in vs if type(v) is type(vs[0])]}
+        ),
+        st.tuples(val, val).map(lambda t: {"$gte": t[0], "$lt": t[1]}),
+    )
+
+
+def _raw_of(v):
+    """The string get_json_object extracts for a canonical-JSON value."""
+    import json as _json
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return _json.dumps(v)
+    return v
+
+
+def _py_one(meta, key, op, val):
+    """Python model of store._one_predicate over one doc's metadata."""
+    vals = val if op == "$in" else [val]
+    if key in ("source", "category"):
+        cv = meta.get(key)
+        lits = list(vals)
+        if cv is None:
+            return False
+    else:
+        if key not in meta:
+            return False  # null extraction: every comparison is False
+        raw = _raw_of(meta[key])
+        if all(isinstance(v, bool) for v in vals):
+            cv, lits = raw, ["true" if v else "false" for v in vals]
+        elif all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+            try:
+                cv = float(raw)  # Spark cast-to-double; 'abc' -> null -> False
+            except ValueError:
+                return False
+            lits = [float(v) for v in vals]
+        else:
+            cv, lits = raw, list(vals)
+    if op == "$in":
+        return cv in lits
+    lit = lits[0]
+    return {
+        "$eq": cv == lit,
+        "$ne": cv != lit,
+        "$gt": cv > lit,
+        "$gte": cv >= lit,
+        "$lt": cv < lit,
+        "$lte": cv <= lit,
+    }[op]
+
+
+def _py_match(meta, filt):
+    for key, spec in filt.items():
+        ops = spec if isinstance(spec, dict) else {"$eq": spec}
+        for op, val in ops.items():
+            if not _py_one(meta, key, op, val):
+                return False
+    return True
+
+
+@given(
+    metas=st.lists(
+        st.dictionaries(st.sampled_from(_META_KEYS), _SCALAR, max_size=4).map(
+            lambda m: {
+                k: (str(v) if k in ("source", "category") else v) for k, v in m.items()
+            }
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    filters=st.lists(
+        st.sampled_from(_META_KEYS).flatmap(
+            lambda k: _spec(k).map(lambda s: {k: s})
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@SET
+def test_metadata_filter_dialect_matches_python_reference(spark_handle, metas, filters):
+    """metadata_predicate over randomized metadata == a plain-Python
+    model of the documented JSON-extraction dialect (typed comparisons,
+    null-never-matches, $ops) — guards the ADVICE-r4 bug class where
+    str(True) vs JSON 'true' silently matched nothing."""
+    from langchain_memvid_spark.core.store import (
+        _canonical_meta_json,
+        metadata_predicate,
+    )
+
+    spark = spark_handle
+    rows = [
+        (i, m.get("source"), m.get("category"), _canonical_meta_json(m))
+        for i, m in enumerate(metas)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, category string, metadata_json string"
+    )
+    sel = df.select(
+        "doc_id",
+        *[metadata_predicate(f).alias(f"f{j}") for j, f in enumerate(filters)],
+    )
+    got = {r["doc_id"]: [bool(r[f"f{j}"]) for j in range(len(filters))] for r in sel.collect()}
+    for i, m in enumerate(metas):
+        want = [_py_match(m, f) for f in filters]
+        assert got[i] == want, (i, m, filters, got[i], want)
