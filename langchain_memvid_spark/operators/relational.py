@@ -238,7 +238,9 @@ def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 def events_json_stats(events: DataFrame) -> DataFrame:
     """JSON extraction from the props column + grouped stats."""
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast: malformed props must not-match rather than throw under
+    # ANSI mode (Spark 4 default); identical to cast on well-formed rows
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return (
         events.withColumn("k", k)
         .groupBy("event_type")

@@ -1919,7 +1919,7 @@ def q_payload_roundtrip(spark, sf_dir):
         "doc_id",
         F.get_json_object("payload", "$.text").alias("text_out"),
         F.get_json_object("payload", "$.source").alias("source_out"),
-        F.get_json_object("payload", "$.doc_id").cast("long").alias("id_out"),
+        F.get_json_object("payload", "$.doc_id").try_cast("long").alias("id_out"),
     )
 
 
