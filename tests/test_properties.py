@@ -377,3 +377,59 @@ def test_metadata_filter_dialect_matches_python_reference(spark_handle, metas, f
     for i, m in enumerate(metas):
         want = [_py_match(m, f) for f in filters]
         assert got[i] == want, (i, m, filters, got[i], want)
+
+
+# ---------------------------------------------------------------- store lifecycle
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("add"),
+            st.lists(st.sampled_from([f"t{i}" for i in range(8)]), min_size=1, max_size=5),
+        ),
+        st.tuples(
+            st.just("del_ids"),
+            st.lists(st.floats(0, 0.999), min_size=1, max_size=3, unique=True),
+        ),
+        st.tuples(
+            st.just("del_texts"),
+            st.lists(st.sampled_from([f"t{i}" for i in range(8)]), min_size=1, max_size=3),
+        ),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(ops=_OPS)
+@settings(max_examples=4, deadline=None, derandomize=True)
+def test_store_lifecycle_matches_python_model(spark_handle, ops):
+    """Random add/delete sequences against a plain-Python model of the
+    corpus: batch first-occurrence dedup, anti-join vs existing texts,
+    delete-by-ids/texts, renumbering to contiguous ids after every
+    delete. The invariant checked after EVERY op is the full corpus
+    (ordered texts + ids 0..n-1 + count)."""
+    from langchain_memvid_spark import SparkVectorStore
+
+    store = SparkVectorStore(spark_handle)
+    model: list[str] = []
+    for kind, arg in ops:
+        if kind == "add":
+            store.add_texts(arg)
+            for t in arg:
+                if t not in model:
+                    model.append(t)
+        elif kind == "del_ids":
+            if not model:
+                continue
+            ids = sorted({int(f * len(model)) for f in arg})
+            store.delete_by_ids(ids)
+            model = [t for i, t in enumerate(model) if i not in ids]
+        else:  # del_texts
+            victims = set(arg) & set(model)
+            assert store.delete_by_texts(arg) == bool(victims)
+            model = [t for t in model if t not in victims]
+        docs = store.get_all_documents()
+        assert [d["page_content"] for d in docs] == model, (kind, arg, model)
+        assert [d["doc_id"] for d in docs] == list(range(len(model)))
+        assert store.get_document_count() == len(model)
