@@ -64,6 +64,9 @@ EXTENDED = [
     "knn_topk_requantized",
     "video_header_info",
     "stream_ingest_store",
+    # round-5 operators
+    "vs_metadata_filter_range",
+    "pq_compression_stats",
 ]
 
 

@@ -433,3 +433,83 @@ def test_store_lifecycle_matches_python_model(spark_handle, ops):
         assert [d["page_content"] for d in docs] == model, (kind, arg, model)
         assert [d["doc_id"] for d in docs] == list(range(len(model)))
         assert store.get_document_count() == len(model)
+
+
+# ---------------------------------------------------------------- chunking
+
+@given(
+    token_counts=st.lists(st.integers(1, 90), min_size=1, max_size=12),
+    chunk_tokens=st.integers(2, 40),
+    overlap_frac=st.floats(0, 0.99),
+)
+@SET
+def test_chunk_documents_matches_python_reference(
+    spark_handle, token_counts, chunk_tokens, overlap_frac
+):
+    """Chunking over random doc lengths / chunk sizes / overlaps == a
+    plain-Python slicing reference: stride chunk_tokens-overlap, starts
+    at 0..n-1, every chunk is tokens[start:start+chunk_tokens]."""
+    from langchain_memvid_spark.operators.textops import chunk_documents
+
+    overlap = min(int(chunk_tokens * overlap_frac), chunk_tokens - 1)
+    docs_tokens = [
+        [f"w{i}_{j}" for j in range(t)] for i, t in enumerate(token_counts)
+    ]
+    df = spark_handle.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens, overlap).collect()
+    }
+    want = {}
+    step = chunk_tokens - overlap
+    for i, toks in enumerate(docs_tokens):
+        for cid, start in enumerate(range(0, len(toks), step)):
+            chunk = toks[start : start + chunk_tokens]
+            want[(i, cid)] = (len(chunk), " ".join(chunk))
+    assert got == want
+
+
+# ---------------------------------------------------------------- shingles
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(6)]), min_size=1, max_size=15),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(1, 5),
+    n=st.integers(2, 6),
+)
+@SET
+def test_shingles_match_python_reference(spark_handle, docs, k, n):
+    """word_shingles / char_ngrams over random docs == plain-Python
+    sliding windows (short docs collapse to one whole-text shingle) —
+    locks the primitive every Jaccard/MinHash operator builds on."""
+    from langchain_memvid_spark.functions.text import char_ngrams, word_shingles
+
+    df = spark_handle.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id",
+        word_shingles(F.col("text"), k).alias("ws"),
+        char_ngrams(F.col("text"), n).alias("cn"),
+    ).collect()
+    for r in out:
+        toks = docs[r["doc_id"]]
+        text = " ".join(toks)
+        want_ws = (
+            [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else [text]
+        )
+        want_cn = (
+            [text[i : i + n] for i in range(len(text) - n + 1)]
+            if len(text) >= n
+            else [text]
+        )
+        assert r["ws"] == want_ws, (toks, k, r["ws"], want_ws)
+        assert r["cn"] == want_cn, (text, n, r["cn"], want_cn)
