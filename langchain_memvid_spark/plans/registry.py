@@ -2597,10 +2597,16 @@ def q_stream_near_dedup(spark, sf_dir):
 @_reg(
     "stream_ingest_store",
     """
-SELECT doc_id, sha256(text) AS text_sha,
-  sha256(to_json(struct_pack(lang := lang, source := source))::VARCHAR) AS meta_hash,
+WITH g AS (
+  SELECT text, min(doc_id) AS first_id, count(*) AS c
+  FROM documents GROUP BY text
+)
+SELECT g.first_id AS doc_id, sha256(d.text) AS text_sha,
+  CASE WHEN g.c = 1
+    THEN sha256(to_json(struct_pack(lang := d.lang, source := d.source))::VARCHAR)
+    ELSE 'dup' END AS meta_hash,
   64 AS dim, 64 AS qdim
-FROM documents
+FROM documents d JOIN g ON d.doc_id = g.first_id
 """,
 )
 def q_stream_ingest_store(spark, sf_dir):
@@ -2610,7 +2616,16 @@ def q_stream_ingest_store(spark, sf_dir):
     oracle recomputes the text sha and the canonical metadata_hash
     closed-form, proving the sunk rows carry the batch add_texts
     columns; full column-level batch-parity (embeddings, codes) is
-    asserted by tests/test_streaming.py."""
+    asserted by tests/test_streaming.py.
+
+    Duplicate source texts: dropDuplicatesWithinWatermark keeps an
+    ARBITRARY first-arrival per text (partition race), so the
+    survivor's doc_id/metadata are nondeterministic. The result
+    canonicalizes per text — doc_id maps to min(source doc_id), and
+    meta_hash is checked only where the text is unique in the corpus
+    ('dup' sentinel otherwise: dup groups can carry differing
+    lang/source). Caught by the sf1 oracle sweep (sf0.01 has no dup
+    texts; sf0.1 has 8 groups)."""
     import tempfile
 
     from langchain_memvid_spark.streaming import documents as _sd
@@ -2622,10 +2637,17 @@ def q_stream_ingest_store(spark, sf_dir):
         f"{base}/table",
         f"{base}/ckpt",
     )
-    return out.select(
-        "doc_id",
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("__first_id"), F.count("*").alias("__c"))
+    )
+    return out.join(src, "text").select(
+        F.col("__first_id").alias("doc_id"),
         F.sha2(F.col("text"), 256).alias("text_sha"),
-        F.col("metadata_hash").alias("meta_hash"),
+        F.when(F.col("__c") == 1, F.col("metadata_hash"))
+        .otherwise(F.lit("dup"))
+        .alias("meta_hash"),
         F.size("embedding").alias("dim"),
         F.size("qvec").alias("qdim"),
     )
@@ -3536,6 +3558,9 @@ _CHANGED_THIS_ROUND = (
     # error assertion); quality half moved to pq_reconstruction_error
     "pq_compression_stats",
     "approx_distinct_stats",
+    # output+oracle canonicalized per text: the sf1 sweep caught that
+    # dup-text survivor rows are nondeterministic (sf0.01 has no dups)
+    "stream_ingest_store",
 )
 
 
