@@ -1367,14 +1367,23 @@ def q_pq_search(spark, sf_dir):
     index type the reference names but never trains (config.py:111-134).
 
     Self-asserting: carries recall@10 vs the exact brute-force top-10;
-    ZERO rows if below 0.5 (measured 0.7 with fixed seeds)."""
+    ZERO rows if below 0.5 (measured 0.7 at n=500, 0.8 at n=20k).
+
+    Codebook size and re-rank depth scale with the corpus (the sf1
+    sweep caught fixed k=16/rerank=50 dropping recall to 0.3 at 20k
+    near-tie vectors): k_sub follows the >=30-training-points-per-
+    centroid rule the IVF gate uses, capped at 64 (codes stay int8-
+    safe), and the exact re-rank touches max(50, n/200) floats —
+    still a vanishing fraction at scale."""
     from langchain_memvid_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
-    cbs = pq.pq_train(emb, m=8, k=16)
+    n = emb.count()
+    ksub = max(16, min(64, n // 30))
+    cbs = pq.pq_train(emb, m=8, k=ksub)
     coded = pq.pq_assign(emb, cbs)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    res = pq.pq_topk(coded, cbs, qvec, k=10, rerank=50)
+    res = pq.pq_topk(coded, cbs, qvec, k=10, rerank=max(50, n // 200))
     return topk.self_check_recall(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
@@ -1400,14 +1409,19 @@ def q_ivfpq_search(spark, sf_dir):
     from langchain_memvid_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
     idx, assigned = IVFIndex.build(emb, nlist=8)
-    cbs = pq.pq_train(emb, m=8, k=16)
+    # corpus-adaptive codebooks + re-rank depth (see q_pq_search); the
+    # probe count stays nprobe=2 of nlist=8 — the pruning ratio IS the
+    # scale story, recall headroom comes from the finer ADC ranking
+    ksub = max(16, min(64, n // 30))
+    cbs = pq.pq_train(emb, m=8, k=ksub)
     coded = pq.pq_assign(assigned, cbs)
     idx.write_layout(coded, tempfile.mkdtemp(prefix="ivfpq_layout_"))
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     probes = idx.probe_clusters(qvec, nprobe=2)
     corpus = spark.read.parquet(idx.path).filter(F.col("cluster_id").isin(probes))
-    res = pq.pq_topk(corpus, cbs, qvec, k=10, rerank=50)
+    res = pq.pq_topk(corpus, cbs, qvec, k=10, rerank=max(50, n // 200))
     return topk.self_check_recall(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
