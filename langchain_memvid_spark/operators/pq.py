@@ -72,13 +72,23 @@ def pq_train(
     if sample_fraction < 1.0:
         base = base.sample(fraction=sample_fraction, seed=seed)
     base = base.cache()
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
+    base.count()  # materialize once before the concurrent fits
+
+    def _fit(j: int) -> list[list[float]]:
         sub = base.select(
             array_to_vector(F.slice(F.col(vec_col), j * dsub + 1, dsub)).alias("__f")
         )
         model = KMeans(k=k, seed=seed + j, featuresCol="__f", predictionCol="__c").fit(sub)
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # The m sub-fits are independent; Spark schedules jobs submitted
+    # from separate driver threads concurrently, so the per-fit
+    # overhead (job setup + tiny iterations) overlaps instead of
+    # serializing — same codebooks (each fit keeps its own seed).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        codebooks = list(pool.map(_fit, range(m)))
     base.unpersist()
     return codebooks
 
