@@ -134,6 +134,14 @@ def metadata_predicate(filter: dict[str, Any]) -> F.Column:
     - int/float casts the extracted string to double so 2 matches 2.0;
     - str compares the unquoted extraction directly.
 
+    Known dialect limitation: ``get_json_object`` strips quotes, so
+    the extraction cannot distinguish the JSON string ``"2"`` from the
+    number ``2`` (or ``"false"`` from ``false``) — a numeric filter
+    also matches numeric-LOOKING string values and a bool filter
+    matches the strings 'true'/'false'. Cross-type comparisons never
+    throw and never false-negative; disambiguating would require a
+    per-key typed ``from_json`` schema the store does not have.
+
     Values may be scalars (equality) or operator dicts in the
     LangChain/Mongo dialect: ``{"$gt": v}`` ``$gte`` ``$lt`` ``$lte``
     ``$ne`` ``$in`` ``$eq``.  SQL NULL semantics: rows missing the key
@@ -141,13 +149,16 @@ def metadata_predicate(filter: dict[str, Any]) -> F.Column:
     non-identifier keys raise FilterError — JSONPath cannot distinguish
     a null value from a missing key, and interpolated keys with
     ``.``/``[`` would silently query the wrong path (ADVICE r4 #2)."""
-    cond = F.lit(True)
-    for key, spec in sorted(filter.items()):
-        if not _FILTER_KEY_RE.match(key):
+    for key in filter:
+        # validate BEFORE sorted(): a non-str key would otherwise raise
+        # a raw TypeError from re.match or from sorting mixed key types
+        if not isinstance(key, str) or not _FILTER_KEY_RE.match(key):
             raise FilterError(
                 f"filter key {key!r} is not a plain identifier; nested/quoted "
                 "JSONPath keys are not supported"
             )
+    cond = F.lit(True)
+    for key, spec in sorted(filter.items()):
         ops = spec if isinstance(spec, dict) else {"$eq": spec}
         for op, val in ops.items():
             if op not in _FILTER_OPS:
@@ -175,6 +186,15 @@ def _one_predicate(key: str, op: str, val: Any) -> F.Column:
                 f"unsupported filter value type {type(v).__name__} for key {key!r}"
             )
     if key in ("source", "category"):
+        # engine columns are STRING; a numeric/bool literal would make
+        # Spark cast the COLUMN under ANSI mode (Spark 4 default) and
+        # throw CAST_INVALID_INPUT on the first non-numeric row instead
+        # of simply not matching — reject loudly up front
+        if not all(isinstance(v, str) for v in vals):
+            raise FilterError(
+                f"{key} is a string column; filter values must be strings, "
+                f"got {vals!r}"
+            )
         col = F.col(key)
         lits = list(vals)
     else:
@@ -755,9 +775,16 @@ class SparkVectorStore:
         bad = [i for i in ids if i < 0 or i >= self._count]
         if bad:
             raise IndexError_(f"doc ids out of range: {bad}")
+        # hold the CACHED pre-delete tables: the reassignment below
+        # replaces them with derived (uncached) filter plans, so
+        # _renumber's own unpersist would no-op and leak one cache
+        # entry per table per delete
+        old_index, old_payload = self._doc_index, self._payload
         self._doc_index = self._filter_ids(self._doc_index, ids, keep=False)
         self._payload = self._filter_ids(self._payload, ids, keep=False)
         self._renumber()
+        old_index.unpersist()
+        old_payload.unpersist()
         return True
 
     # A literal isin() embeds every id in the plan — fine for a handful,
@@ -790,9 +817,12 @@ class SparkVectorStore:
         )
         if not victims.head(1):
             return False
+        old_index, old_payload = self._doc_index, self._payload
         self._doc_index = self._doc_index.join(victims, "doc_id", "left_anti")
         self._payload = self._payload.join(victims, "doc_id", "left_anti")
         self._renumber()
+        old_index.unpersist()
+        old_payload.unpersist()
         return True
 
     def delete_documents(self, documents: Iterable[Any]) -> bool:

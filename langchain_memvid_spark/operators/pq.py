@@ -87,9 +87,13 @@ def pq_train(
     # serializing — same codebooks (each fit keeps its own seed).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
-        codebooks = list(pool.map(_fit, range(m)))
-    base.unpersist()
+    try:
+        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+            codebooks = list(pool.map(_fit, range(m)))
+    finally:
+        # a failed fit must not leak the cached training sample (it can
+        # be large when sample_fraction < 1 carves it from a big corpus)
+        base.unpersist()
     return codebooks
 
 

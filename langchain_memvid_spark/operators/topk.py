@@ -240,6 +240,11 @@ def self_check_recall(
     Both inputs are top-k frames (≤ k rows), so the semi join and the
     1-row aggregate broadcast — the guard adds no shuffle at any scale.
     """
+    # materialize the ≤k-row approximate result once: it feeds BOTH the
+    # recall aggregate and the returned rows, and without this the full
+    # approximate plan (ADC scan, pruned parquet read, re-rank) would
+    # execute twice per query
+    results = results.localCheckpoint(eager=True)
     hits = results.select(id_col).join(
         exact_topk.select(id_col), id_col, "left_semi"
     )

@@ -1438,14 +1438,18 @@ FROM embeddings
 def q_pq_stats(spark, sf_dir):
     """PQ SPACE summary: bytes per vector before/after (256→8 at dim
     64) and the compression ratio. Every column is closed-form from the
-    schema, so this half of the old rows-only query now hash-matches a
-    plain SQL oracle; the trained-codebook quality half lives in
+    layout (dim·4 floats vs m code bytes) — so no codebooks are
+    TRAINED here: an m-length placeholder pins the code width and the
+    eight KMeans fits (the dominant cost of the old version, ~12 s at
+    any SF) are skipped. The trained-codebook quality half lives in
     pq_reconstruction_error."""
     from langchain_memvid_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
-    cbs = pq.pq_train(emb, m=8, k=16)
-    return pq.pq_compression_stats(pq.pq_assign(emb, cbs), cbs)
+    dim = len(emb.select("embedding").head()[0])
+    m = 8
+    placeholder = [[[0.0] * (dim // m)]] * m  # only len() is consulted
+    return pq.pq_compression_stats(emb, placeholder)
 
 
 @_reg(

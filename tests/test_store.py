@@ -475,3 +475,45 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == total_before
     assert after.agg({"id": "sum"}).head()[0] == sum_before
+
+
+def test_delete_releases_superseded_cache(spark):
+    """Each delete re-caches both tables; the PRE-delete cache entries
+    must be released (they were leaking: the delete paths overwrote
+    self._doc_index with a derived uncached plan before _renumber, so
+    _renumber's unpersist no-op'd and the cache grew by 2 entries per
+    delete forever)."""
+    import gc
+
+    s = SparkVectorStore.from_texts([f"doc {i}" for i in range(10)], spark)
+    jsc = spark.sparkContext._jsc
+
+    def persisted() -> int:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return jsc.getPersistentRDDs().size()
+
+    base = persisted()
+    for _ in range(3):
+        s.delete_by_ids([0])
+    s.delete_by_texts(["doc 9"])
+    # each delete may pin ONE renumber-checkpoint RDD in the live
+    # table's lineage (released by the every-16-mutations cap); the
+    # LEAK was +2 cache entries per delete on top of that
+    assert persisted() - base <= 4
+    assert s.get_document_count() == 6
+
+
+def test_engine_column_filter_rejects_non_strings(spark):
+    """source/category are STRING columns: a numeric/bool filter value
+    would make ANSI mode (Spark 4 default) cast the COLUMN and throw on
+    the first non-numeric row — the dialect rejects it up front."""
+    from langchain_memvid_spark.core.store import metadata_predicate
+    from langchain_memvid_spark.exceptions import FilterError
+
+    with pytest.raises(FilterError):
+        metadata_predicate({"source": 123})
+    with pytest.raises(FilterError):
+        metadata_predicate({"category": {"$in": ["a", True]}})
+    with pytest.raises(FilterError):
+        metadata_predicate({1: "x"})  # non-str key: FilterError, not TypeError
