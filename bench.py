@@ -67,6 +67,9 @@ EXTENDED = [
     # round-5 operators (pq_compression_stats stays out: its wall time
     # is 8 MLlib KMeans fit overheads, not a data-path measurement)
     "vs_metadata_filter_range",
+    "bm25_topk",
+    "hybrid_rrf_search",
+    "duplicate_span_stats",
 ]
 
 

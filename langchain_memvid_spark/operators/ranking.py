@@ -1,0 +1,247 @@
+"""Keyword (BM25) ranking, hybrid rank fusion, and span-level
+duplicate detection — training-data / retrieval extensions beyond the
+reference's pure-vector search surface.
+
+The reference retrieves by FAISS vector similarity only
+(/root/reference/src/langchain_memvid/index.py:309-338); production
+retrieval stacks pair that with lexical BM25 and fuse the two rankings
+(reciprocal rank fusion). Span-level duplicate detection is the
+substring-granularity dedup from Lee et al. 2022 ("Deduplicating
+Training Data Makes Language Models Better"), approximated at
+fixed-width token windows so it stays a pure equi-join — the suffix
+array the paper uses is replaced by window hashing, which is the
+standard distributed formulation.
+
+Everything here is JVM-side Catalyst — no Python UDFs:
+
+- BM25 filters the exploded token stream down to the (tiny, literal)
+  query-term set BEFORE any aggregation, so the per-term shuffle
+  carries only matching (doc, term) pairs; corpus-level stats (N,
+  avgdl) ride in on a broadcast one-row cross join.
+- RRF is two bounded top-n rankings full-outer-joined on doc id —
+  both inputs are already ≤ n rows, so the fuse itself is trivial.
+- Duplicate spans: window-hash → count distinct docs per hash →
+  equi-join back → per-doc interval-union via a running-max window
+  (classic gaps-and-islands with OVERLAP merging, not just adjacency:
+  two duplicated windows at pos p and p+2 with width 8 share tokens,
+  so islands split on pos > max(prev end), giving the exact union of
+  covered token intervals). The only shuffles are the hash groupBy
+  and the per-doc window — both keyed, both AQE-coalescible; the
+  per-doc window partitions by doc_id, the natural parallel unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from langchain_memvid_spark.functions.text import tokens
+
+DEFAULT_QUERY_TERMS = ("dup", "spark", "join")
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25 score for a bag-of-words query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (Lucene's non-negative
+    variant).
+
+    Plan shape at 100 TB: one scan computes per-doc length; the
+    exploded token stream is filtered to the literal query-term set
+    immediately (a handful of terms — the filter is a codegen isin
+    over the explode, nothing else is shuffled); tf is a keyed groupBy
+    on (doc, term); df is a groupBy on term over ≤ |terms| distinct
+    keys; N/avgdl is a single-row aggregate broadcast back. Output is
+    one row per document that matches ≥1 term.
+    """
+    terms = [str(t) for t in query_terms]
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("dl", F.size("__toks"))
+    # corpus stats over ALL docs (not just matching ones)
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__c", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("__c"), 4).alias("bm25"))
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25: TakeOrderedAndProject over the scored docs (per-
+    partition heaps + driver merge, never a global sort). Ranked by
+    the ROUNDED score with doc_id tiebreak so the ordering is
+    reproducible across engines and float summation orders."""
+    scored = bm25_scores(documents, query_terms, k1, b, text_col, id_col)
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal rank fusion of two (id, rank) lists:
+    score = Σ_lists 1/(rrf_k + rank), absent list contributes 0.
+
+    Both inputs are bounded top-n lists, so this is a tiny full-outer
+    join — the heavy lifting happened upstream. Ranks are integers, so
+    the fused doubles are bit-identical across engines."""
+    a = ranked_a.select(F.col(id_col).alias("doc_id"), F.col("rank").alias("__ra"))
+    b_ = ranked_b.select(F.col(id_col).alias("doc_id"), F.col("rank").alias("__rb"))
+    fused = (
+        a.join(b_, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("__rb")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "rrf")
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level duplicate report: for every document, how many of its
+    w-token windows also appear verbatim in ANOTHER document, merged
+    into maximal overlapping spans, and what fraction of its tokens
+    those spans cover.
+
+    Distributed formulation of Lee et al. 2022 substring dedup: the
+    suffix array becomes fixed-width window hashing (xxhash64 over the
+    window text — 8-byte join keys, same trick as ngram_jaccard), the
+    cross-doc test is a count-distinct-docs-per-hash groupBy, and span
+    assembly is a per-doc interval-union window (running max of span
+    ends; a window starts a new island only when its start exceeds
+    every previous end, so overlapping windows merge exactly).
+
+    Output: one row per document (docs shorter than w tokens and docs
+    with no duplicated window report zeros) — doc_id, n_tokens,
+    n_dup_windows, n_spans, dup_tokens, dup_fraction.
+    """
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("n_tokens", F.size("__toks"))
+    win = (
+        docs.filter(F.col("n_tokens") >= w)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1))
+            ).alias("pos"),
+            F.col("__toks"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), w), " ")).alias(
+                "__h"
+            ),
+        )
+    )
+    # hashes seen in >1 distinct document; NOT broadcast — at corpus
+    # scale the duplicated-window set is unbounded, keep it a shuffle
+    # equi-join on the 8-byte hash
+    duph = (
+        win.groupBy("__h")
+        .agg(F.countDistinct("doc_id").alias("__docs"))
+        .filter(F.col("__docs") > 1)
+        .select("__h")
+    )
+    dup = win.join(duph, "__h").select("doc_id", "n_tokens", "pos")
+    # interval-union islands: window covers [pos, pos+w-1]; a new island
+    # starts when pos > max(previous ends) within the doc
+    byp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        byp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("__grp", F.sum("__new").over(byp))
+    spans = isl.groupBy("doc_id", "__grp").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_win"),
+        (F.max(F.col("pos") + F.lit(w - 1)) - F.min("pos") + F.lit(1)).alias("covered"),
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("__nt"),
+        F.sum("n_win").alias("__ndw"),
+        F.count("*").alias("__ns"),
+        F.sum("covered").alias("__dt"),
+    )
+    return (
+        docs.select("doc_id", "n_tokens")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("__ndw"), F.lit(0)).alias("n_dup_windows"),
+            F.coalesce(F.col("__ns"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("__dt"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("__dt"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+    )

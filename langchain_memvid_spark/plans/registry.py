@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from langchain_memvid_spark.operators import dedup, relational, textops, topk
+from langchain_memvid_spark.operators import dedup, ranking, relational, textops, topk
 from langchain_memvid_spark.operators.dedup import MINHASH_P, MINHASH_PERMS, SIMHASH_BITS
 from langchain_memvid_spark.functions.text import LANG_STOPWORDS, STOPWORDS_EN
 
@@ -3485,6 +3485,134 @@ def q_string_ops(spark, sf_dir):
         F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("dist_to_ref"),
         F.reverse(F.col("p_name")).alias("reversed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword / hybrid ranking + span-level dedup (round 5)
+# ---------------------------------------------------------------------------
+
+# Both engines parse the SAME shortest-round-trip literals so the
+# per-term BM25 doubles are bit-identical before the final round(4).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = "('dup','spark','join')"
+
+_BM25_CTE = f"""
+t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+       WHERE term IN {_BM25_TERMS} GROUP BY 1, 2, 3),
+dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+  ln(((s.n_docs - dfx.df)::DOUBLE + 0.5) / (dfx.df::DOUBLE + 0.5) + 1.0)
+    * ((tf.tf::DOUBLE * {_BM25_K1 + 1.0!r})
+       / (tf.tf::DOUBLE + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+          + ({_BM25_B!r} * tf.dl::DOUBLE) / s.avgdl))) AS c
+  FROM tf JOIN dfx USING (term) CROSS JOIN s),
+bm AS (SELECT doc_id, round(sum(c), 4) AS bm25 FROM sc GROUP BY 1)
+"""
+
+
+@_reg(
+    "bm25_topk",
+    f"""
+WITH {_BM25_CTE}
+SELECT doc_id, bm25, (row_number() OVER (ORDER BY bm25 DESC, doc_id))::INT AS rank
+FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25(spark, sf_dir):
+    """Lexical BM25 top-10 for a 3-term query (one rare term, two
+    common). The exploded token stream is filtered to the literal term
+    set before ANY shuffle; corpus stats broadcast in. Ranked on the
+    rounded score with doc_id tiebreak — reproducible across engines."""
+    return ranking.bm25_topk(_t(spark, sf_dir, "documents"), k=10)
+
+
+@_reg(
+    "hybrid_rrf_search",
+    f"""
+WITH {_BM25_CTE},
+brank AS (SELECT doc_id, (row_number() OVER (ORDER BY bm25 DESC, doc_id))::INT AS r
+          FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+vtop AS (SELECT e.vec_id AS doc_id,
+           round({COS.format(a='e.embedding', b='q.embedding')}, 4) AS sim
+         FROM embeddings e, q
+         ORDER BY {COS.format(a='e.embedding', b='q.embedding')} DESC, e.vec_id
+         LIMIT 20),
+vrank AS (SELECT doc_id, (row_number() OVER (ORDER BY sim DESC, doc_id))::INT AS r
+          FROM vtop),
+f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+        round(coalesce(1.0::DOUBLE / (60 + b.r), 0.0)
+              + coalesce(1.0::DOUBLE / (60 + v.r), 0.0), 6) AS rrf
+      FROM brank b FULL OUTER JOIN vrank v ON b.doc_id = v.doc_id)
+SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 ∪ vector-cosine top-20 fused by
+    reciprocal rank fusion (1/(60+rank), absent list contributes 0).
+    Documents and embeddings join on doc_id=vec_id where both exist —
+    the full-outer fuse keeps ids that rank in only one modality. Both
+    rankings are bounded top-n lists, so the fuse is a tiny join; the
+    heavy work (corpus scan + scoring) happened once per modality."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    text_ranked = ranking.bm25_topk(docs, k=20)
+    vw = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    vec_ranked = (
+        topk.knn_topk(emb, k=20)
+        .withColumn("rank", F.row_number().over(vw).cast("int"))
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    return ranking.rrf_fuse(text_ranked, vec_ranked, k=10)
+
+
+@_reg(
+    "duplicate_span_stats",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+win AS (SELECT doc_id, n_tokens, i AS pos, array_to_string(toks[i:i+7], ' ') AS wtxt
+        FROM d, LATERAL (SELECT unnest(range(1, n_tokens - 6)) AS i) ix
+        WHERE n_tokens >= 8),
+duph AS (SELECT wtxt FROM win GROUP BY wtxt HAVING count(DISTINCT doc_id) > 1),
+dup AS (SELECT w.doc_id, w.n_tokens, w.pos FROM win w JOIN duph USING (wtxt)),
+isl AS (SELECT doc_id, n_tokens, pos,
+          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM dup),
+isl2 AS (SELECT doc_id, n_tokens, pos,
+           CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS newi
+         FROM isl),
+isl3 AS (SELECT doc_id, n_tokens, pos,
+           sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         FROM isl2),
+spans AS (SELECT doc_id, grp, count(*) AS n_win,
+            max(pos + 7) - min(pos) + 1 AS covered
+          FROM isl3 GROUP BY 1, 2),
+perdoc AS (SELECT doc_id, sum(n_win)::BIGINT AS n_dup_windows,
+             count(*)::BIGINT AS n_spans, sum(covered)::BIGINT AS dup_tokens
+           FROM spans GROUP BY 1)
+SELECT d.doc_id, d.n_tokens,
+  coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+  coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+  coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+  round(coalesce(p.dup_tokens, 0)::DOUBLE / d.n_tokens, 6) AS dup_fraction
+FROM d LEFT JOIN perdoc p USING (doc_id)
+""",
+)
+def q_duplicate_spans(spark, sf_dir):
+    """Span-level (substring-granularity) duplicate report — Lee et
+    al. 2022 dedup at fixed 8-token windows: window-hash → cross-doc
+    hash groupBy → interval-union islands per doc (overlap-merging via
+    a running max of span ends, not mere adjacency). One row per doc
+    with the duplicated-token fraction a filter threshold can act on."""
+    return ranking.duplicate_spans(_t(spark, sf_dir, "documents"), w=8)
 
 
 # ---------------------------------------------------------------------------

@@ -801,3 +801,110 @@ def test_registry_global_window_queries_have_no_single_partition(spark):
     for name in ("customer_quartiles", "rolling_30d_revenue"):
         df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
         assert "SinglePartition" not in _plan(df), name
+
+
+# ---------------------------------------------------------------------------
+# BM25 / RRF / span dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_rare_term_docs_first(spark):
+    """A doc matching the RARE query term must outrank docs matching
+    only ubiquitous terms: idf((N-df+.5)/(df+.5)+1) ~ 0 when df ~ N."""
+    from langchain_memvid_spark.operators.ranking import bm25_topk
+
+    common = "spark join " * 5
+    rows = [(i, common.strip()) for i in range(20)]
+    rows.append((99, "dup " + common.strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_topk(docs, query_terms=("dup", "spark", "join"), k=5).collect()
+    assert top[0]["doc_id"] == 99
+    assert top[0]["rank"] == 1
+    assert all(r["bm25"] > 0 for r in top)
+    assert len(top) == 5
+    # docs tied on the common-terms-only score break ties by doc_id
+    assert [r["doc_id"] for r in top[1:]] == [0, 1, 2, 3]
+
+
+def test_bm25_scores_stays_distributed(spark):
+    """The scoring pipeline (pre-top-k) must stay distributed. The ONE
+    allowed SinglePartition is the grand-total (N, avgdl) merge, which
+    is map-side partial-aggregated first — the exchange carries one
+    row per partition, then broadcasts back. No global windows."""
+    from langchain_memvid_spark.operators.ranking import bm25_scores
+    from langchain_memvid_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(bm25_scores(docs))
+    assert plan.count("SinglePartition") == 1
+    assert "partial_avg" in plan  # the scalar agg IS map-side combined
+    assert "Window" not in plan
+
+
+def test_rrf_fuse_full_outer_and_exact_scores(spark):
+    from langchain_memvid_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse(a, b, k=10).collect()}
+    # doc 2: rank 2 in a, rank 1 in b; docs 1/3 only in a; doc 4 only in b
+    assert out[2] == round(1 / 62 + 1 / 61, 6)
+    assert out[1] == round(1 / 61, 6)
+    assert out[3] == round(1 / 63, 6)
+    assert out[4] == round(1 / 62, 6)
+    assert max(out, key=out.get) == 2
+
+
+def test_duplicate_spans_interval_union(spark):
+    """Two docs share a verbatim 10-token run -> 3 dup windows (w=8)
+    merging into ONE span covering exactly 10 tokens (overlap merge,
+    not adjacency: windows at pos p/p+1/p+2 overlap by 7)."""
+    from langchain_memvid_spark.operators.ranking import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(5))),
+        (1, " ".join(f"b{i}" for i in range(5)) + " " + shared),
+        (2, " ".join(f"c{i}" for i in range(15))),  # unique
+        (3, "tiny doc"),  # shorter than w
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, w=8).collect()}
+    assert len(out) == 4
+    for d in (0, 1):
+        r = out[d]
+        assert r["n_dup_windows"] == 3
+        assert r["n_spans"] == 1
+        assert r["dup_tokens"] == 10
+        assert r["dup_fraction"] == round(10 / 15, 6)
+    assert out[2]["n_dup_windows"] == 0 and out[2]["dup_tokens"] == 0
+    assert out[3]["n_tokens"] == 2 and out[3]["dup_fraction"] == 0.0
+
+
+def test_duplicate_spans_disjoint_islands(spark):
+    """Two shared runs separated by a unique gap >= w stay TWO spans."""
+    from langchain_memvid_spark.operators.ranking import duplicate_spans
+
+    run1 = " ".join(f"x{i}" for i in range(8))
+    run2 = " ".join(f"y{i}" for i in range(8))
+    gap_a = " ".join(f"ga{i}" for i in range(9))
+    gap_b = " ".join(f"gb{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(0, f"{run1} {gap_a} {run2}"), (1, f"{run1} {gap_b} {run2}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, w=8).collect()}
+    for d in (0, 1):
+        assert out[d]["n_spans"] == 2
+        assert out[d]["dup_tokens"] == 16
+        assert out[d]["n_dup_windows"] == 2
+
+
+def test_duplicate_spans_plan_partitions_by_doc(spark):
+    """The island window partitions by doc_id -- the per-doc sequential
+    step must never collapse to a single partition."""
+    from langchain_memvid_spark.operators.ranking import duplicate_spans
+    from langchain_memvid_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert "SinglePartition" not in _plan(duplicate_spans(docs))
