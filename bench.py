@@ -70,6 +70,7 @@ EXTENDED = [
     "bm25_topk",
     "hybrid_rrf_search",
     "duplicate_span_stats",
+    "dedup_spans_clean",
 ]
 
 

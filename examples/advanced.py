@@ -76,6 +76,33 @@ def main() -> None:
     vs2 = SparkVectorStore.load(path, spark, config=cfg)
     print(f"reloaded store: {vs2.get_document_count()} docs from {path}")
 
+    # hybrid retrieval (beyond the reference's pure-vector search):
+    # lexical BM25 over the text column fused with the vector ranking
+    # by reciprocal rank fusion — one bounded full-outer join
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from langchain_memvid_spark.operators.ranking import bm25_topk, rrf_fuse
+    from langchain_memvid_spark.operators.topk import knn_topk
+
+    docs_df = vs._doc_index.select("doc_id", "text")
+    text_ranked = bm25_topk(docs_df, query_terms=("fox", "lazy"), k=4)
+    vec_ranked = (
+        knn_topk(  # "like doc 0" — the fox sentence — as the vector query
+            vs._doc_index.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            k=4,
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc()))
+            .cast("int"),
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    print("\nhybrid BM25 ∪ vector (RRF):")
+    rrf_fuse(text_ranked, vec_ranked, k=3).show(truncate=False)
+
     # tabular rendering ≙ the reference's %%as_table notebook magic
     # (ext.py:531) — engine-side the equivalent is one createDataFrame
     # + show(): search results are plain rows, so any Spark sink or

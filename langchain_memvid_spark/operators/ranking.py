@@ -156,6 +156,116 @@ def rrf_fuse(
     )
 
 
+# position-key packing for "global first occurrence": doc_id*K+pos is a
+# total order over occurrences as long as pos < K (1e9 tokens per doc)
+_POSKEY = 1_000_000_000
+
+
+def remove_duplicate_spans(
+    documents: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level dedup APPLIED: for every w-token window appearing
+    in more than one document, keep only the globally-first occurrence
+    (min doc_id, then min position) and cut every other occurrence's
+    tokens from the text. The distributed rewrite of Lee et al. 2022's
+    suffix-array dedup at window granularity.
+
+    Removal intervals are merged per doc with the same overlap-union
+    islands as :func:`duplicate_spans`; the text is rebuilt with a
+    higher-order ``filter`` over token positions — pure codegen, no
+    second explode. Untouched docs pass through with whitespace-
+    normalized text (single-space token join — the same canonical form
+    the cleaned docs get), so output text is uniformly normalized.
+
+    Output: doc_id, n_tokens, n_removed, cleaned_text.
+    """
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("n_tokens", F.size("__toks"))
+    win = (
+        docs.filter(F.col("n_tokens") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1))
+            ).alias("pos"),
+            F.col("__toks"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("doc_id") * F.lit(_POSKEY) + F.col("pos")).alias("__pk"),
+            F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), w), " ")).alias(
+                "__h"
+            ),
+        )
+    )
+    # cross-doc duplicated hashes with their globally-first occurrence
+    duph = (
+        win.groupBy("__h")
+        .agg(
+            F.countDistinct("doc_id").alias("__docs"),
+            F.min("__pk").alias("__keeper"),
+        )
+        .filter(F.col("__docs") > 1)
+        .select("__h", "__keeper")
+    )
+    to_remove = (
+        win.join(duph, "__h")
+        .filter(F.col("__pk") != F.col("__keeper"))
+        .select("doc_id", "pos")
+    )
+    byp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        byp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        to_remove.withColumn(
+            "__new",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__new").over(byp))
+        .groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(w - 1)).alias("e"),
+        )
+    )
+    iv = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__iv")
+    )
+    touched = (
+        docs.join(iv, "doc_id")
+        .withColumn(
+            "__keep",
+            F.filter(
+                F.sequence(F.lit(1), F.col("n_tokens")),
+                lambda p: ~F.exists(
+                    F.col("__iv"), lambda i: (p >= i["s"]) & (p <= i["e"])
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("__keep")).alias("n_removed"),
+            F.array_join(
+                F.transform(F.col("__keep"), lambda p: F.element_at("__toks", p)), " "
+            ).alias("cleaned_text"),
+        )
+    )
+    untouched = docs.join(iv, "doc_id", "left_anti").select(
+        "doc_id",
+        "n_tokens",
+        F.lit(0).alias("n_removed"),
+        F.array_join("__toks", " ").alias("cleaned_text"),
+    )
+    return touched.unionByName(untouched)
+
+
 def duplicate_spans(
     documents: DataFrame,
     w: int = 8,

@@ -3615,6 +3615,56 @@ def q_duplicate_spans(spark, sf_dir):
     return ranking.duplicate_spans(_t(spark, sf_dir, "documents"), w=8)
 
 
+@_reg(
+    "dedup_spans_clean",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+win AS (SELECT doc_id, i AS pos, doc_id * 1000000000 + i AS pk,
+          array_to_string(toks[i:i+7], ' ') AS wtxt
+        FROM d, LATERAL (SELECT unnest(range(1, n_tokens - 6)) AS i) ix
+        WHERE n_tokens >= 8),
+duph AS (SELECT wtxt, min(pk) AS keeper FROM win
+         GROUP BY wtxt HAVING count(DISTINCT doc_id) > 1),
+rm AS (SELECT w.doc_id, w.pos FROM win w JOIN duph USING (wtxt)
+       WHERE w.pk != duph.keeper),
+isl AS (SELECT doc_id, pos,
+          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM rm),
+isl2 AS (SELECT doc_id, pos,
+           CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS newi
+         FROM isl),
+isl3 AS (SELECT doc_id, pos,
+           sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         FROM isl2),
+spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 7 AS e
+          FROM isl3 GROUP BY 1, 2),
+toksrc AS (SELECT doc_id, n_tokens, i AS pos, toks[i] AS tok
+           FROM d, LATERAL (SELECT unnest(range(1, n_tokens + 1)) AS i) ix),
+covered AS (SELECT DISTINCT t.doc_id, t.pos FROM toksrc t
+            JOIN spans s ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e),
+kept AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok FROM toksrc t
+         ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+SELECT d.doc_id, d.n_tokens,
+  (d.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+  coalesce(k.cleaned_text, '') AS cleaned_text
+FROM d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+""",
+)
+def q_dedup_spans_clean(spark, sf_dir):
+    """Substring dedup APPLIED: cut every non-first global occurrence
+    of a cross-doc duplicated 8-token window and rebuild the text with
+    a higher-order position filter (no second explode). Untouched docs
+    pass through whitespace-normalized, so the corpus comes out in one
+    canonical form."""
+    return ranking.remove_duplicate_spans(_t(spark, sf_dir, "documents"), w=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------

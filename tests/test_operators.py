@@ -908,3 +908,39 @@ def test_duplicate_spans_plan_partitions_by_doc(spark):
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     assert "SinglePartition" not in _plan(duplicate_spans(docs))
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """The globally-first occurrence (min doc_id, then pos) of a
+    duplicated window survives; every other occurrence is cut."""
+    from langchain_memvid_spark.operators.ranking import remove_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    uniq_a = " ".join(f"a{i}" for i in range(4))
+    uniq_b = " ".join(f"b{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(0, f"{uniq_a} {shared}"), (1, f"{shared} {uniq_b}"), (2, "short text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, w=8).collect()}
+    assert len(out) == 3
+    # doc 0 holds the first occurrence -> untouched (normalized join)
+    assert out[0]["n_removed"] == 0
+    assert out[0]["cleaned_text"] == f"{uniq_a} {shared}"
+    # doc 1 loses the 8 shared tokens, keeps its unique tail
+    assert out[1]["n_removed"] == 8
+    assert out[1]["cleaned_text"] == uniq_b
+    assert out[2]["n_removed"] == 0 and out[2]["cleaned_text"] == "short text"
+
+
+def test_remove_duplicate_spans_whole_doc_removed(spark):
+    """A doc that is entirely a copy of an earlier doc is cut to ''."""
+    from langchain_memvid_spark.operators.ranking import remove_duplicate_spans
+
+    body = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, body), (1, body)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, w=8).collect()}
+    assert out[0]["n_removed"] == 0 and out[0]["cleaned_text"] == body
+    assert out[1]["n_removed"] == 12 and out[1]["cleaned_text"] == ""
