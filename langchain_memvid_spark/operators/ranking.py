@@ -64,7 +64,9 @@ def bm25_scores(
     """
     terms = [str(t) for t in query_terms]
     docs = documents.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("doc_id"),
+        # NULL text would make size(split(NULL)) = -1; treat as empty
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
     ).withColumn("dl", F.size("__toks"))
     # corpus stats over ALL docs (not just matching ones)
     stats = docs.agg(
@@ -183,7 +185,9 @@ def remove_duplicate_spans(
     Output: doc_id, n_tokens, n_removed, cleaned_text.
     """
     docs = documents.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("doc_id"),
+        # NULL text would make size(split(NULL)) = -1; treat as empty
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
     ).withColumn("n_tokens", F.size("__toks"))
     win = (
         docs.filter(F.col("n_tokens") >= w)
@@ -290,7 +294,9 @@ def duplicate_spans(
     n_dup_windows, n_spans, dup_tokens, dup_fraction.
     """
     docs = documents.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("doc_id"),
+        # NULL text would make size(split(NULL)) = -1; treat as empty
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
     ).withColumn("n_tokens", F.size("__toks"))
     win = (
         docs.filter(F.col("n_tokens") >= w)

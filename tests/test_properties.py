@@ -513,3 +513,129 @@ def test_shingles_match_python_reference(spark_handle, docs, k, n):
         )
         assert r["ws"] == want_ws, (toks, k, r["ws"], want_ws)
         assert r["cn"] == want_cn, (text, n, r["cn"], want_cn)
+
+
+# ---------------------------------------------------------------------------
+# BM25 / span dedup vs pure-Python references (round 5)
+# ---------------------------------------------------------------------------
+
+_DOC = st.lists(st.sampled_from("a b c d".split()), min_size=1, max_size=10)
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=8))
+@SET
+def test_bm25_scores_match_python_reference(spark_handle, docs):
+    """bm25_scores == the straight-line Python formula on tiny random
+    corpora (rounded to 4; compared with half-rounding slack)."""
+    import math
+
+    from langchain_memvid_spark.operators.ranking import bm25_scores
+
+    spark = spark_handle
+    terms = ("a", "b")
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, query_terms=terms).collect()}
+
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs) / n
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    want = {}
+    for i, d in enumerate(docs):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(d) / avgdl)))
+        if s != 0.0 or any(t in d for t in terms):
+            want[i] = s
+    assert set(got) == set(want)
+    for i, w in want.items():
+        assert abs(got[i] - w) <= 6e-5, (i, got[i], w)
+
+
+def _py_span_model(docs, w):
+    """Reference: per-doc dup windows, interval-union spans, and the
+    keep-global-first cleaned text."""
+    occ = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - w + 1):
+            occ.setdefault(tuple(toks[p : p + w]), []).append((i, p))
+    dup = {k: v for k, v in occ.items() if len({d for d, _ in v}) > 1}
+    per_doc_positions = {i: set() for i in range(len(docs))}
+    removal_positions = {i: set() for i in range(len(docs))}
+    for win, places in dup.items():
+        keeper = min(places)
+        for d, p in places:
+            per_doc_positions[d].add(p)
+            if (d, p) != keeper:
+                removal_positions[d].add(p)
+
+    def islands(pos_set):
+        spans = []
+        for p in sorted(pos_set):
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + w - 1)
+            else:
+                spans.append([p, p + w - 1])
+        return spans
+
+    stats = {}
+    for i, toks in enumerate(docs):
+        sp = islands(per_doc_positions[i])
+        covered = sum(e - s + 1 for s, e in sp)
+        stats[i] = dict(
+            n_tokens=len(toks),
+            n_dup_windows=len(per_doc_positions[i]),
+            n_spans=len(sp),
+            dup_tokens=covered,
+        )
+    cleaned = {}
+    for i, toks in enumerate(docs):
+        rm = set()
+        for s, e in islands(removal_positions[i]):
+            rm.update(range(s, e + 1))
+        kept = [t for p, t in enumerate(toks) if p not in rm]
+        cleaned[i] = (len(toks) - len(kept), " ".join(kept))
+    return stats, cleaned
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=8), w=st.integers(2, 4))
+@SET
+def test_duplicate_spans_match_python_reference(spark_handle, docs, w):
+    from langchain_memvid_spark.operators.ranking import duplicate_spans
+
+    spark = spark_handle
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(df, w=w).collect()}
+    want, _ = _py_span_model(docs, w)
+    assert set(got) == set(want)
+    for i, wv in want.items():
+        for k, v in wv.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=8), w=st.integers(2, 4))
+@SET
+def test_remove_duplicate_spans_match_python_reference(spark_handle, docs, w):
+    from langchain_memvid_spark.operators.ranking import remove_duplicate_spans
+
+    spark = spark_handle
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(df, w=w).collect()}
+    _, want = _py_span_model(docs, w)
+    assert set(got) == set(want)
+    for i, (n_rm, text) in want.items():
+        assert got[i]["n_removed"] == n_rm, (i, got[i]["n_removed"], n_rm)
+        assert got[i]["cleaned_text"] == text, (i, got[i]["cleaned_text"], text)
