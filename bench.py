@@ -68,6 +68,7 @@ EXTENDED = [
     # is 8 MLlib KMeans fit overheads, not a data-path measurement)
     "vs_metadata_filter_range",
     "bm25_topk",
+    "bm25_batch",
     "hybrid_rrf_search",
     "duplicate_span_stats",
     "dedup_spans_clean",

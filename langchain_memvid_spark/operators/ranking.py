@@ -125,6 +125,74 @@ def bm25_topk(
     )
 
 
+def bm25_batch(
+    documents: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ALL queries in one corpus pass — the same Spark win knn_batch
+    scores over the reference's sequential per-query loop, applied to
+    lexical search: the token stream is filtered once to the UNION of
+    every query's terms, per-(doc, term) BM25 contributions are
+    computed once, then a tiny broadcast (query_id, term) map fans the
+    shared contributions out to each query, and a per-query window
+    takes top-k (map-side WindowGroupLimit before the exchange).
+
+    Terms shared between queries are scored once, not once per query.
+    Output: query_id, doc_id, bm25, rank (rank <= k).
+    """
+    all_terms = sorted({str(t) for ts in queries.values() for t in ts})
+    spark = documents.sparkSession
+    qmap = spark.createDataFrame(
+        [(int(qid), str(t)) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id int, term string",
+    )
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        # NULL text would make size(split(NULL)) = -1; treat as empty
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    ).withColumn("dl", F.size("__toks"))
+    stats = docs.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__c", contrib)
+        .join(F.broadcast(qmap), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("__c"), 4).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -74,6 +74,50 @@ sh0 AS (SELECT doc_id, array_to_string(toks[i:i+2],' ') AS sh
 sh AS (SELECT DISTINCT doc_id, sh FROM sh0)
 """
 
+def _span_clean_ctes(src: str) -> str:
+    """CTE chain ending in ``cleaned(doc_id, n_tokens, n_removed,
+    cleaned_text)`` — the DuckDB mirror of
+    ranking.remove_duplicate_spans(w=8) over table/CTE ``src``."""
+    return f"""t AS (SELECT doc_id, {TOKS} AS toks FROM {src}),
+d AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+win AS (SELECT doc_id, i AS pos, doc_id * 1000000000 + i AS pk,
+          array_to_string(toks[i:i+7], ' ') AS wtxt
+        FROM d, LATERAL (SELECT unnest(range(1, n_tokens - 6)) AS i) ix
+        WHERE n_tokens >= 8),
+duph AS (SELECT wtxt, min(pk) AS keeper FROM win
+         GROUP BY wtxt HAVING count(DISTINCT doc_id) > 1),
+rm AS (SELECT w.doc_id, w.pos FROM win w JOIN duph USING (wtxt)
+       WHERE w.pk != duph.keeper),
+isl AS (SELECT doc_id, pos,
+          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM rm),
+isl2 AS (SELECT doc_id, pos,
+           CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS newi
+         FROM isl),
+isl3 AS (SELECT doc_id, pos,
+           sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         FROM isl2),
+spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 7 AS e
+          FROM isl3 GROUP BY 1, 2),
+toksrc AS (SELECT doc_id, n_tokens, i AS pos, toks[i] AS tok
+           FROM d, LATERAL (SELECT unnest(range(1, n_tokens + 1)) AS i) ix),
+covered AS (SELECT DISTINCT t.doc_id, t.pos FROM toksrc t
+            JOIN spans s ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e),
+keptt AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok FROM toksrc t
+          ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+cleaned AS (
+  SELECT d.doc_id, d.n_tokens,
+    (d.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+    coalesce(k.cleaned_text, '') AS cleaned_text
+  FROM d LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+      string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+    FROM keptt GROUP BY doc_id) k USING (doc_id))"""
+
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage
 # ---------------------------------------------------------------------------
@@ -3005,6 +3049,59 @@ def q_pipeline_v3(spark, sf_dir):
 
 
 @_reg(
+    "pretrain_pipeline_v4",
+    f"""
+WITH samp AS (
+  SELECT doc_id, text FROM documents
+  WHERE ('0x' || substring(sha256(concat('mix:', CAST(text AS VARCHAR))), 1, 15))::BIGINT % 10000
+    < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+                  WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 7500 END),
+{_span_clean_ctes('samp')},
+kept AS (SELECT doc_id, (n_tokens - n_removed)::BIGINT AS n_tokens FROM cleaned
+         WHERE n_tokens - n_removed >= 20),
+packed AS (SELECT doc_id, n_tokens,
+  (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS cum_excl FROM kept)
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs_in,
+  (SELECT count(*) FROM samp) AS n_sampled,
+  (SELECT sum(n_removed)::BIGINT FROM cleaned) AS tokens_removed,
+  count(*) AS n_docs_kept,
+  sum(n_tokens)::BIGINT AS total_tokens,
+  ((sum(n_tokens)::BIGINT + 511) // 512) AS n_sequences
+FROM packed
+""",
+)
+def q_pipeline_v4(spark, sf_dir):
+    """v3 with span-level dedup in the loop: domain-weighted mixture
+    sampling → remove cross-doc duplicated 8-token spans (keep the
+    globally-first occurrence) → drop docs left under 20 tokens →
+    pack the CLEANED text into 512-token sequences. Where v3 drops
+    whole duplicate documents, v4 surgically cuts duplicated substrings
+    and keeps the remainder — the Lee et al. 2022 pipeline shape. One
+    oracle hashes the whole lineage end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    samp = d.join(
+        textops.domain_weighted_sample(d).select("doc_id"), "doc_id", "left_semi"
+    )
+    cleaned = ranking.remove_duplicate_spans(samp, w=8)
+    kept = cleaned.filter((F.col("n_tokens") - F.col("n_removed")) >= 20).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    packed = textops.sequence_packing(kept, budget=512)
+    n_docs_in = d.count()
+    n_sampled = samp.count()
+    tokens_removed = cleaned.agg(F.sum("n_removed")).head()[0] or 0
+    return packed.agg(
+        F.lit(n_docs_in).alias("n_docs_in"),
+        F.lit(n_sampled).alias("n_sampled"),
+        F.lit(int(tokens_removed)).cast("long").alias("tokens_removed"),
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("(sum(n_tokens) + 511) div 512").alias("n_sequences"),
+    )
+
+
+@_reg(
     "pretrain_pipeline_v2",
     f"""
 WITH q AS ({_quality_sql()}),
@@ -3531,6 +3628,50 @@ def q_bm25(spark, sf_dir):
     return ranking.bm25_topk(_t(spark, sf_dir, "documents"), k=10)
 
 
+# batch BM25: 3 queries, overlapping term sets — scored in ONE corpus
+# pass; the union term list below must stay the union of _BM25_QSETS
+_BM25_QSETS = {0: ("dup", "spark"), 1: ("join", "fast"), 2: ("dup", "value")}
+_BM25_UNION = "('dup','fast','join','spark','value')"
+
+
+@_reg(
+    "bm25_batch",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+       WHERE term IN {_BM25_UNION} GROUP BY 1, 2, 3),
+dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id, tf.term,
+  ln(((s.n_docs - dfx.df)::DOUBLE + 0.5) / (dfx.df::DOUBLE + 0.5) + 1.0)
+    * ((tf.tf::DOUBLE * {_BM25_K1 + 1.0!r})
+       / (tf.tf::DOUBLE + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+          + ({_BM25_B!r} * tf.dl::DOUBLE) / s.avgdl))) AS c
+  FROM tf JOIN dfx USING (term) CROSS JOIN s),
+qm AS (SELECT 0 AS query_id, 'dup' AS term UNION ALL SELECT 0, 'spark'
+       UNION ALL SELECT 1, 'join' UNION ALL SELECT 1, 'fast'
+       UNION ALL SELECT 2, 'dup' UNION ALL SELECT 2, 'value'),
+bq AS (SELECT qm.query_id, sc.doc_id, round(sum(sc.c), 4) AS bm25
+       FROM sc JOIN qm USING (term) GROUP BY 1, 2)
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT query_id, doc_id, bm25,
+    (row_number() OVER (PARTITION BY query_id
+       ORDER BY bm25 DESC, doc_id))::INT AS rank
+  FROM bq) r
+WHERE rank <= 5
+""",
+)
+def q_bm25_batch(spark, sf_dir):
+    """Multi-query lexical search in ONE corpus pass (the knn_batch
+    win applied to BM25): shared per-(doc, term) contributions fan out
+    to queries via a broadcast term map; per-query window top-k gets
+    map-side WindowGroupLimit. A reference user running N keyword
+    queries scans N times; this scans once."""
+    return ranking.bm25_batch(_t(spark, sf_dir, "documents"), _BM25_QSETS, k=5)
+
+
 @_reg(
     "hybrid_rrf_search",
     f"""
@@ -3618,42 +3759,8 @@ def q_duplicate_spans(spark, sf_dir):
 @_reg(
     "dedup_spans_clean",
     f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-d AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
-win AS (SELECT doc_id, i AS pos, doc_id * 1000000000 + i AS pk,
-          array_to_string(toks[i:i+7], ' ') AS wtxt
-        FROM d, LATERAL (SELECT unnest(range(1, n_tokens - 6)) AS i) ix
-        WHERE n_tokens >= 8),
-duph AS (SELECT wtxt, min(pk) AS keeper FROM win
-         GROUP BY wtxt HAVING count(DISTINCT doc_id) > 1),
-rm AS (SELECT w.doc_id, w.pos FROM win w JOIN duph USING (wtxt)
-       WHERE w.pk != duph.keeper),
-isl AS (SELECT doc_id, pos,
-          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        FROM rm),
-isl2 AS (SELECT doc_id, pos,
-           CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS newi
-         FROM isl),
-isl3 AS (SELECT doc_id, pos,
-           sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-         FROM isl2),
-spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 7 AS e
-          FROM isl3 GROUP BY 1, 2),
-toksrc AS (SELECT doc_id, n_tokens, i AS pos, toks[i] AS tok
-           FROM d, LATERAL (SELECT unnest(range(1, n_tokens + 1)) AS i) ix),
-covered AS (SELECT DISTINCT t.doc_id, t.pos FROM toksrc t
-            JOIN spans s ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e),
-kept AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok FROM toksrc t
-         ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos)
-SELECT d.doc_id, d.n_tokens,
-  (d.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
-  coalesce(k.cleaned_text, '') AS cleaned_text
-FROM d LEFT JOIN (
-  SELECT doc_id, count(*) AS n_kept,
-    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
-  FROM kept GROUP BY doc_id) k USING (doc_id)
+WITH {_span_clean_ctes('documents')}
+SELECT doc_id, n_tokens, n_removed, cleaned_text FROM cleaned
 """,
 )
 def q_dedup_spans_clean(spark, sf_dir):

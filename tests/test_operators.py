@@ -944,3 +944,23 @@ def test_remove_duplicate_spans_whole_doc_removed(spark):
     out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, w=8).collect()}
     assert out[0]["n_removed"] == 0 and out[0]["cleaned_text"] == body
     assert out[1]["n_removed"] == 12 and out[1]["cleaned_text"] == ""
+
+
+def test_bm25_batch_matches_single_query_results(spark):
+    """One-pass batch scoring == per-query bm25_topk for every query."""
+    from langchain_memvid_spark.operators.ranking import bm25_batch, bm25_topk
+
+    rows = [
+        (0, "a a b x"), (1, "b c"), (2, "c c c y"), (3, "a c x y"),
+        (4, "x y x y"), (5, "a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qsets = {0: ("a", "b"), 1: ("b", "c"), 2: ("a",)}
+    batch = bm25_batch(docs, qsets, k=3).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["bm25"]))
+    for qid, terms in qsets.items():
+        single = bm25_topk(docs, query_terms=terms, k=3).collect()
+        want = [(r["rank"], r["doc_id"], r["bm25"]) for r in single]
+        assert sorted(got[qid]) == sorted(want), qid
