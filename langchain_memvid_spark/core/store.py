@@ -675,6 +675,65 @@ class SparkVectorStore:
             out.append({"page_content": r["text"], "metadata": meta, "doc_id": r["doc_id"]})
         return out
 
+    def hybrid_search(
+        self,
+        query: str,
+        k: int = 4,
+        fetch_k: int = 20,
+        rrf_k: int = 60,
+    ) -> list[dict[str, Any]]:
+        """Lexical (BM25 over the stored text) ∪ vector similarity,
+        fused by reciprocal rank fusion: score = Σ 1/(rrf_k + rank)
+        over the two top-`fetch_k` rankings. Beyond the reference,
+        which searches vectors only (index.py:309-338) — a query whose
+        exact keywords matter ("error E1234") ranks lexical hits the
+        embedding may miss.
+
+        The query is whitespace-tokenized into BM25 terms with the
+        same convention the corpus side uses; both rankings are
+        distributed (the vector side two-phase over int8 codes when
+        large), and the fuse is a bounded full-outer join."""
+        if self._count == 0:
+            return []
+        from langchain_memvid_spark.operators.ranking import bm25_topk, rrf_fuse
+
+        terms = tuple(dict.fromkeys(query.split()))
+        if not terms:
+            return []
+        n = max(fetch_k, k)
+        text_ranked = bm25_topk(
+            self._doc_index.select("doc_id", "text"), query_terms=terms, k=n
+        )
+        import math
+
+        qvec = self.embeddings.embed_query(query)
+        if self.config.index.metric == "cosine":
+            nrm = math.sqrt(sum(x * x for x in qvec)) or 1.0
+            qvec = [x / nrm for x in qvec]
+        asc = self.config.index.metric == "l2"
+        vw = Window.orderBy(
+            F.col("similarity").asc() if asc else F.col("similarity").desc(),
+            F.col("doc_id").asc(),
+        )
+        vec_ranked = (
+            self._topk(qvec, n)
+            .select("doc_id", "similarity")
+            .withColumn("rank", F.row_number().over(vw).cast("int"))
+        )
+        fused = rrf_fuse(text_ranked, vec_ranked, k=k, rrf_k=rrf_k)
+        rows = (
+            fused.join(self._doc_index.select("doc_id", "text", "metadata_json"), "doc_id")
+            .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+            .collect()
+        )
+        out = []
+        for r in rows:
+            meta = json.loads(r["metadata_json"] or "{}")
+            meta["metadata_type"] = "essential"
+            meta["rrf_score"] = float(r["rrf"])
+            out.append({"page_content": r["text"], "metadata": meta, "doc_id": r["doc_id"]})
+        return out
+
     def as_retriever(self, k: int = 4, frame_cache_size: int = 100):
         """LangChain-convention retriever factory ≙ the reference's
         lazy ``retriever`` property (vectorstore.py:147-172), explicit

@@ -517,3 +517,25 @@ def test_engine_column_filter_rejects_non_strings(spark):
         metadata_predicate({"category": {"$in": ["a", True]}})
     with pytest.raises(FilterError):
         metadata_predicate({1: "x"})  # non-str key: FilterError, not TypeError
+
+
+def test_hybrid_search_fuses_lexical_and_vector(store):
+    """hybrid_search returns rrf-scored docs; the doc whose exact
+    tokens match the query must surface even if embeddings disagree,
+    and a self-match query puts that doc first (top of BOTH lists)."""
+    res = store.hybrid_search(TEXTS[1], k=3)
+    assert 1 <= len(res) <= 3
+    assert res[0]["page_content"] == TEXTS[1]
+    scores = [d["metadata"]["rrf_score"] for d in res]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # rrf of rank-1 in both lists is exactly 2/61
+    assert abs(scores[0] - round(2 / 61, 6)) < 1e-9
+
+
+def test_hybrid_search_empty_query_and_empty_store(spark):
+    s = SparkVectorStore.from_texts(["only doc"], spark)
+    assert s.hybrid_search("   ") == []
+    s2 = SparkVectorStore.from_texts(["x"], spark)
+    s2.delete_by_ids([0])
+    assert s2.hybrid_search("x") == []
