@@ -184,3 +184,163 @@ def quantization_report(
         q_l1.alias("q_l1"),
         F.round(cosine_sim(v, dequant), 4).alias("recon_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int4 packed tier (SQ4): two codes per stored byte, 8x vs float32
+# ---------------------------------------------------------------------------
+
+
+def quantize4_cols(v: Column) -> tuple[Column, Column]:
+    """(scale, pvec array<tinyint>) for the 4-bit tier: nibble codes
+    q_i = floor(x_i/scale·7 + 0.5) ∈ [-7, 7], PACKED two per byte as
+    (q_hi+8)·16 + (q_lo+8) − 128 so the stored array is ceil(dim/2)
+    real bytes — 8× fewer scan bytes than float32, half of int8. Odd
+    dims pad the last low nibble with code 0. Same exact floor(x+0.5)
+    arithmetic as the int8 tier, so the DuckDB oracle reproduces every
+    packed byte bit-for-bit."""
+    scale = _scale(v)
+    q = F.transform(
+        v, lambda x: F.floor(x.cast("double") / scale * 7 + F.lit(0.5)).cast("int")
+    )
+    # Single-pass pairing, NO element_at indexing: an indexed
+    # transform(idx, i -> element_at(q, 2i)) inlines the whole
+    # quantization expression into every element lookup, and once that
+    # lands inside a downstream zip_with the evaluator re-derives q per
+    # element — measured 216 s vs 1.8 s on a 20 k × 64 scan. filter/zip
+    # keeps every stage one pass over its input.
+    qi = F.transform(q, lambda x, i: F.struct(x.alias("v"), i.alias("i")))
+    his = F.transform(
+        F.filter(qi, lambda s: s["i"] % 2 == 0), lambda s: s["v"]
+    )
+    los = F.transform(
+        F.filter(qi, lambda s: s["i"] % 2 == 1), lambda s: s["v"]
+    )
+    # odd dims: his is one longer than los; zip_with pads with NULL ->
+    # pad nibble is code 0
+    pvec = F.zip_with(
+        his,
+        los,
+        lambda h, l: (
+            (h + F.lit(8)) * F.lit(16) + (F.coalesce(l, F.lit(0)) + F.lit(8)) - F.lit(128)
+        ).cast("tinyint"),
+    )
+    return scale, pvec
+
+
+def query_codes4(qvec: list[float]) -> list[int]:
+    """Driver-side packed int4 codes for a query vector — one place,
+    same packing arithmetic as quantize4_cols."""
+    import math
+
+    s = max((abs(x) for x in qvec), default=0.0) or 1e-30
+    q = [int(math.floor(x / s * 7 + 0.5)) for x in qvec]
+    if len(q) % 2:
+        q.append(0)
+    return [(q[j] + 8) * 16 + (q[j + 1] + 8) - 128 for j in range(0, len(q), 2)]
+
+
+def int4_dot(pvec_a: Column, pvec_b: Column) -> Column:
+    """Exact int64 dot of two PACKED int4 arrays: each byte unpacks to
+    (hi, lo) nibbles via shift/mask — pure codegen integer ops, no
+    Python. The pad nibble is code 0 on both sides, so it contributes
+    nothing."""
+
+    def prod(a: Column, b: Column) -> Column:
+        ua = a.cast("int") + F.lit(128)
+        ub = b.cast("int") + F.lit(128)
+        ha = F.shiftright(ua, 4) - F.lit(8)
+        la = ua.bitwiseAND(F.lit(15)) - F.lit(8)
+        hb = F.shiftright(ub, 4) - F.lit(8)
+        lb = ub.bitwiseAND(F.lit(15)) - F.lit(8)
+        return (ha * hb + la * lb).cast("long")
+
+    return F.aggregate(
+        F.zip_with(pvec_a, pvec_b, prod), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def quantize4_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, scale, pvec array<tinyint>) — the packed 4-bit tier."""
+    v = F.col(vec_col)
+    scale, pvec = quantize4_cols(v)
+    return embeddings.select(F.col(id_col), scale.alias("scale"), pvec.alias("pvec"))
+
+
+def knn_topk_int4(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase search over the PACKED 4-bit tier: phase 1 scores the
+    nibble codes with exact integer arithmetic (ranked by qscore·scale,
+    debiased like the int8 path), phase 2 re-ranks only `candidates`
+    rows on true cosine. The 100 TB reading: the first pass scans
+    ceil(dim/2) bytes per vector — 8× fewer than float32 — at a
+    recall cost the coarser codes make visible, which is exactly why
+    the exact re-rank follows. FAISS analog: SQ4 + refine."""
+    from langchain_memvid_spark.functions.vector import cosine_sim
+
+    q = quantize4_embeddings(embeddings, id_col, vec_col)
+    qrow = q.filter(F.col(id_col) == query_vec_id).select(F.col("pvec").alias("__qq"))
+    first_pass = (
+        q.crossJoin(F.broadcast(qrow))
+        .withColumn("qscore4", int4_dot(F.col("pvec"), F.col("__qq")))
+        .orderBy(
+            (F.col("qscore4").cast("double") * F.col("scale")).desc(),
+            F.col(id_col).asc(),
+        )
+        .limit(candidates)
+        .select(id_col, "qscore4")
+    )
+    fqrow = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__fq")
+    )
+    return (
+        embeddings.join(F.broadcast(first_pass), id_col)
+        .crossJoin(F.broadcast(fqrow))
+        .withColumn("sim", F.round(cosine_sim(F.col(vec_col), F.col("__fq")), 4))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "qscore4", "sim")
+    )
+
+
+def quantization4_report(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector 4-bit tier quality: packed byte count (the 8× claim,
+    physically checkable), an exact packed-byte checksum the oracle
+    hashes, and the reconstruction cosine from the UNPACKED codes —
+    proving pack/unpack round-trips inside one plan."""
+    v = F.col(vec_col)
+    scale, pvec = quantize4_cols(v)
+    up = F.flatten(
+        F.transform(
+            pvec,
+            lambda p: F.array(
+                F.shiftright(p.cast("int") + F.lit(128), 4) - F.lit(8),
+                (p.cast("int") + F.lit(128)).bitwiseAND(F.lit(15)) - F.lit(8),
+            ),
+        )
+    )
+    dequant = F.transform(
+        F.slice(up, 1, F.size(v)), lambda c: c.cast("double") * scale / 7
+    )
+    packed_sum = F.aggregate(
+        F.transform(pvec, lambda p: p.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.size(pvec).alias("n_packed_bytes"),
+        packed_sum.alias("packed_sum"),
+        F.round(scale, 4).alias("scale"),
+        F.round(cosine_sim(v, dequant), 4).alias("recon_cos"),
+    )

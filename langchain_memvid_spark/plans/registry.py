@@ -3628,6 +3628,87 @@ def q_bm25(spark, sf_dir):
     return ranking.bm25_topk(_t(spark, sf_dir, "documents"), k=10)
 
 
+# int4 nibble codes + packing, shared by both SQ4 oracles: same
+# floor(x+0.5) arithmetic as the Spark side, packed (q_hi+8)*16 +
+# (q_lo+8) - 128 with a 0-code pad nibble on odd dims
+_INT4_CTE = """
+q4 AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS scale
+  FROM embeddings),
+qq4 AS (
+  SELECT vec_id, embedding, scale,
+    list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale * 7 + 0.5) AS BIGINT)) AS qv
+  FROM q4),
+pk4 AS (
+  SELECT vec_id, embedding, scale, qv,
+    list_transform(range(1, ((len(qv) + (len(qv) % 2)) // 2)::INT + 1),
+      i -> (qv[2*i-1] + 8) * 16 + coalesce(qv[2*i], 0) + 8 - 128) AS pv
+  FROM qq4)
+"""
+
+
+@_reg(
+    "embedding_quantization_int4",
+    f"""
+WITH {_INT4_CTE}
+SELECT vec_id,
+  len(pv)::INT AS n_packed_bytes,
+  CAST(list_sum(pv) AS BIGINT) AS packed_sum,
+  round(scale, 4) AS scale,
+  round(list_cosine_similarity(embedding::DOUBLE[],
+    list_transform(qv, v -> v * scale / 7.0)::DOUBLE[]), 4) AS recon_cos
+FROM pk4
+""",
+)
+def q_quantization_int4(spark, sf_dir):
+    """SQ4 packed tier report: nibble codes two-per-byte (8× fewer
+    scan bytes than float32), an exact packed-byte checksum the oracle
+    hashes (proving the PACKING itself, not just the codes), and the
+    reconstruction cosine computed from codes unpacked in-plan —
+    pack/unpack round-trips inside one Catalyst expression."""
+    from langchain_memvid_spark.operators.quantize import quantization4_report
+
+    return quantization4_report(_t(spark, sf_dir, "embeddings"))
+
+
+@_reg(
+    "knn_topk_int4",
+    f"""
+WITH q4 AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS scale
+  FROM embeddings),
+qq4 AS (
+  SELECT vec_id, scale,
+    list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale * 7 + 0.5) AS BIGINT)) AS qv
+  FROM q4),
+pq4 AS (SELECT qv AS query_qv FROM qq4 WHERE vec_id = 0),
+fp4 AS (
+  SELECT d.vec_id,
+    CAST(list_sum(list_transform(range(1, len(d.qv) + 1),
+         i -> d.qv[i] * pq4.query_qv[i])) AS BIGINT) AS qscore4
+  FROM qq4 d, pq4
+  ORDER BY qscore4::DOUBLE * d.scale DESC, d.vec_id ASC LIMIT 50),
+fq4 AS (SELECT embedding AS fqe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, fp4.qscore4,
+  round(list_cosine_similarity(e.embedding::DOUBLE[], fq4.fqe::DOUBLE[]), 4) AS sim
+FROM embeddings e JOIN fp4 USING (vec_id), fq4
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def q_knn_int4(spark, sf_dir):
+    """Two-phase SQ4 search: packed-nibble integer first pass (scan
+    ceil(dim/2) bytes/vector — 8× less than float32), debiased
+    qscore·scale candidate cut, exact cosine re-rank of 50. The oracle
+    scores the UNPACKED codes — equal by construction since the pad
+    nibble is 0 — so a packing defect would break the hash match."""
+    from langchain_memvid_spark.operators.quantize import knn_topk_int4
+
+    return knn_topk_int4(_t(spark, sf_dir, "embeddings"))
+
+
 # batch BM25: 3 queries, overlapping term sets — scored in ONE corpus
 # pass; the union term list below must stay the union of _BM25_QSETS
 _BM25_QSETS = {0: ("dup", "spark"), 1: ("join", "fast"), 2: ("dup", "value")}

@@ -964,3 +964,65 @@ def test_bm25_batch_matches_single_query_results(spark):
         single = bm25_topk(docs, query_terms=terms, k=3).collect()
         want = [(r["rank"], r["doc_id"], r["bm25"]) for r in single]
         assert sorted(got[qid]) == sorted(want), qid
+
+
+def test_int4_pack_matches_python_and_pads_odd_dims(spark):
+    """Packed bytes == the driver-side query_codes4 on the same vector
+    (one shared arithmetic), and odd dims pad to ceil(dim/2) bytes."""
+    from langchain_memvid_spark.operators.quantize import (
+        quantize4_embeddings,
+        query_codes4,
+    )
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.125, -0.75]),          # odd dim 5
+        (1, [1.0, 0.9, -0.9, 0.1, -0.1, 0.0]),          # even dim 6
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["pvec"]) for r in quantize4_embeddings(df).collect()}
+    assert len(got[0]) == 3 and len(got[1]) == 3
+    for vid, vec in rows:
+        assert got[vid] == query_codes4(vec), vid
+    assert all(-128 <= b <= 127 for bs in got.values() for b in bs)
+
+
+def test_int4_dot_matches_unpacked_python(spark):
+    from langchain_memvid_spark.operators.quantize import (
+        int4_dot,
+        quantize4_embeddings,
+        query_codes4,
+    )
+
+    rows = [(i, [((i * 7 + j * 3) % 13 - 6) / 6.0 for j in range(9)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize4_embeddings(df)
+    qrow = q.filter(F.col("vec_id") == 0).select(F.col("pvec").alias("qq"))
+    got = {
+        r["vec_id"]: r["d"]
+        for r in q.crossJoin(F.broadcast(qrow))
+        .select("vec_id", int4_dot(F.col("pvec"), F.col("qq")).alias("d"))
+        .collect()
+    }
+
+    def unpack(pv):
+        out = []
+        for p in pv:
+            u = p + 128
+            out += [(u >> 4) - 8, (u & 15) - 8]
+        return out
+
+    pv = {vid: query_codes4(vec) for vid, vec in rows}
+    for vid in pv:
+        want = sum(a * b for a, b in zip(unpack(pv[vid]), unpack(pv[0])))
+        assert got[vid] == want, vid
+
+
+def test_knn_int4_close_to_exact(spark, sf_dir):
+    from langchain_memvid_spark.operators.quantize import knn_topk_int4
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qk = [r["vec_id"] for r in knn_topk_int4(emb, query_vec_id=0, k=10).collect()]
+    exact = [r["vec_id"] for r in topk.knn_topk(emb, query_vec_id=0, k=10).collect()]
+    assert qk[0] == 0  # self-match survives 4-bit codes + re-rank
+    # the exact re-rank of 50 candidates recovers most of the true top-10
+    assert len(set(qk) & set(exact)) >= 7

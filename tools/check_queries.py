@@ -97,7 +97,8 @@ def main() -> int:
         if not ok:
             failures.append(name)
         print(f"{status} {name}: {msg} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    n_run = len(only & set(QUERIES)) if only else len(QUERIES)
+    print(f"\n{n_run - len(failures)}/{n_run} pass")
     return 1 if failures else 0
 
 
