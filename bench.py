@@ -67,6 +67,7 @@ EXTENDED = [
     # round-5 operators (pq_compression_stats stays out: its wall time
     # is 8 MLlib KMeans fit overheads, not a data-path measurement)
     "vs_metadata_filter_range",
+    "knn_topk_int4",
     "bm25_topk",
     "bm25_batch",
     "hybrid_rrf_search",

@@ -147,8 +147,14 @@ def bm25_batch(
     """
     all_terms = sorted({str(t) for ts in queries.values() for t in ts})
     spark = documents.sparkSession
+    # dedupe per query: a repeated term in one query's tuple would
+    # otherwise join its contribution in twice
     qmap = spark.createDataFrame(
-        [(int(qid), str(t)) for qid, ts in sorted(queries.items()) for t in ts],
+        [
+            (int(qid), t)
+            for qid, ts in sorted(queries.items())
+            for t in sorted({str(x) for x in ts})
+        ],
         "query_id int, term string",
     )
     docs = documents.select(

@@ -1026,3 +1026,17 @@ def test_knn_int4_close_to_exact(spark, sf_dir):
     assert qk[0] == 0  # self-match survives 4-bit codes + re-rank
     # the exact re-rank of 50 candidates recovers most of the true top-10
     assert len(set(qk) & set(exact)) >= 7
+
+
+def test_bm25_batch_dedupes_repeated_query_terms(spark):
+    """A term repeated in one query's tuple must not double-count."""
+    from langchain_memvid_spark.operators.ranking import bm25_batch
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a a b"), (2, "c c c")], "doc_id long, text string"
+    )
+    once = bm25_batch(docs, {0: ("a", "b")}, k=3).collect()
+    dup = bm25_batch(docs, {0: ("a", "a", "b")}, k=3).collect()
+    assert {(r["doc_id"], r["bm25"]) for r in once} == {
+        (r["doc_id"], r["bm25"]) for r in dup
+    }
