@@ -463,6 +463,18 @@ class SparkVectorStore:
             scored = base.withColumn("similarity", dot(F.col("embedding"), q))
         return scored.orderBy(*order).limit(k)
 
+    def _query_vec(self, query: str) -> list[float]:
+        """Embed a query and apply the metric's normalization — the ONE
+        place search paths get their query vector, so normalization for
+        a new metric cannot diverge between them."""
+        qvec = self.embeddings.embed_query(query)
+        if self.config.index.metric == "cosine":
+            import math
+
+            n = math.sqrt(sum(x * x for x in qvec)) or 1.0
+            qvec = [x / n for x in qvec]
+        return qvec
+
     def similarity_search_with_score(
         self,
         query: str,
@@ -480,13 +492,7 @@ class SparkVectorStore:
         post-filtering the top-k (which would under-fill k)."""
         if self._count == 0:
             return []
-        qvec = self.embeddings.embed_query(query)
-        if self.config.index.metric == "cosine":
-            import math
-
-            n = math.sqrt(sum(x * x for x in qvec)) or 1.0
-            qvec = [x / n for x in qvec]
-        top = self._topk(qvec, k, filter=filter)
+        top = self._topk(self._query_vec(query), k, filter=filter)
         if include_full_metadata:
             top = top.join(self._payload, "doc_id", "left")
         out = []
@@ -550,14 +556,9 @@ class SparkVectorStore:
         floats per query batch.
 
         Returns DataFrame(query_id, doc_id, text, similarity, rank)."""
-        import math
-
         qrows = []
         for qid, qtext in enumerate(queries):
-            v = self.embeddings.embed_query(qtext)
-            if self.config.index.metric == "cosine":
-                n = math.sqrt(sum(x * x for x in v)) or 1.0
-                v = [x / n for x in v]
+            v = self._query_vec(qtext)
             qrows.append((qid, qtext, [float(x) for x in v], query_codes(v)))
         # __qv/__qc, not "qvec": the doc_index carries its own qvec (int8
         # codes) column, and an unqualified name would be AMBIGUOUS after
@@ -643,12 +644,7 @@ class SparkVectorStore:
         NOT corpus size, so the distributed part stays the heavy part."""
         if self._count == 0:
             return []
-        import math
-
-        qvec = self.embeddings.embed_query(query)
-        if self.config.index.metric == "cosine":
-            n = math.sqrt(sum(x * x for x in qvec)) or 1.0
-            qvec = [x / n for x in qvec]
+        qvec = self._query_vec(query)
         cand_rows = self._topk(qvec, max(fetch_k, k)).collect()
         if not cand_rows:
             return []
@@ -704,12 +700,7 @@ class SparkVectorStore:
         text_ranked = bm25_topk(
             self._doc_index.select("doc_id", "text"), query_terms=terms, k=n
         )
-        import math
-
-        qvec = self.embeddings.embed_query(query)
-        if self.config.index.metric == "cosine":
-            nrm = math.sqrt(sum(x * x for x in qvec)) or 1.0
-            qvec = [x / nrm for x in qvec]
+        qvec = self._query_vec(query)
         asc = self.config.index.metric == "l2"
         vw = Window.orderBy(
             F.col("similarity").asc() if asc else F.col("similarity").desc(),

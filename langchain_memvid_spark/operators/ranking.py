@@ -40,6 +40,110 @@ from langchain_memvid_spark.functions.text import tokens
 DEFAULT_QUERY_TERMS = ("dup", "spark", "join")
 
 
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def _tokenized(documents: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, __toks, n_tokens) — the one tokenization every operator
+    here starts from. NULL text would make size(split(NULL)) = -1, so
+    it coalesces to empty first."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    ).withColumn("n_tokens", F.size("__toks"))
+
+
+def _bm25_contribs(
+    docs: DataFrame, terms: list[str], k1: float, b: float
+) -> DataFrame:
+    """(doc_id, term, __c) — per-(doc, matched-term) BM25 contribution,
+    shared by the single-query and batch paths so the formula exists
+    once. `docs` is `_tokenized` output; `terms` is the (deduplicated)
+    union of query terms, filtered BEFORE any shuffle."""
+    dld = docs.withColumn("dl", F.col("n_tokens"))
+    # corpus stats over ALL docs (not just matching ones)
+    stats = dld.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        dld.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", contrib.alias("__c"))
+    )
+
+
+def _dup_windows(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, __h) — every w-token window of every doc with ≥ w
+    tokens, keyed by an 8-byte xxhash64 of the window text (the
+    ngram_jaccard join-key trick). `docs` is `_tokenized` output."""
+    return (
+        docs.filter(F.col("n_tokens") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1))
+            ).alias("pos"),
+            F.col("__toks"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(
+                F.array_join(F.slice(F.col("__toks"), F.col("pos"), w), " ")
+            ).alias("__h"),
+        )
+    )
+
+
+def _span_islands(positions: DataFrame, w: int) -> DataFrame:
+    """(doc_id, __grp, n_win, s, e) — merge each doc's window START
+    positions into maximal OVERLAPPING intervals [s, e] of covered
+    tokens: a window [pos, pos+w-1] starts a new island only when pos
+    exceeds the running max of previous ends (not mere adjacency).
+    `positions` is (doc_id, pos) rows; the window partitions by doc_id,
+    the natural parallel unit."""
+    byp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        byp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        positions.withColumn(
+            "__new",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__new").over(byp))
+        .groupBy("doc_id", "__grp")
+        .agg(
+            F.count("*").alias("n_win"),
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(w - 1)).alias("e"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
 def bm25_scores(
     documents: DataFrame,
     query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
@@ -62,41 +166,9 @@ def bm25_scores(
     keys; N/avgdl is a single-row aggregate broadcast back. Output is
     one row per document that matches ≥1 term.
     """
-    terms = [str(t) for t in query_terms]
-    docs = documents.select(
-        F.col(id_col).alias("doc_id"),
-        # NULL text would make size(split(NULL)) = -1; treat as empty
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
-    ).withColumn("dl", F.size("__toks"))
-    # corpus stats over ALL docs (not just matching ones)
-    stats = docs.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        docs.select("doc_id", "dl", F.explode("__toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    contrib = idf * (
-        F.col("tf") * F.lit(k1 + 1.0)
-        / (
-            F.col("tf")
-            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    return (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("__c", contrib)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("__c"), 4).alias("bm25"))
-    )
+    terms = sorted({str(t) for t in query_terms})
+    contribs = _bm25_contribs(_tokenized(documents, text_col, id_col), terms, k1, b)
+    return contribs.groupBy("doc_id").agg(F.round(F.sum("__c"), 4).alias("bm25"))
 
 
 def bm25_topk(
@@ -111,7 +183,8 @@ def bm25_topk(
     """Top-k BM25: TakeOrderedAndProject over the scored docs (per-
     partition heaps + driver merge, never a global sort). Ranked by
     the ROUNDED score with doc_id tiebreak so the ordering is
-    reproducible across engines and float summation orders."""
+    reproducible across engines and float summation orders. The rank
+    window runs AFTER the limit — over k rows, not the corpus."""
     scored = bm25_scores(documents, query_terms, k1, b, text_col, id_col)
     return (
         scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
@@ -136,11 +209,11 @@ def bm25_batch(
 ) -> DataFrame:
     """ALL queries in one corpus pass — the same Spark win knn_batch
     scores over the reference's sequential per-query loop, applied to
-    lexical search: the token stream is filtered once to the UNION of
-    every query's terms, per-(doc, term) BM25 contributions are
-    computed once, then a tiny broadcast (query_id, term) map fans the
-    shared contributions out to each query, and a per-query window
-    takes top-k (map-side WindowGroupLimit before the exchange).
+    lexical search: per-(doc, term) BM25 contributions are computed
+    once over the UNION of every query's terms, then a tiny broadcast
+    (query_id, term) map fans the shared contributions out to each
+    query, and a per-query window takes top-k (map-side
+    WindowGroupLimit before the exchange).
 
     Terms shared between queries are scored once, not once per query.
     Output: query_id, doc_id, bm25, rank (rank <= k).
@@ -157,35 +230,11 @@ def bm25_batch(
         ],
         "query_id int, term string",
     )
-    docs = documents.select(
-        F.col(id_col).alias("doc_id"),
-        # NULL text would make size(split(NULL)) = -1; treat as empty
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
-    ).withColumn("dl", F.size("__toks"))
-    stats = docs.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (
-        docs.select("doc_id", "dl", F.explode("__toks").alias("term"))
-        .filter(F.col("term").isin(all_terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    contrib = idf * (
-        F.col("tf") * F.lit(k1 + 1.0)
-        / (
-            F.col("tf")
-            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-        )
+    contribs = _bm25_contribs(
+        _tokenized(documents, text_col, id_col), all_terms, k1, b
     )
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("__c", contrib)
-        .join(F.broadcast(qmap), "term")
+        contribs.join(F.broadcast(qmap), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("__c"), 4).alias("bm25"))
     )
@@ -232,9 +281,9 @@ def rrf_fuse(
     )
 
 
-# position-key packing for "global first occurrence": doc_id*K+pos is a
-# total order over occurrences as long as pos < K (1e9 tokens per doc)
-_POSKEY = 1_000_000_000
+# ---------------------------------------------------------------------------
+# span-level (substring) duplicate detection
+# ---------------------------------------------------------------------------
 
 
 def remove_duplicate_spans(
@@ -249,99 +298,68 @@ def remove_duplicate_spans(
     tokens from the text. The distributed rewrite of Lee et al. 2022's
     suffix-array dedup at window granularity.
 
-    Removal intervals are merged per doc with the same overlap-union
-    islands as :func:`duplicate_spans`; the text is rebuilt with a
-    higher-order ``filter`` over token positions — pure codegen, no
-    second explode. Untouched docs pass through with whitespace-
-    normalized text (single-space token join — the same canonical form
-    the cleaned docs get), so output text is uniformly normalized.
+    The keeper is the lexicographic MIN of struct(doc_id, pos) — no
+    packed-integer key, so it cannot overflow or bleed between docs at
+    any doc_id / document length. Removal intervals are merged per doc
+    with the shared overlap-union islands; the text is rebuilt with a
+    higher-order ``filter`` over token positions in ONE left-joined
+    pass over the corpus (untouched docs take the no-interval branch).
+    Untouched docs pass through with whitespace-normalized text
+    (single-space token join — the same canonical form the cleaned
+    docs get), so output text is uniformly normalized.
 
     Output: doc_id, n_tokens, n_removed, cleaned_text.
     """
-    docs = documents.select(
-        F.col(id_col).alias("doc_id"),
-        # NULL text would make size(split(NULL)) = -1; treat as empty
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
-    ).withColumn("n_tokens", F.size("__toks"))
-    win = (
-        docs.filter(F.col("n_tokens") >= w)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1))
-            ).alias("pos"),
-            F.col("__toks"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            (F.col("doc_id") * F.lit(_POSKEY) + F.col("pos")).alias("__pk"),
-            F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), w), " ")).alias(
-                "__h"
-            ),
-        )
-    )
+    docs = _tokenized(documents, text_col, id_col)
+    win = _dup_windows(docs, w)
     # cross-doc duplicated hashes with their globally-first occurrence
     duph = (
         win.groupBy("__h")
         .agg(
             F.countDistinct("doc_id").alias("__docs"),
-            F.min("__pk").alias("__keeper"),
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+                "__keeper"
+            ),
         )
         .filter(F.col("__docs") > 1)
         .select("__h", "__keeper")
     )
     to_remove = (
         win.join(duph, "__h")
-        .filter(F.col("__pk") != F.col("__keeper"))
+        .filter(
+            (F.col("doc_id") != F.col("__keeper.d"))
+            | (F.col("pos") != F.col("__keeper.p"))
+        )
         .select("doc_id", "pos")
     )
-    byp = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
-        byp.rowsBetween(Window.unboundedPreceding, -1)
+    iv = (
+        _span_islands(to_remove, w)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__iv"))
     )
-    spans = (
-        to_remove.withColumn(
-            "__new",
-            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
-        )
-        .withColumn("__grp", F.sum("__new").over(byp))
-        .groupBy("doc_id", "__grp")
-        .agg(
-            F.min("pos").alias("s"),
-            (F.max("pos") + F.lit(w - 1)).alias("e"),
-        )
+    # ONE pass over the corpus: docs with no removal intervals take the
+    # null-__iv branch (no second scan + union)
+    keep = F.filter(
+        F.sequence(F.lit(1), F.col("n_tokens")),
+        lambda p: ~F.exists(F.col("__iv"), lambda i: (p >= i["s"]) & (p <= i["e"])),
     )
-    iv = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("s", "e")).alias("__iv")
+    rebuilt = F.array_join(
+        F.transform(keep, lambda p: F.element_at("__toks", p)), " "
     )
-    touched = (
-        docs.join(iv, "doc_id")
-        .withColumn(
-            "__keep",
-            F.filter(
-                F.sequence(F.lit(1), F.col("n_tokens")),
-                lambda p: ~F.exists(
-                    F.col("__iv"), lambda i: (p >= i["s"]) & (p <= i["e"])
-                ),
-            ),
-        )
+    untouched = F.col("__iv").isNull()
+    return (
+        docs.join(iv, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.size("__keep")).alias("n_removed"),
-            F.array_join(
-                F.transform(F.col("__keep"), lambda p: F.element_at("__toks", p)), " "
-            ).alias("cleaned_text"),
+            F.when(untouched, F.lit(0))
+            .otherwise(F.col("n_tokens") - F.size(keep))
+            .alias("n_removed"),
+            F.when(untouched, F.array_join("__toks", " "))
+            .otherwise(rebuilt)
+            .alias("cleaned_text"),
         )
     )
-    untouched = docs.join(iv, "doc_id", "left_anti").select(
-        "doc_id",
-        "n_tokens",
-        F.lit(0).alias("n_removed"),
-        F.array_join("__toks", " ").alias("cleaned_text"),
-    )
-    return touched.unionByName(untouched)
 
 
 def duplicate_spans(
@@ -353,73 +371,28 @@ def duplicate_spans(
     """Span-level duplicate report: for every document, how many of its
     w-token windows also appear verbatim in ANOTHER document, merged
     into maximal overlapping spans, and what fraction of its tokens
-    those spans cover.
-
-    Distributed formulation of Lee et al. 2022 substring dedup: the
-    suffix array becomes fixed-width window hashing (xxhash64 over the
-    window text — 8-byte join keys, same trick as ngram_jaccard), the
-    cross-doc test is a count-distinct-docs-per-hash groupBy, and span
-    assembly is a per-doc interval-union window (running max of span
-    ends; a window starts a new island only when its start exceeds
-    every previous end, so overlapping windows merge exactly).
+    those spans cover. Shares the window/island machinery with
+    :func:`remove_duplicate_spans`, so the report always agrees with
+    what the cleaner would cut.
 
     Output: one row per document (docs shorter than w tokens and docs
     with no duplicated window report zeros) — doc_id, n_tokens,
     n_dup_windows, n_spans, dup_tokens, dup_fraction.
     """
-    docs = documents.select(
-        F.col(id_col).alias("doc_id"),
-        # NULL text would make size(split(NULL)) = -1; treat as empty
-        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
-    ).withColumn("n_tokens", F.size("__toks"))
-    win = (
-        docs.filter(F.col("n_tokens") >= w)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1))
-            ).alias("pos"),
-            F.col("__toks"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "pos",
-            F.xxhash64(F.array_join(F.slice(F.col("__toks"), F.col("pos"), w), " ")).alias(
-                "__h"
-            ),
-        )
-    )
-    # hashes seen in >1 distinct document; NOT broadcast — at corpus
-    # scale the duplicated-window set is unbounded, keep it a shuffle
-    # equi-join on the 8-byte hash
+    docs = _tokenized(documents, text_col, id_col)
+    win = _dup_windows(docs, w)
     duph = (
         win.groupBy("__h")
         .agg(F.countDistinct("doc_id").alias("__docs"))
         .filter(F.col("__docs") > 1)
         .select("__h")
     )
-    dup = win.join(duph, "__h").select("doc_id", "n_tokens", "pos")
-    # interval-union islands: window covers [pos, pos+w-1]; a new island
-    # starts when pos > max(previous ends) within the doc
-    byp = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
-        byp.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = dup.withColumn(
-        "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    ).withColumn("__grp", F.sum("__new").over(byp))
-    spans = isl.groupBy("doc_id", "__grp").agg(
-        F.first("n_tokens").alias("n_tokens"),
-        F.count("*").alias("n_win"),
-        (F.max(F.col("pos") + F.lit(w - 1)) - F.min("pos") + F.lit(1)).alias("covered"),
-    )
+    dup = win.join(duph, "__h").select("doc_id", "pos")
+    spans = _span_islands(dup, w)
     perdoc = spans.groupBy("doc_id").agg(
-        F.first("n_tokens").alias("__nt"),
         F.sum("n_win").alias("__ndw"),
         F.count("*").alias("__ns"),
-        F.sum("covered").alias("__dt"),
+        F.sum(F.col("e") - F.col("s") + F.lit(1)).alias("__dt"),
     )
     return (
         docs.select("doc_id", "n_tokens")

@@ -80,14 +80,14 @@ def _span_clean_ctes(src: str) -> str:
     ranking.remove_duplicate_spans(w=8) over table/CTE ``src``."""
     return f"""t AS (SELECT doc_id, {TOKS} AS toks FROM {src}),
 d AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
-win AS (SELECT doc_id, i AS pos, doc_id * 1000000000 + i AS pk,
+win AS (SELECT doc_id, i AS pos,
           array_to_string(toks[i:i+7], ' ') AS wtxt
         FROM d, LATERAL (SELECT unnest(range(1, n_tokens - 6)) AS i) ix
         WHERE n_tokens >= 8),
-duph AS (SELECT wtxt, min(pk) AS keeper FROM win
+duph AS (SELECT wtxt, min(doc_id::HUGEINT * 1000000000000 + pos) AS keeper FROM win
          GROUP BY wtxt HAVING count(DISTINCT doc_id) > 1),
 rm AS (SELECT w.doc_id, w.pos FROM win w JOIN duph USING (wtxt)
-       WHERE w.pk != duph.keeper),
+       WHERE w.doc_id::HUGEINT * 1000000000000 + w.pos != duph.keeper),
 isl AS (SELECT doc_id, pos,
           max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -3083,7 +3083,11 @@ def q_pipeline_v4(spark, sf_dir):
     samp = d.join(
         textops.domain_weighted_sample(d).select("doc_id"), "doc_id", "left_semi"
     )
-    cleaned = ranking.remove_duplicate_spans(samp, w=8)
+    # materialize the cleaned corpus ONCE: both the tokens_removed
+    # aggregate and the packing lineage read it, and at scale a
+    # pipeline materializes its cleaned output anyway — without this
+    # the span-dedup lineage (the expensive stage) executes twice
+    cleaned = ranking.remove_duplicate_spans(samp, w=8).localCheckpoint()
     kept = cleaned.filter((F.col("n_tokens") - F.col("n_removed")) >= 20).select(
         "doc_id", F.col("cleaned_text").alias("text")
     )

@@ -97,8 +97,13 @@ def main() -> int:
         if not ok:
             failures.append(name)
         print(f"{status} {name}: {msg} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    unknown = sorted(only - set(QUERIES))
+    for name in unknown:
+        print(f"FAIL  {name}: no such query in the registry")
+    failures.extend(unknown)
     n_run = len(only & set(QUERIES)) if only else len(QUERIES)
-    print(f"\n{n_run - len(failures)}/{n_run} pass")
+    print(f"\n{n_run - (len(failures) - len(unknown))}/{n_run} pass"
+          + (f" ({len(unknown)} unknown name(s))" if unknown else ""))
     return 1 if failures else 0
 
 
