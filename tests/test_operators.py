@@ -1040,3 +1040,16 @@ def test_bm25_batch_dedupes_repeated_query_terms(spark):
     assert {(r["doc_id"], r["bm25"]) for r in once} == {
         (r["doc_id"], r["bm25"]) for r in dup
     }
+
+
+def test_bm25_batch_map_side_window_group_limit(spark):
+    """The per-query top-k must keep its map-side WindowGroupLimit
+    (Partial) before the query_id exchange — the shuffle carries
+    ~k x partitions rows per query, not every scored doc."""
+    from langchain_memvid_spark.operators.ranking import bm25_batch
+    from langchain_memvid_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(bm25_batch(docs, {0: ("dup",), 1: ("spark", "join")}, k=5))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
