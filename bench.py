@@ -73,6 +73,8 @@ EXTENDED = [
     "hybrid_rrf_search",
     "duplicate_span_stats",
     "dedup_spans_clean",
+    "knn_graph_topk",
+    "unigram_logprob_scores",
 ]
 
 

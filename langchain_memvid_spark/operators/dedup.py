@@ -122,6 +122,122 @@ def _shingle_rows(documents: DataFrame, k: int, text_col: str) -> DataFrame:
     return narrow.mapInPandas(explode_shingles, "doc_id long, sh string, n_sh int")
 
 
+def _pair_overlap_counts(sh: DataFrame) -> DataFrame:
+    """(a_id, b_id, shared, na, nb) for every candidate doc pair
+    sharing ≥1 shingle hash — the one equi-join + pair aggregation
+    Jaccard, containment, and the k-NN graph all start from. `sh` is
+    the (doc_id, shh, n_sh) shingle-hash table (already df-capped and
+    checkpointed by the caller)."""
+    a = sh.select(F.col("doc_id").alias("a_id"), "shh", F.col("n_sh").alias("na"))
+    b = sh.select(F.col("doc_id").alias("b_id"), "shh", F.col("n_sh").alias("nb"))
+    return (
+        a.join(b, "shh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    top_n: int = 20,
+    text_col: str = "text",
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Top-N doc pairs by Jaccard CONTAINMENT — shared / min(|A|, |B|),
+    the asymmetric overlap that finds a small doc quoted inside a big
+    one, which plain Jaccard dilutes (a 50-shingle doc fully inside a
+    5000-shingle doc scores 0.01 Jaccard but 1.0 containment). Same
+    banded candidate machinery as ngram_jaccard_pairs: disjoint docs
+    never enter pair space."""
+    sh = _shingle_hash_table(documents, k, text_col, max_df)
+    pairs = _pair_overlap_counts(sh).withColumn(
+        "containment",
+        F.col("shared").cast("double") / F.least("na", "nb").cast("double"),
+    )
+    return (
+        pairs.orderBy(
+            F.col("containment").desc(), F.col("a_id").asc(), F.col("b_id").asc()
+        )
+        .limit(top_n)
+        .select(
+            "a_id", "b_id", "shared", "na", "nb",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
+def knn_graph(
+    documents: DataFrame,
+    k: int = 3,
+    neighbors: int = 3,
+    text_col: str = "text",
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Per-document top-`neighbors` nearest neighbors by shingle
+    Jaccard — the k-NN graph clustering/dedup pipelines consume.
+    Candidate pairs symmetrize into (doc, nbr) edges; a per-doc window
+    ranks on the ROUNDED score with nbr tiebreak (engine-reproducible)
+    and keeps `neighbors` — map-side WindowGroupLimit before the
+    per-doc exchange, so the shuffle carries ~neighbors×partitions
+    rows per doc, not every candidate edge."""
+    sh = _shingle_hash_table(documents, k, text_col, max_df)
+    pairs = _pair_overlap_counts(sh).withColumn(
+        "jaccard",
+        F.round(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+            6,
+        ),
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("doc_id"), F.col("b_id").alias("nbr_id"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("b_id").alias("doc_id"), F.col("a_id").alias("nbr_id"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        edges.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= neighbors)
+        .select("doc_id", "nbr_id", "jaccard", "rank")
+    )
+
+
+def _shingle_hash_table(
+    documents: DataFrame, k: int, text_col: str, max_df: int | None
+) -> DataFrame:
+    """(doc_id, shh, n_sh) — hashed shingles with the df-cap skew guard,
+    shared by every pair-family operator."""
+    sh = (
+        _shingle_rows(documents, k, text_col)
+        .withColumn("shh", F.xxhash64("sh"))
+        .drop("sh")
+        .localCheckpoint()
+    )
+    if max_df is not None and documents.count() > max_df:
+        hot = (
+            sh.groupBy("shh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shh")
+        )
+        hot_keys = [r["shh"] for r in hot.limit(10_001).collect()]
+        if len(hot_keys) > 10_000:
+            sh = sh.join(hot, "shh", "left_anti")
+        elif hot_keys:
+            sh = sh.filter(~F.col("shh").isin(hot_keys))
+    return sh
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     k: int = 3,
@@ -166,43 +282,11 @@ def ngram_jaccard_pairs(
     the shingle string: an 8-byte shuffle key instead of a 20-40 byte
     one, and long comparisons in the sort/join. Collision odds over a
     63-bit space are negligible against corpus shingle cardinality."""
-    sh = (
-        _shingle_rows(documents, k, text_col)
-        .withColumn("shh", F.xxhash64("sh"))
-        .drop("sh")
-        # localCheckpoint, not cache: materialized once (the Python
-        # shingle scan must not run once per join branch), and the
-        # blocks are reclaimed when the DataFrame goes out of scope
-        # instead of pinning storage for the session's lifetime
-        .localCheckpoint()
-    )
-    if max_df is not None and documents.count() > max_df:
-        hot = (
-            sh.groupBy("shh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shh")
-        )
-        hot_keys = [r["shh"] for r in hot.limit(10_001).collect()]
-        if len(hot_keys) > 10_000:
-            # pathological breadth: a shuffled anti-join (no broadcast
-            # hint — the hot side is unbounded here and would OOM a
-            # forced broadcast)
-            sh = sh.join(hot, "shh", "left_anti")
-        elif hot_keys:
-            sh = sh.filter(~F.col("shh").isin(hot_keys))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shh", F.col("n_sh").alias("na"))
-    b = sh.select(F.col("doc_id").alias("b_id"), "shh", F.col("n_sh").alias("nb"))
-    jac = (
-        a.join(b, "shh")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"), F.first("na").alias("na"), F.first("nb").alias("nb"))
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
-        )
+    sh = _shingle_hash_table(documents, k, text_col, max_df)
+    jac = _pair_overlap_counts(sh).withColumn(
+        "jaccard",
+        F.col("shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
     )
     return (
         jac.orderBy(F.col("jaccard").desc(), F.col("a_id").asc(), F.col("b_id").asc())

@@ -7,7 +7,7 @@ a full-table transformation. All stay inside whole-stage codegen — at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from langchain_memvid_spark.functions.text import (
@@ -351,4 +351,67 @@ def domain_weighted_sample(
         documents.select("doc_id", "source", bkt.alias("bucket"), rate.alias("rate_bp"))
         .filter(F.col("bucket") < F.col("rate_bp"))
         .select("doc_id", "source", "bucket")
+    )
+
+
+def stratified_sample_exact(
+    documents: DataFrame,
+    quota: int = 60,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT per-stratum quotas — "take exactly N docs per domain",
+    the complement of domain_weighted_sample's rate-based thinning
+    (rates give binomial counts; curation often needs hard caps).
+
+    Selection order inside a stratum is the text hash (then doc_id):
+    deterministic across engines and corpus versions, uncorrelated
+    with position or length, and duplicate texts sort adjacently so a
+    re-shard cannot change which docs win. Per-stratum window top-N
+    gets the map-side WindowGroupLimit — the shuffle carries
+    ~quota×partitions rows per stratum, not the corpus."""
+    from langchain_memvid_spark.functions.hashing import stable_hash64
+
+    w = Window.partitionBy("stratum").orderBy(
+        stable_hash64(F.col(text_col), salt="strat:").asc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.select("doc_id", F.col(stratum_col).alias("stratum"), F.col(text_col))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= quota)
+        .select("doc_id", "stratum", "rn")
+    )
+
+
+def unigram_logprob_scores(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram surprisal −avg(ln p(token)) under the
+    corpus's own unigram LM — the cheapest 'perplexity-ish' quality
+    signal: boilerplate and repeated junk score LOW (predictable),
+    rare-token noise scores HIGH; curation keeps the middle band.
+
+    One aggregation builds the LM (token → count), a broadcast-sized
+    grand total turns counts into probabilities, and one join scores
+    every token occurrence — all JVM-side. The token-count table is
+    vocabulary-sized; for web-scale vocabularies the join is a plain
+    shuffle equi-join on the token (never collected)."""
+    from langchain_memvid_spark.functions.text import tokens as _tokens
+
+    tok = documents.select(
+        "doc_id", F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("p"),
+    )
+    return (
+        tok.join(probs, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log("p")), 4).alias("avg_surprisal"),
+        )
     )

@@ -3713,6 +3713,103 @@ def q_knn_int4(spark, sf_dir):
     return knn_topk_int4(_t(spark, sf_dir, "embeddings"))
 
 
+@_reg(
+    "jaccard_containment",
+    f"""
+WITH {SHINGLE_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, shared, na, nb, round(containment, 6) AS containment FROM (
+  SELECT a_id, b_id, shared, ca.n_sh AS na, cb.n_sh AS nb,
+    shared::DOUBLE / least(ca.n_sh, cb.n_sh)::DOUBLE AS containment
+  FROM shared JOIN counts ca ON ca.doc_id = a_id JOIN counts cb ON cb.doc_id = b_id) s
+ORDER BY containment DESC, a_id, b_id LIMIT 20
+""",
+)
+def q_containment(spark, sf_dir):
+    """Asymmetric overlap — shared / min(|A|, |B|): finds a small doc
+    QUOTED inside a big one, which symmetric Jaccard dilutes to ~0.
+    Same banded candidate machinery as ngram_jaccard (shared shingle
+    table, df-cap skew guard); only the final score differs."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "knn_graph_topk",
+    f"""
+WITH {SHINGLE_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT a_id, b_id,
+    round(shared::DOUBLE / (ca.n_sh + cb.n_sh - shared)::DOUBLE, 6) AS jaccard
+  FROM shared JOIN counts ca ON ca.doc_id = a_id JOIN counts cb ON cb.doc_id = b_id),
+edges AS (
+  SELECT a_id AS doc_id, b_id AS nbr_id, jaccard FROM scored
+  UNION ALL
+  SELECT b_id AS doc_id, a_id AS nbr_id, jaccard FROM scored)
+SELECT doc_id, nbr_id, jaccard, rank FROM (
+  SELECT doc_id, nbr_id, jaccard,
+    (row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, nbr_id))::INT AS rank
+  FROM edges) r
+WHERE rank <= 3
+""",
+)
+def q_knn_graph(spark, sf_dir):
+    """Per-doc top-3 nearest neighbors by shingle Jaccard — the k-NN
+    graph clustering/semantic-dedup pipelines consume. Candidate pairs
+    symmetrize into edges; per-doc window top-k ranks on the ROUNDED
+    score with nbr tiebreak (map-side WindowGroupLimit)."""
+    return dedup.knn_graph(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "stratified_sample_exact",
+    """
+SELECT doc_id, stratum, rn FROM (
+  SELECT doc_id, source AS stratum,
+    (row_number() OVER (PARTITION BY source
+       ORDER BY ('0x' || substring(sha256(concat('strat:', CAST(text AS VARCHAR))), 1, 15))::BIGINT,
+                doc_id))::INT AS rn
+  FROM documents) s
+WHERE rn <= 15
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """EXACT per-source quotas (take exactly 60 docs per domain) — the
+    hard-cap complement of domain_weighted_sample's rates. Selection
+    order is the salted text hash then doc_id: deterministic across
+    engines/corpus versions, uncorrelated with position or length."""
+    return textops.stratified_sample_exact(_t(spark, sf_dir, "documents"), quota=15)
+
+
+@_reg(
+    "unigram_logprob_scores",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM counts),
+probs AS (SELECT term, cnt::DOUBLE / t.total AS p FROM counts, tot t)
+SELECT doc_id, count(*) AS n_tokens, round(avg(-ln(p)), 4) AS avg_surprisal
+FROM tok JOIN probs USING (term)
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Mean unigram surprisal under the corpus's own unigram LM — the
+    cheapest perplexity-ish quality signal (boilerplate scores low,
+    rare-token noise high; curation keeps the middle band). One
+    vocabulary aggregation + one broadcast grand total + one token
+    join, all JVM-side."""
+    return textops.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 # batch BM25: 3 queries, overlapping term sets — scored in ONE corpus
 # pass; the union term list below must stay the union of _BM25_QSETS
 _BM25_QSETS = {0: ("dup", "spark"), 1: ("join", "fast"), 2: ("dup", "value")}

@@ -1053,3 +1053,72 @@ def test_bm25_batch_map_side_window_group_limit(spark):
     plan = _plan(bm25_batch(docs, {0: ("dup",), 1: ("spark", "join")}, k=5))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_containment_finds_subset_doc(spark):
+    """A small doc fully inside a big one: containment 1.0, tiny
+    Jaccard — the case symmetric Jaccard dilutes."""
+    small = "w1 w2 w3 w4 w5"
+    big = small + " " + " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, big), (1, small), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    rows = dedup.containment_pairs(docs, k=3).collect()
+    top = rows[0]
+    assert (top["a_id"], top["b_id"]) == (0, 1)
+    assert top["containment"] == 1.0
+    # symmetric jaccard for the same pair would be small
+    assert top["shared"] / (top["na"] + top["nb"] - top["shared"]) < 0.1
+
+
+def test_knn_graph_symmetric_and_ranked(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c d e g"),   # near 0
+            (2, "a b c x y z"),   # further
+            (3, "p q r s t u"),   # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.knn_graph(docs, k=3, neighbors=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["nbr_id"], r["jaccard"]))
+    # 0 and 1 are each other's nearest neighbor
+    assert by_doc[0][0][1] == 1 and by_doc[1][0][1] == 0
+    # disjoint doc 3 has no edges at all
+    assert 3 not in by_doc
+    for d, lst in by_doc.items():
+        sims = [j for _, _, j in sorted(lst)]
+        assert sims == sorted(sims, reverse=True), d
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    rows = [(i, f"text number {i} body", f"src{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out1 = textops.stratified_sample_exact(docs, quota=4).collect()
+    out2 = textops.stratified_sample_exact(docs, quota=4).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    per = {}
+    for r in out1:
+        per.setdefault(r["stratum"], []).append(r["rn"])
+    assert set(per) == {"src0", "src1", "src2"}
+    for s, rns in per.items():
+        assert sorted(rns) == [1, 2, 3, 4], s
+
+
+def test_unigram_logprob_ranks_rare_tokens_higher(spark):
+    common = "the the the the the"
+    docs = spark.createDataFrame(
+        [(0, common), (1, "zzz qqq vvv kkk jjj"), (2, common)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_surprisal"] for r in textops.unigram_logprob_scores(docs).collect()}
+    import math
+
+    # 'the' occurs 10/15 times; each rare token 1/15
+    assert out[0] == out[2] == round(-math.log(10 / 15), 4)
+    assert out[1] == round(-math.log(1 / 15), 4)
+    assert out[1] > out[0]
