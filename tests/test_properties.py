@@ -639,3 +639,48 @@ def test_remove_duplicate_spans_match_python_reference(spark_handle, docs, w):
     for i, (n_rm, text) in want.items():
         assert got[i]["n_removed"] == n_rm, (i, got[i]["n_removed"], n_rm)
         assert got[i]["cleaned_text"] == text, (i, got[i]["cleaned_text"], text)
+
+
+@given(docs=st.lists(_DOC, min_size=2, max_size=8))
+@SET
+def test_containment_and_knn_graph_match_python(spark_handle, docs):
+    """containment_pairs and knn_graph == brute-force Python over
+    3-word shingle sets on random corpora."""
+    spark = spark_handle
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+
+    def shingles(toks, k=3):
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    pairs = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                sh = len(sets[a] & sets[b])
+                pairs[(a, b)] = (sh, len(sets[a]), len(sets[b]))
+
+    got_c = {
+        (r["a_id"], r["b_id"]): (r["shared"], r["na"], r["nb"], r["containment"])
+        for r in dedup.containment_pairs(df, k=3, top_n=1000).collect()
+    }
+    assert set(got_c) == set(pairs)
+    for key, (sh, na, nb) in pairs.items():
+        assert got_c[key] == (sh, na, nb, round(sh / min(na, nb), 6)), key
+
+    got_g = {}
+    for r in dedup.knn_graph(df, k=3, neighbors=2).collect():
+        got_g.setdefault(r["doc_id"], []).append((r["rank"], r["nbr_id"], r["jaccard"]))
+    for d in sets:
+        nbrs = []
+        for (a, b), (sh, na, nb) in pairs.items():
+            if d in (a, b):
+                o = b if a == d else a
+                nbrs.append((round(sh / (na + nb - sh), 6), o))
+        want = sorted(nbrs, key=lambda x: (-x[0], x[1]))[:2]
+        got = [(j, n) for _, n, j in sorted(got_g.get(d, []))]
+        assert got == want, (d, got, want)
