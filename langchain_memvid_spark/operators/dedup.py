@@ -130,8 +130,15 @@ def _pair_overlap_counts(sh: DataFrame) -> DataFrame:
     checkpointed by the caller)."""
     a = sh.select(F.col("doc_id").alias("a_id"), "shh", F.col("n_sh").alias("na"))
     b = sh.select(F.col("doc_id").alias("b_id"), "shh", F.col("n_sh").alias("nb"))
+    # merge hint: BOTH sides are the corpus-sized shingle table by
+    # construction, but the localCheckpoint turns it into an RDD-backed
+    # plan whose size estimate fools the static planner into
+    # broadcasting one side — at 100x bench scale (26M shingle rows)
+    # that OOMs the driver. Found by the sf10 ladder run; SMJ is the
+    # only join that is always safe here.
     return (
-        a.join(b, "shh")
+        a.hint("merge")
+        .join(b, "shh")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(
@@ -379,8 +386,12 @@ def minhash_band_pairs(
     )
     a = bucketed.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     b = bucketed.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    # merge hint: both sides are the full banded-signature table (an
+    # RDD-backed mapInPandas product with unreliable size stats) — the
+    # same sf10 broadcast-OOM hazard as the shingle pair join
     return (
-        a.join(b, ["band", "bucket"])
+        a.hint("merge")
+        .join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates()
@@ -503,8 +514,11 @@ def embedding_lsh_candidates(
     ).select("vid", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a = bands.select(F.col("vid").alias("a_id"), "band", "val")
     b = bands.select(F.col("vid").alias("b_id"), "band", "val")
+    # merge hint: see the shingle pair join — never broadcast a
+    # corpus-sized band table
     return (
-        a.join(b, ["band", "val"])
+        a.hint("merge")
+        .join(b, ["band", "val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
@@ -678,8 +692,11 @@ def simhash_near_pairs(
     b = bands.select(
         F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "band", "val"
     )
+    # merge hint: see the shingle pair join — never broadcast a
+    # corpus-sized band table
     return (
-        a.join(b, ["band", "val"])
+        a.hint("merge")
+        .join(b, ["band", "val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

@@ -28,11 +28,16 @@ from __future__ import annotations
 
 import os
 
+import sys
+
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1")
-COPIES = 10
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# usage: make_sf1.py [copies] [name] — e.g. `make_sf1.py 100 sf10`
+# builds copies x sf0.1 into .localdata/<name> (defaults: 10, sf1)
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = os.path.join(_REPO, ".localdata", sys.argv[2] if len(sys.argv) > 2 else "sf1")
 
 
 def main() -> None:
