@@ -56,6 +56,8 @@ class IVFIndex:
         qscale, qvec = quantize_cols(F.col(vec_col))
         embeddings = embeddings.withColumn("qscale", qscale).withColumn("qvec", qvec)
         n = embeddings.count()
+        if n == 0:
+            raise IndexError_("cannot build an IVF index on an empty embeddings table")
         if n < min_points_factor * nlist:
             assigned = embeddings.withColumn("cluster_id", F.lit(0))
             dim = len(assigned.select(vec_col).head()[0])

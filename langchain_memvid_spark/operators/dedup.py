@@ -163,19 +163,20 @@ def containment_pairs(
     banded candidate machinery as ngram_jaccard_pairs: disjoint docs
     never enter pair space."""
     sh = _shingle_hash_table(documents, k, text_col, max_df)
+    # rounded before ranking — same engine-reproducible tie discipline
+    # as ngram_jaccard_pairs / knn_graph
     pairs = _pair_overlap_counts(sh).withColumn(
         "containment",
-        F.col("shared").cast("double") / F.least("na", "nb").cast("double"),
+        F.round(
+            F.col("shared").cast("double") / F.least("na", "nb").cast("double"), 6
+        ),
     )
     return (
         pairs.orderBy(
             F.col("containment").desc(), F.col("a_id").asc(), F.col("b_id").asc()
         )
         .limit(top_n)
-        .select(
-            "a_id", "b_id", "shared", "na", "nb",
-            F.round("containment", 6).alias("containment"),
-        )
+        .select("a_id", "b_id", "shared", "na", "nb", "containment")
     )
 
 
@@ -290,15 +291,21 @@ def ngram_jaccard_pairs(
     one, and long comparisons in the sort/join. Collision odds over a
     63-bit space are negligible against corpus shingle cardinality."""
     sh = _shingle_hash_table(documents, k, text_col, max_df)
+    # rank on the ROUNDED score (matching the oracle's ORDER BY on the
+    # rounded output alias): two pairs within 5e-7 round equal and the
+    # id tiebreak then decides identically in both engines
     jac = _pair_overlap_counts(sh).withColumn(
         "jaccard",
-        F.col("shared").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        F.round(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+            6,
+        ),
     )
     return (
         jac.orderBy(F.col("jaccard").desc(), F.col("a_id").asc(), F.col("b_id").asc())
         .limit(top_n)
-        .select("a_id", "b_id", "shared", "na", "nb", F.round("jaccard", 6).alias("jaccard"))
+        .select("a_id", "b_id", "shared", "na", "nb", "jaccard")
     )
 
 
@@ -358,13 +365,20 @@ def minhash_signatures(documents: DataFrame, k: int = 3, text_col: str = "text")
 
 
 def minhash_band_pairs(
-    documents: DataFrame, k: int = 3, rows_per_band: int = 2, text_col: str = "text"
+    documents: DataFrame,
+    k: int = 3,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands of `rows_per_band`
     values), bucket docs by (band_id, band values), join within buckets.
     The join key is the band hash — the classic shingle→minhash→band→
-    bucket-join pipeline, one equi-join shuffle."""
-    sig = minhash_signatures(documents, k, text_col)
+    bucket-join pipeline, one equi-join shuffle. Pass a precomputed
+    ``sig`` (minhash_signatures output) to reuse one signing scan
+    across candidate generation and scoring."""
+    if sig is None:
+        sig = minhash_signatures(documents, k, text_col)
     n = len(MINHASH_PERMS)
     # one explode of band structs instead of a per-band union — the
     # signature projection (sha256 per shingle) is computed ONCE per row
@@ -631,8 +645,14 @@ def minhash_jaccard_estimates(
     """Estimated Jaccard for LSH candidate pairs: the fraction of equal
     signature positions. Signature join is broadcast-friendly (8 longs
     per doc); only candidate pairs are scored."""
-    sig = minhash_signatures(documents, k, text_col).cache()
-    cand = minhash_band_pairs(documents, k, text_col=text_col)
+    # localCheckpoint, not cache: the sha256-per-shingle signing scan is
+    # the CPU-hot stage — materialize it ONCE and share the SAME frame
+    # with candidate generation (a separately-built plan would carry a
+    # fresh mapInPandas instance and could miss the cache), and the
+    # blocks release when the frame goes out of scope instead of
+    # pinning storage for the session
+    sig = minhash_signatures(documents, k, text_col).localCheckpoint()
+    cand = minhash_band_pairs(documents, k, text_col=text_col, sig=sig)
     n = len(MINHASH_PERMS)
     a = sig.select(F.col("doc_id").alias("a_id"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n)])
     b = sig.select(F.col("doc_id").alias("b_id"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n)])

@@ -40,7 +40,10 @@ def salted_join(
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    cond = (F.col(fact_key) == F.col(dim_key)) & (
+    # DataFrame-qualified references, not bare F.col: when fact_key and
+    # dim_key share a name (the common case for a generic helper) a
+    # bare column would be AMBIGUOUS against the joined plan
+    cond = (salted_fact[fact_key] == salted_dim[dim_key]) & (
         salted_fact["__salt"] == salted_dim["__salt"]
     )
     return salted_fact.join(salted_dim, cond).drop("__salt")

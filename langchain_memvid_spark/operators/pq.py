@@ -64,7 +64,10 @@ def pq_train(
         # codes are stored as signed ByteType; ids past 127 would wrap
         # negative and silently corrupt the ADC table lookups
         raise IndexError_(f"k must be in [1, 128] for int8 codes, got {k}")
-    dim = len(embeddings.select(vec_col).head()[0])
+    first = embeddings.select(vec_col).head()
+    if first is None:
+        raise IndexError_("cannot train PQ codebooks on an empty embeddings table")
+    dim = len(first[0])
     if dim % m != 0:
         raise IndexError_(f"dim {dim} not divisible by m={m}")
     dsub = dim // m

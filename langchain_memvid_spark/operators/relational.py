@@ -70,7 +70,7 @@ def q3_shipping_priority(
         lineitem.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -105,7 +105,7 @@ def q5_regional_revenue(
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).alias("__rev"), F.count("*").alias("n_items"))
         .select("n_name", F.col("__rev").cast("double").alias("revenue"), "n_items")
@@ -303,7 +303,7 @@ def q7_nation_volume(
     n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -479,7 +479,7 @@ def q14_promo_revenue_share(lineitem: DataFrame, part: DataFrame, ptype: str = "
     DECIMAL partial sums so it hash-matches the oracle."""
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     joined = lineitem.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     return joined.agg(
@@ -500,7 +500,7 @@ def q15_top_suppliers(supplier: DataFrame, lineitem: DataFrame, k: int = 5) -> D
         .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("rev"))
     )
     return (
-        rev.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        rev.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue"))
         .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey").asc())
         .limit(k)
@@ -519,7 +519,7 @@ def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame
         .filter(F.col("sum_qty") > threshold)
     )
     return (
-        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey",
@@ -538,8 +538,13 @@ def q22_idle_rich_customers(
     scalar average is a one-row broadcast (cross join); the NOT EXISTS
     is an anti join whose probe side is pre-filtered to big orders —
     the filter shrinks the build set before the shuffle."""
+    # decimal-sum/count, not F.avg: float partial-agg summation order
+    # differs between engines, and a mean within 1 ulp of a rounding
+    # boundary would flip the filter for customers in the gap
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+        F.round(
+            F.sum(_dec("c_acctbal")).cast("double") / F.count("*"), 4
+        ).alias("avg_bal")
     )
     big = orders.filter(F.col("o_totalprice") > big_order).select("o_custkey")
     return (
@@ -597,7 +602,7 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
         F.sum(_dec("l_quantity")).over(w).cast("double") / F.count("*").over(w), 4
     )
     return (
-        lineitem.join(F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+        lineitem.join(part.filter(F.col("p_brand") == brand).select("p_partkey"),
                       F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
@@ -650,9 +655,9 @@ def q9_product_profit(
         4,
     )
     return (
-        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(amount).cast("double").alias("profit"), F.count("*").alias("n_lines"))
     )
@@ -689,7 +694,7 @@ def q16_supplier_counts(
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -711,7 +716,7 @@ def q20_excess_shipments(
     p = part.filter(F.col("p_name").contains(keyword)).select("p_partkey")
     heavy = (
         lineitem.filter(F.year("l_shipdate") == year)
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("__q"))
         .filter(F.col("__q").cast("double") > min_qty)

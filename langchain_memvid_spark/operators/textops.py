@@ -152,6 +152,7 @@ def decontaminate(
     eval_mod: int = 101,
     k: int = 3,
     text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any k-word
     shingle with a held-out eval set — the n-gram-overlap test every
@@ -159,10 +160,14 @@ def decontaminate(
     here is carved deterministically from the corpus, doc_id % eval_mod
     == 0, standing in for an external benchmark table).
 
-    Eval shingles are tiny (|eval| docs) and broadcast; training docs
-    never enter pair space — one broadcast semi-join at shingle grain,
-    then a count per doc. Output covers EVERY training doc (n_hits = 0
-    when clean) so the downstream filter is a plain predicate."""
+    Real eval suites (MMLU, GSM8K, …) are thousands of docs — bounded,
+    so their shingle set broadcasts by default. The deterministic
+    stand-in here scales WITH the corpus (1/eval_mod of it), so at
+    corpus scale pass ``broadcast_eval=False`` to keep the shingle
+    probe a shuffle equi-join instead of forcing an unbounded
+    broadcast. Training docs never enter pair space either way; output
+    covers EVERY training doc (n_hits = 0 when clean) so the
+    downstream filter is a plain predicate."""
     from langchain_memvid_spark.operators.dedup import _shingle_rows
 
     sh = _shingle_rows(documents, k, text_col).withColumn("shh", F.xxhash64("sh"))
@@ -173,7 +178,7 @@ def decontaminate(
     )
     train_sh = sh.filter(F.col("doc_id") % eval_mod != 0)
     hits = (
-        train_sh.join(F.broadcast(ev), "shh")
+        train_sh.join(F.broadcast(ev) if broadcast_eval else ev, "shh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("__hits"))
     )

@@ -35,7 +35,10 @@ def knn_topk(
     The query row is collected (one tiny lookup with predicate pushdown)
     and inlined as a literal array so the scan side needs no join at all.
     """
-    qvec = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()[0]
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found in the corpus")
+    qvec = qrow[0]
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         embeddings.withColumn("__s", cosine_sim(F.col(vec_col), q))
@@ -115,8 +118,10 @@ def ivf_search(
     only nprobe/nlist of the data. Mirrors the nprobe semantics of the
     reference's (dead) IVF path (index.py:152-162)."""
     cents = label_centroids(embeddings, label_col, vec_col).collect()
-    qvec = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()[0]
-    qv = [float(x) for x in qvec]
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found in the corpus")
+    qv = [float(x) for x in qrow[0]]
 
     def cos(c):
         import math
@@ -148,7 +153,10 @@ def knn_topk_l2(
     lower=better, /root/reference/src/langchain_memvid/index.py:148,327)."""
     from langchain_memvid_spark.functions.vector import l2_sq
 
-    qvec = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()[0]
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found in the corpus")
+    qvec = qrow[0]
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         embeddings.withColumn("__d", l2_sq(F.col(vec_col), q))

@@ -949,13 +949,16 @@ FROM documents WHERE doc_id % 7 <> 0
 )
 def q_vs_delete(spark, sf_dir):
     """Delete + id renumbering 0..n-1
-    (≙ /root/reference/src/langchain_memvid/index.py:433-435)."""
-    from pyspark.sql import Window
+    (≙ /root/reference/src/langchain_memvid/index.py:433-435).
+    Two-phase global_row_number, not Window.orderBy — an unpartitioned
+    window funnels the corpus through ONE task (the scale-killer
+    operators/scale_windows.py exists to eliminate)."""
+    from langchain_memvid_spark.operators.scale_windows import global_row_number
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
-    w = Window.orderBy("doc_id")
-    return d.select(
-        (F.row_number().over(w) - 1).cast("long").alias("doc_id"),
+    numbered, _ = global_row_number(d, ["doc_id"], out_col="__rn")
+    return numbered.select(
+        (F.col("__rn") - 1).cast("long").alias("doc_id"),
         F.col("doc_id").alias("old_doc_id"),
         "text",
         "source",
@@ -1626,7 +1629,7 @@ def q_q18(spark, sf_dir):
     f"""
 SELECT c_nationkey, count(*) AS numcust, {dsum('c_acctbal')} AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT round(avg(c_acctbal),4) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT round(CAST(sum(CAST(round(c_acctbal,2) AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_nationkey
@@ -2472,7 +2475,7 @@ def q_tfidf(spark, sf_dir):
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(df_, "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
@@ -2502,7 +2505,7 @@ def q_q19(spark, sf_dir):
     lineitem) and evaluates the residual after the broadcast join."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
@@ -3240,7 +3243,7 @@ def q_q21(spark, sf_dir):
         .filter((F.col("pair_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
-        sole_late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -3402,7 +3405,7 @@ def q_cohort(spark, sf_dir):
     activity = ev.select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
     ).distinct()
-    j = activity.join(F.broadcast(firsts), "user_id").withColumn(
+    j = activity.join(firsts, "user_id").withColumn(
         "day_offset", F.datediff("active_day", "cohort_day").cast("int")
     )
     return (

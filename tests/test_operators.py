@@ -1122,3 +1122,31 @@ def test_unigram_logprob_ranks_rare_tokens_higher(spark):
     assert out[0] == out[2] == round(-math.log(10 / 15), 4)
     assert out[1] == round(-math.log(1 / 15), 4)
     assert out[1] > out[0]
+
+
+def test_salted_join_same_named_keys(spark):
+    """Generic helper must work when both sides name the key the same
+    (bare F.col would be AMBIGUOUS against the joined plan)."""
+    from langchain_memvid_spark.operators.joinopt import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "custkey long, amount long"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "custkey long, name string")
+    out = salted_join(fact, dim, "custkey", "custkey", salt_cols=["amount"])
+    rows = sorted((r["amount"], r["name"]) for r in out.collect())
+    assert rows == [(10, "a"), (20, "a"), (30, "b")]
+
+
+def test_empty_corpus_and_missing_query_raise_cleanly(spark):
+    from langchain_memvid_spark.exceptions import IndexError_
+    from langchain_memvid_spark.operators.pq import pq_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(IndexError_, match="empty"):
+        pq_train(empty)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not found"):
+        topk.knn_topk(emb, query_vec_id=999)
