@@ -114,6 +114,31 @@ def vector_grid(spark, sf_dir: str) -> dict[str, float]:
     return grid
 
 
+def _run_notes(sf_dir: str) -> str:
+    """Per-run conditions stamp (VERDICT r5 #1: a bench without its own
+    run record can't have its regressions adjudicated)."""
+    import datetime
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        head = "unknown"
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%MZ")
+    return (
+        f"single-pass run at {stamp} on commit {head}, "
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], {sf_dir}; "
+        "sf0.001 warmup removes Python-worker spin-up; single-run numbers "
+        "remain load-sensitive (documented up-to-14x host-noise history -- "
+        "see BENCH_r04 notes and SCALE.md; adjudicate regressions with the "
+        "alternating-commit protocol in tools/bench_ab.py, not single runs)"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -173,19 +198,7 @@ def main() -> None:
                 "extended": extended,
                 "vector_grid": grid,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "notes": (
-                    "r4 re-baseline (VERDICT r3 task 3): r2-commit vs head run "
-                    "alternately 3x each on one idle rig, min per query -- head "
-                    "<= r2 everywhere (ngram_jaccard 2.48 vs 3.43, "
-                    "minhash_band_pairs 2.12 vs 3.40, simhash_near_pairs 2.20 "
-                    "vs 2.40, dedup_clusters 5.52 vs 7.25, stream_near_dedup "
-                    "2.43 vs 2.49 s at sf0.1). The r3 blowup was host noise: "
-                    "identical code varied up to 14x between reps "
-                    "(dedup_clusters 5.5s..75s). bench now warms the Python "
-                    "worker path at sf0.001 first (spin-up was the other "
-                    "reproducible component); single-run numbers remain "
-                    "load-sensitive."
-                ),
+                "notes": _run_notes(sf_dir),
             }
         )
     )

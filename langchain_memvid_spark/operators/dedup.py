@@ -44,6 +44,14 @@ MINHASH_PERMS: tuple[tuple[int, int, int], ...] = (
 MINHASH_P = (1 << 61) - 1
 SIMHASH_BITS = 32
 
+# Band-table self-joins pick their strategy from an EXACT row count
+# (band rows = n_bands x n_docs), not the static planner's default
+# stats for RDD-backed plans: explicit broadcast at or below this many
+# band rows (~30 B/row -> tens of MB serialized, safe in any executor),
+# explicit merge above (a wrongly-broadcast 26 M-row table OOM-killed
+# the sf10 run — SCALE.md).
+_PAIR_BROADCAST_ROW_LIMIT = 1_000_000
+
 # Random-hyperplane LSH for embedding vectors (sign-of-dot-product,
 # Charikar 2002). Weights are small ints from a fixed multiplicative-
 # hash formula — pure Python, reproducible, and inlineable as literals
@@ -376,7 +384,13 @@ def minhash_band_pairs(
     The join key is the band hash — the classic shingle→minhash→band→
     bucket-join pipeline, one equi-join shuffle. Pass a precomputed
     ``sig`` (minhash_signatures output) to reuse one signing scan
-    across candidate generation and scoring."""
+    across candidate generation and scoring.
+
+    When ``sig`` is given, ``documents``/``k``/``text_col`` are
+    IGNORED — the signature table already fixes the shingle width and
+    text column it was signed with, so pass the same sig everywhere
+    (a sig built with a different k/text_col would silently yield that
+    other configuration's candidate pairs)."""
     if sig is None:
         sig = minhash_signatures(documents, k, text_col)
     n = len(MINHASH_PERMS)
@@ -712,11 +726,23 @@ def simhash_near_pairs(
     b = bands.select(
         F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "band", "val"
     )
-    # merge hint: see the shingle pair join — never broadcast a
-    # corpus-sized band table
+    # Join strategy (r6 A/B adjudication): r5's blanket merge hint fixed
+    # the sf10 broadcast-OOM but cost a consistent 1.7x at bench SF,
+    # where the band table easily broadcasts (base r4 commit vs head,
+    # alternating 3 reps: 1.8s vs 3.1s min).  The band table is EXACTLY
+    # n_bands rows per doc, so one cheap count of the input (metadata-
+    # only on a parquet scan) picks the strategy precisely instead of
+    # trusting the static planner's default stats for the RDD-backed
+    # simhash plan: explicit broadcast under the row bound, explicit
+    # SMJ (the only always-safe shape for corpus x corpus) above it.
+    n_docs = documents.count()
+    left = (
+        F.broadcast(a)
+        if n_docs * n_bands <= _PAIR_BROADCAST_ROW_LIMIT
+        else a.hint("merge")
+    )
     return (
-        a.hint("merge")
-        .join(b, ["band", "val"])
+        left.join(b, ["band", "val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

@@ -286,6 +286,10 @@ def knn_topk_int4(
     the exact re-rank follows. FAISS analog: SQ4 + refine."""
     from langchain_memvid_spark.functions.vector import cosine_sim
 
+    # same missing-query contract as topk.knn_topk / ivf_search: an
+    # absent id must raise, not silently empty out both broadcast sides
+    if embeddings.filter(F.col(id_col) == query_vec_id).head() is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found in the corpus")
     q = quantize4_embeddings(embeddings, id_col, vec_col)
     qrow = q.filter(F.col(id_col) == query_vec_id).select(F.col("pvec").alias("__qq"))
     first_pass = (

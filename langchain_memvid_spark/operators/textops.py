@@ -152,7 +152,7 @@ def decontaminate(
     eval_mod: int = 101,
     k: int = 3,
     text_col: str = "text",
-    broadcast_eval: bool = True,
+    broadcast_eval: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any k-word
     shingle with a held-out eval set — the n-gram-overlap test every
@@ -160,12 +160,15 @@ def decontaminate(
     here is carved deterministically from the corpus, doc_id % eval_mod
     == 0, standing in for an external benchmark table).
 
-    Real eval suites (MMLU, GSM8K, …) are thousands of docs — bounded,
-    so their shingle set broadcasts by default. The deterministic
-    stand-in here scales WITH the corpus (1/eval_mod of it), so at
-    corpus scale pass ``broadcast_eval=False`` to keep the shingle
-    probe a shuffle equi-join instead of forcing an unbounded
-    broadcast. Training docs never enter pair space either way; output
+    The shingle probe defaults to a shuffle equi-join: the built-in
+    eval stand-in scales WITH the corpus (1/eval_mod of it), so a
+    forced broadcast is an OOM at corpus scale — the same hazard the
+    sf10 run surfaced in the pair self-joins — and when the eval side
+    IS small, AQE converts the shuffle join to a broadcast at runtime
+    anyway, so the safe default costs nothing (ADVICE r5 #4). Pass
+    ``broadcast_eval=True`` only to pin the broadcast for a known-
+    bounded external eval suite (MMLU, GSM8K, … are thousands of
+    docs). Training docs never enter pair space either way; output
     covers EVERY training doc (n_hits = 0 when clean) so the
     downstream filter is a plain predicate."""
     from langchain_memvid_spark.operators.dedup import _shingle_rows

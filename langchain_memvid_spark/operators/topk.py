@@ -225,6 +225,88 @@ def lsh_search(
     ).orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
 
 
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    fetch_k: int = 16,
+    lambda_mult: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking as a registry-checkable
+    dataflow: the distributed part fetches the top ``fetch_k``
+    candidates by cosine (TakeOrderedAndProject — per-partition heaps,
+    no global sort), then the O(fetch_k²·k) greedy step runs on the
+    collected candidate frame. fetch_k is a user knob ≪ corpus, so
+    the driver-side loop is bounded no matter the corpus size — at
+    100 TB the heavy part is still the one pruned/pushed-down scan.
+
+    Greedy arithmetic is SEQUENTIAL double folds (plain Python loops,
+    NOT numpy pairwise summation) so the pick order is bit-compatible
+    with functions.vector.dot and DuckDB's list_cosine_similarity —
+    the mmr_search oracle replays the same greedy as a recursive CTE.
+    Mirrors SparkVectorStore.max_marginal_relevance_search
+    (LangChain-standard MMR, beyond the reference's vector-only search,
+    /root/reference/src/langchain_memvid/vectorstore.py:602-707)."""
+    import math
+
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found in the corpus")
+    q = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    cand = (
+        embeddings.withColumn("__s", cosine_sim(F.col(vec_col), q))
+        .orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        .limit(fetch_k)
+        .select(id_col, vec_col, "__s")
+        # materialize once: the ≤fetch_k frame feeds BOTH the greedy
+        # collect and the final rank join
+        .localCheckpoint(eager=True)
+    )
+    rows = cand.collect()  # ≤ fetch_k rows by construction
+    if not rows:
+        return cand.select(
+            F.lit(1).alias("mmr_rank"), F.col(id_col), F.round("__s", 4).alias("qsim")
+        )
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        na = math.sqrt(_dot(a, a))
+        nb = math.sqrt(_dot(b, b))
+        return _dot(a, b) / (na * nb) if na and nb else 0.0
+
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    ids = [r[id_col] for r in rows]
+    qsim = [r["__s"] for r in rows]  # Spark-computed, reused verbatim
+    selected = [0]  # rows arrive sorted by (qsim desc, id asc)
+    while len(selected) < min(k, len(rows)):
+        best: tuple[tuple[float, int], int] | None = None
+        for i in range(len(rows)):
+            if i in selected:
+                continue
+            red = max(_cos(vecs[i], vecs[j]) for j in selected)
+            score = lambda_mult * qsim[i] - (1.0 - lambda_mult) * red
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i)
+        selected.append(best[1])
+    sel = embeddings.sparkSession.createDataFrame(
+        [(r + 1, ids[i]) for r, i in enumerate(selected)],
+        f"mmr_rank INT, {id_col} LONG",
+    )
+    return (
+        cand.join(F.broadcast(sel), id_col)
+        .select("mmr_rank", F.col(id_col), F.round("__s", 4).alias("qsim"))
+        .orderBy("mmr_rank")
+    )
+
+
 def self_check_recall(
     results: DataFrame,
     exact_topk: DataFrame,

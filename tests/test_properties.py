@@ -379,6 +379,119 @@ def test_metadata_filter_dialect_matches_python_reference(spark_handle, metas, f
         assert got[i] == want, (i, m, filters, got[i], want)
 
 
+_TYPED_SCHEMA = {"k1": "double", "k2": "boolean", "k3": "string"}
+# collision-prone stored values: numbers, numeric-LOOKING strings,
+# bools, and bool-looking strings — exactly the cases the permissive
+# dialect cannot tell apart (VERDICT r5 item 5)
+_TYPED_STORED = st.one_of(
+    st.booleans(),
+    st.integers(-5, 5),
+    st.integers(-50, 50).map(lambda n: n / 10.0),
+    st.sampled_from(["a", "true", "false", "2", "2.0", "-3", "x1"]),
+)
+
+
+def _typed_spec(key):
+    dtype = _TYPED_SCHEMA[key]
+    if dtype == "double":
+        val = st.one_of(st.integers(-5, 5), st.integers(-50, 50).map(lambda n: n / 10.0))
+    elif dtype == "boolean":
+        val = st.booleans()
+    else:
+        val = st.sampled_from(["a", "true", "false", "2", "2.0", "-3", "x1"])
+    one_op = st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"])
+    return st.one_of(
+        val,
+        st.tuples(one_op, val).map(lambda t: {t[0]: t[1]}),
+        st.lists(val, min_size=1, max_size=3).map(lambda vs: {"$in": vs}),
+    )
+
+
+def _py_typed_one(meta, key, op, val, dtype):
+    """Python model of the STRICT typed extraction: a declared-type
+    mismatch on the stored value is a null extraction (never matches)."""
+    vals = val if op == "$in" else [val]
+    if key not in meta:
+        return False
+    sv = meta[key]
+    if dtype == "double":
+        if isinstance(sv, bool) or not isinstance(sv, (int, float)):
+            return False
+        cv, lits = float(sv), [float(v) for v in vals]
+    elif dtype == "boolean":
+        if not isinstance(sv, bool):
+            return False
+        cv, lits = sv, list(vals)
+    else:
+        if not isinstance(sv, str):
+            return False
+        cv, lits = sv, list(vals)
+    if op == "$in":
+        return cv in lits
+    lit = lits[0]
+    return {
+        "$eq": cv == lit,
+        "$ne": cv != lit,
+        "$gt": cv > lit,
+        "$gte": cv >= lit,
+        "$lt": cv < lit,
+        "$lte": cv <= lit,
+    }[op]
+
+
+@given(
+    metas=st.lists(
+        st.dictionaries(st.sampled_from(tuple(_TYPED_SCHEMA)), _TYPED_STORED, max_size=3),
+        min_size=1,
+        max_size=10,
+    ),
+    filters=st.lists(
+        st.sampled_from(tuple(_TYPED_SCHEMA)).flatmap(
+            lambda k: _typed_spec(k).map(lambda s: {k: s})
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@SET
+def test_typed_metadata_schema_matches_strict_python_model(spark_handle, metas, filters):
+    """metadata_predicate WITH a {key: dtype} schema == the strict
+    Python model: a numeric filter never matches a numeric-looking
+    STRING value, a bool filter never matches the strings
+    'true'/'false', and a string filter never matches stored numbers
+    or booleans — the exact collision cases the permissive dialect
+    documents as ambiguous."""
+    from langchain_memvid_spark.core.store import (
+        _canonical_meta_json,
+        metadata_predicate,
+    )
+
+    spark = spark_handle
+    rows = [(i, None, None, _canonical_meta_json(m)) for i, m in enumerate(metas)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, category string, metadata_json string"
+    )
+    sel = df.select(
+        "doc_id",
+        *[
+            metadata_predicate(f, schema=_TYPED_SCHEMA).alias(f"f{j}")
+            for j, f in enumerate(filters)
+        ],
+    )
+    got = {r["doc_id"]: [bool(r[f"f{j}"]) for j in range(len(filters))] for r in sel.collect()}
+    for i, m in enumerate(metas):
+        want = []
+        for f in filters:
+            ok = True
+            for key, spec in f.items():
+                ops = spec if isinstance(spec, dict) else {"$eq": spec}
+                for op, val in ops.items():
+                    if not _py_typed_one(m, key, op, val, _TYPED_SCHEMA[key]):
+                        ok = False
+            want.append(ok)
+        assert got[i] == want, (i, m, filters, got[i], want)
+
+
 # ---------------------------------------------------------------- store lifecycle
 
 _OPS = st.lists(

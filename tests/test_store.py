@@ -187,6 +187,30 @@ def test_filter_typed_values(spark):
     assert len(s.similarity_search_with_score("doc 4", k=10, filter={"stars": 4.0})) == 1
 
 
+def test_metadata_schema_strict_store_filter(spark):
+    """A store built with metadata_schema compares STRICTLY typed:
+    a numeric filter no longer matches numeric-looking string values
+    (the permissive dialect's documented ambiguity), and a value/type
+    mismatch against the declaration raises instead of silently
+    matching nothing."""
+    from langchain_memvid_spark.exceptions import FilterError
+
+    texts = [f"doc {i}" for i in range(6)]
+    # ids 0-2 store score as a NUMBER, ids 3-5 as a numeric-looking STRING
+    metas = [{"score": i if i < 3 else str(i)} for i in range(6)]
+    strict = SparkVectorStore(spark, metadata_schema={"score": "double"})
+    strict.add_texts(texts, metas)
+    res = strict.similarity_search_with_score("doc 1", k=10, filter={"score": {"$gte": 0}})
+    assert sorted(d["metadata"]["score"] for d, _ in res) == [0, 1, 2]
+    with pytest.raises(FilterError):
+        strict.similarity_search_with_score("doc 1", k=10, filter={"score": "2"})
+    # same data WITHOUT the schema: permissive dialect matches all 6
+    loose = SparkVectorStore(spark)
+    loose.add_texts(texts, metas)
+    res = loose.similarity_search_with_score("doc 1", k=10, filter={"score": {"$gte": 0}})
+    assert len(res) == 6
+
+
 def test_filter_operator_dialect(spark):
     """$gt/$gte/$lt/$lte/$ne/$in on JSON keys and engine columns."""
     texts = [f"doc {i}" for i in range(12)]
