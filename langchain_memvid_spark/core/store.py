@@ -549,9 +549,22 @@ class SparkVectorStore:
         — applied BEFORE scoring, so on a filter column that is part of
         the table layout the predicate prunes the scan rather than
         post-filtering the top-k (which would under-fill k)."""
+        return self._search_vec_with_score(
+            self._query_vec(query), k, include_full_metadata, filter=filter
+        )
+
+    def _search_vec_with_score(
+        self,
+        embedding: list[float],
+        k: int = 4,
+        include_full_metadata: bool = False,
+        filter: dict[str, Any] | None = None,
+    ) -> list[tuple[dict[str, Any], float]]:
+        """Shared vector-query search body (text and by-vector entry
+        points both land here)."""
         if self._count == 0:
             return []
-        top = self._topk(self._query_vec(query), k, filter=filter)
+        top = self._topk(embedding, k, filter=filter)
         if include_full_metadata:
             top = top.join(self._payload, "doc_id", "left")
         out = []
@@ -580,6 +593,25 @@ class SparkVectorStore:
             d
             for d, _ in self.similarity_search_with_score(
                 query, k, include_full_metadata, filter=filter
+            )
+        ]
+
+    def similarity_search_by_vector(
+        self,
+        embedding: list[float],
+        k: int = 4,
+        include_full_metadata: bool = False,
+        filter: dict[str, Any] | None = None,
+    ) -> list[dict[str, Any]]:
+        """LangChain-standard by-vector entry point (upstream
+        VectorStore contract; the reference omits it — its search is
+        text-only, vectorstore.py:602-634): identical to
+        similarity_search minus the query-embedding step, so a caller
+        holding precomputed vectors skips the embed."""
+        return [
+            d
+            for d, _ in self._search_vec_with_score(
+                [float(x) for x in embedding], k, include_full_metadata, filter=filter
             )
         ]
 
@@ -1006,6 +1038,28 @@ class SparkVectorStore:
 
     async def aget_by_ids(self, ids: list[int | str]) -> list[dict[str, Any]]:
         return await self._to_thread(self.get_by_ids, ids)
+
+    async def asimilarity_search_by_vector(
+        self,
+        embedding: list[float],
+        k: int = 4,
+        include_full_metadata: bool = False,
+        filter: dict[str, Any] | None = None,
+    ) -> list[dict[str, Any]]:
+        return await self._to_thread(
+            self.similarity_search_by_vector, embedding, k, include_full_metadata, filter=filter
+        )
+
+    async def amax_marginal_relevance_search(
+        self,
+        query: str,
+        k: int = 4,
+        fetch_k: int = 20,
+        lambda_mult: float = 0.5,
+    ) -> list[dict[str, Any]]:
+        return await self._to_thread(
+            self.max_marginal_relevance_search, query, k, fetch_k, lambda_mult
+        )
 
     # ------------------------------------------------------------------ stats
 

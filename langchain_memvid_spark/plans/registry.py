@@ -4105,6 +4105,91 @@ def q_vs_meta_filter_typed(spark, sf_dir):
     )
 
 
+@_reg(
+    "stream_ingest_ivf",
+    """
+WITH cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+    FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) ix
+    GROUP BY label, i) s
+  GROUP BY label),
+assigned AS (
+  SELECT vec_id, embedding, label AS cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.label,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+                 c.label) AS rn
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE rn = 1),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT c.label FROM cent c, q
+  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) DESC, c.label
+  LIMIT 2)
+SELECT a.vec_id, a.cluster_id::INT AS cluster_id,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
+FROM assigned a, q
+WHERE a.cluster_id IN (SELECT label FROM probes)
+ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+         a.vec_id
+LIMIT 10
+""",
+)
+def q_stream_ingest_ivf(spark, sf_dir):
+    """Incremental IVF in streaming ingest (VERDICT r5 item 7): vectors
+    stream through nearest-centroid assignment (label-mean centroids —
+    the same SQL-expressible quantizer ivf_search pins) into a
+    cluster_id-partitioned exactly-once sink, then the partition-pruned
+    search runs against the STREAMED layout. The oracle replays
+    centroid means → per-vector argmax assignment → 2-probe pruned
+    top-10 entirely in SQL, so a hash match proves streamed rows are
+    reachable through the same pruned path, with the same results, as
+    a batch-built layout."""
+    import math
+    import tempfile
+
+    from langchain_memvid_spark.functions.vector import cosine_sim
+    from langchain_memvid_spark.streaming import documents as _sd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r["label"], [float(x) for x in r["centroid"]])
+        for r in topk.label_centroids(emb).collect()
+    ]
+    base = tempfile.mkdtemp(prefix="stream_ivf_")
+    out = _sd.stream_ingest_ivf(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        f"{base}/table",
+        f"{base}/ckpt",
+        cents,
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    def cos(c):
+        d = sum(a * b for a, b in zip(c, qv))
+        na = math.sqrt(sum(a * a for a in c))
+        nb = math.sqrt(sum(b * b for b in qv))
+        return d / (na * nb) if na and nb else 0.0
+
+    probes = [
+        cid for cid, _ in sorted(cents, key=lambda ic: (-cos(ic[1]), ic[0]))[:2]
+    ]
+    q = F.array(*[F.lit(x) for x in qv])
+    pruned = out.filter(F.col("cluster_id").isin(probes))
+    return (
+        pruned.withColumn("__s", cosine_sim(F.col("embedding"), q))
+        .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.round("__s", 4).alias("sim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -4176,54 +4261,46 @@ _DRIVER_GREEN = {
     "q16_supplier_counts", "q20_excess_shipments", "image_resize_stats",
     "video_header_info", "video_frames_extract", "stream_ingest_store",
     "pretrain_pipeline_v3",
+    # CORRECTNESS_r05.json: 45 full passes + 5 self-asserting
+    # rows-only-by-design (ivf_kmeans_search, pq_search, ivfpq_search,
+    # lsh_ann_search, pq_reconstruction_error — non-empty proves the
+    # in-plan recall/error bound held).  New names not already listed:
+    "bm25_topk", "bm25_batch", "hybrid_rrf_search",
+    "duplicate_span_stats", "dedup_spans_clean", "jaccard_containment",
+    "knn_graph_topk", "stratified_sample_exact",
+    "unigram_logprob_scores", "embedding_quantization_int4",
+    "knn_topk_int4", "pq_reconstruction_error", "pretrain_pipeline_v4",
+    "vs_metadata_filter_range",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 5:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 6:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
 # actually landed belongs here (the r3 list claimed work that never
-# shipped — VERDICT r3 "What's wrong" #3); grown as round-5 work lands.
+# shipped — VERDICT r3 "What's wrong" #3); grown as round-6 work lands.
 _CHANGED_THIS_ROUND = (
-    # rows-only -> self-asserting recall guard (empty on violation)
-    "ivf_kmeans_search",
-    "pq_search",
-    "ivfpq_search",
-    "lsh_ann_search",
-    # rows-only -> FULL hash oracle (space half / exact-side + in-plan
-    # error assertion); quality half moved to pq_reconstruction_error
-    "pq_compression_stats",
-    "approx_distinct_stats",
-    # output+oracle canonicalized per text: the sf1 sweep caught that
-    # dup-text survivor rows are nondeterministic (sf0.01 has no dups)
-    "stream_ingest_store",
+    # r6 A/B-adjudicated join-strategy change: size-aware broadcast vs
+    # merge pick from an exact band-row count (output identical; the
+    # PLAN changed, so re-green it)
+    "simhash_near_pairs",
+    # default flipped to the shuffle join (AQE recovers the broadcast);
+    # output identical, plan changed
+    "decontaminate",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 4 every query's latest driver row is green; the
-# newest-signal distribution is 28 queries at r2, 48 at r3, 50 at r4.
-# Round 5 rotates onto (a) all 28 r2-era rows, then (b) the r3-era rows
-# until the ~50-query budget cuts off; r4-checked queries drop to the
-# green tier.  Rotate each round so every query gets hard driver signal
-# at least every ~2 rounds.
+# first.  After round 5 the newest-signal distribution is 45 queries at
+# r3, 45 at r4, 50 at r5 (zero failures as latest state).  Round 6
+# rotates onto the 45 r3-era rows: with ~4 new r6 queries in the
+# pending tier and 2 in changed, the ~50-query budget covers changed +
+# pending + ~44 of these (core search/vs_* paths ordered first; at most
+# one r3-era name slips to r7).  Rotate each round so every query gets
+# hard driver signal at least every ~2 rounds.
 _STALE_ROTATION = (
-    # newest signal is r2 (oldest — all 28)
-    "payload_roundtrip", "chunk_documents", "chunk_dedup",
-    "tfidf_top_terms", "vocab_top_terms", "distinct_counts",
-    "simhash_near_pairs", "salted_skew_join", "bucketed_colocated_join",
-    "q8_market_share", "q12_priority_by_returnflag",
-    "q14_promo_revenue_share", "q15_top_suppliers", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue", "q22_idle_rich_customers",
-    "orders_grouping_sets", "priority_balance_full_outer",
-    "building_without_urgent_except", "cheapest_parts_per_type",
-    "stream_tumbling_counts", "stream_session_windows",
-    "stream_user_lifetime", "stream_click_purchase_join",
-    "stream_sliding_activity", "lsh_ann_search", "approx_distinct_stats",
-    # newest signal is r3 (vs_* / core search paths first — they are the
-    # reference-parity surface round 5 touches)
-    "vs_essential_projection", "vs_point_lookup", "vs_semi_join",
-    "vs_storage_stats", "knn_topk", "knn_batch", "knn_topk_l2",
+    # newest signal is r3 (oldest — all 45; search/store surface first)
+    "vs_storage_stats", "knn_topk", "knn_batch", "pretrain_pipeline_stats",
     "ivf_search", "dedup_exact", "ngram_jaccard", "simhash",
     "minhash_signatures", "minhash_band_pairs",
     "embedding_cosine_pairs", "embedding_candidate_pairs",
@@ -4239,7 +4316,24 @@ _STALE_ROTATION = (
     "per_user_zscore", "order_age_buckets", "part_name_string_ops",
     "orders_unpivot", "sql_interface_demo", "rolling_30d_revenue",
     "udtf_bigram_counts", "window_function_showcase",
-    "quality_filter_summary", "pretrain_pipeline_stats",
+    "quality_filter_summary",
+    # newest signal is r4 (picked up as far as the budget reaches)
+    "knn_topk_l2", "vs_delete_renumber", "knn_topk_filtered", "sequence_packing",
+    "domain_weighted_sample", "dedup_clusters", "dedup_clusters_star",
+    "canonical_docs", "event_funnel", "value_outliers_iqr",
+    "knn_topk_quantized", "knn_topk_requantized",
+    "text_bpe_token_counts", "text_repetition_stats", "train_val_split",
+    "pii_scrub", "media_header_info", "image_resize_stats",
+    "video_header_info", "video_frames_extract", "udaf_median_price",
+    "minhash_jaccard_estimates", "monthly_order_stats", "order_gaps",
+    "orders_cube", "part_type_stats", "event_type_pivot",
+    "above_avg_customers", "big_spender_customers",
+    "doc_length_histogram", "ivf_centroid_stats", "purchase_attribution",
+    "price_percentiles", "q4_late_shipment_priority",
+    "q6_forecast_revenue", "q7_nation_volume", "q9_product_profit",
+    "q10_returned_items", "q13_customer_distribution",
+    "q16_supplier_counts", "q20_excess_shipments", "multimodal_features",
+    "pretrain_pipeline_v2", "pretrain_pipeline_v3",
 )
 
 

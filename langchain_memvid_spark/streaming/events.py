@@ -286,16 +286,21 @@ def start_parquet_sink(
     out_path: str,
     checkpoint_path: str,
     max_files_per_trigger: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> "object":
     """Exactly-once parquet sink: Spark's native file sink commits each
     microbatch atomically through the checkpoint's write-ahead log, so
     a killed-and-restarted query resumes WITHOUT duplicating committed
-    batches (verified by the kill/restart test). Returns the started
-    StreamingQuery; callers own stop/await."""
-    return (
+    batches (verified by the kill/restart test). ``partition_by``
+    writes a Hive-style layout (e.g. cluster_id=N dirs for the IVF
+    stream ingest) so downstream reads partition-prune. Returns the
+    started StreamingQuery; callers own stop/await."""
+    writer = (
         stream_df.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
-        .start()
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()

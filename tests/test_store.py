@@ -187,6 +187,28 @@ def test_filter_typed_values(spark):
     assert len(s.similarity_search_with_score("doc 4", k=10, filter={"stars": 4.0})) == 1
 
 
+def test_similarity_search_by_vector_matches_by_text(store):
+    """By-vector search with the embedded query vector must return the
+    same documents in the same order as the text entry point (it is the
+    same plan minus the embed step), and the async variants mirror
+    their sync results."""
+    import asyncio
+
+    q = TEXTS[1]
+    by_text = store.similarity_search(q, k=3)
+    by_vec = store.similarity_search_by_vector(store.embeddings.embed_query(q), k=3)
+    assert [(d["doc_id"], d["page_content"]) for d in by_text] == [
+        (d["doc_id"], d["page_content"]) for d in by_vec
+    ]
+    a_by_vec = asyncio.run(
+        store.asimilarity_search_by_vector(store.embeddings.embed_query(q), k=3)
+    )
+    assert [d["doc_id"] for d in a_by_vec] == [d["doc_id"] for d in by_vec]
+    sync_mmr = store.max_marginal_relevance_search(q, k=3, fetch_k=6)
+    async_mmr = asyncio.run(store.amax_marginal_relevance_search(q, k=3, fetch_k=6))
+    assert [d["doc_id"] for d in async_mmr] == [d["doc_id"] for d in sync_mmr]
+
+
 def test_metadata_schema_strict_store_filter(spark):
     """A store built with metadata_schema compares STRICTLY typed:
     a numeric filter no longer matches numeric-looking string values

@@ -170,3 +170,44 @@ def test_stream_ingest_store_matches_batch_add_texts(spark, sf_dir, tmp_path_fac
     want = _sorted_rows(store.doc_index, cols)
     assert len(got) == len(docs)
     assert got == want
+
+
+def test_stream_ingest_ivf_partitioned_and_batch_parity(spark, sf_dir, tmp_path_factory):
+    """Streaming IVF ingest must (a) land a Hive cluster_id=N layout,
+    (b) partition-prune a probe filter at the scan, and (c) assign every
+    streamed vector the SAME cluster the batch assignment expression
+    gives — streamed rows are first-class citizens of the pruned search
+    path, not stragglers awaiting an index rebuild."""
+    import os as _os
+
+    from langchain_memvid_spark.core.ivf import nearest_centroid_col
+    from langchain_memvid_spark.operators.topk import label_centroids
+    from langchain_memvid_spark.streaming import documents as sd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (r["label"], [float(x) for x in r["centroid"]])
+        for r in label_centroids(emb).collect()
+    ]
+    base = tmp_path_factory.mktemp("ivf_stream")
+    out = sd.stream_ingest_ivf(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        str(base / "table"),
+        str(base / "ckpt"),
+        cents,
+    )
+    # (a) physical Hive layout
+    dirs = [d for d in _os.listdir(base / "table") if d.startswith("cluster_id=")]
+    assert len(dirs) >= 2
+    # (b) probe filter becomes PartitionFilters, not a data filter
+    probe = out.filter(F.col("cluster_id").isin([cents[0][0]]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cluster_id" in plan.split("PartitionFilters")[1][:120]
+    # (c) streamed assignment == batch assignment expression
+    batch = emb.withColumn(
+        "cluster_id", nearest_centroid_col(F.col("embedding"), cents)
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    want = {r["vec_id"]: r["cluster_id"] for r in batch.collect()}
+    assert got == want and len(got) == emb.count()
