@@ -75,6 +75,12 @@ EXTENDED = [
     "dedup_spans_clean",
     "knn_graph_topk",
     "unigram_logprob_scores",
+    # round-6 operators (stream_ingest_ivf stays out: its wall time is
+    # dominated by streaming-query startup, not a data-path measurement;
+    # it remains oracle-checked)
+    "mmr_search",
+    "vs_relevance_scores",
+    "vs_metadata_filter_typed",
 ]
 
 

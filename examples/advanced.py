@@ -103,6 +103,15 @@ def main() -> None:
     print("\nhybrid BM25 ∪ vector (RRF):")
     rrf_fuse(text_ranked, vec_ranked, k=3).show(truncate=False)
 
+    # MMR re-ranking + by-vector entry point (LangChain-standard,
+    # beyond the reference): diversity-aware top-k, and search with a
+    # precomputed query vector (skips the embed step)
+    mmr = vs.max_marginal_relevance_search("quick animals", k=2, fetch_k=6)
+    print(f"\nMMR picks: {[d['doc_id'] for d in mmr]}")
+    qv = vs.embeddings.embed_query("quick animals")
+    by_vec = vs.similarity_search_by_vector(qv, k=2)
+    print(f"by-vector picks: {[d['doc_id'] for d in by_vec]}")
+
     # tabular rendering ≙ the reference's %%as_table notebook magic
     # (ext.py:531) — engine-side the equivalent is one createDataFrame
     # + show(): search results are plain rows, so any Spark sink or

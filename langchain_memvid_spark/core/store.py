@@ -724,6 +724,7 @@ class SparkVectorStore:
         k: int = 4,
         fetch_k: int = 20,
         lambda_mult: float = 0.5,
+        filter: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
         """MMR re-ranking (LangChain-standard, beyond the reference):
         fetch the top `fetch_k` candidates with the distributed
@@ -732,11 +733,27 @@ class SparkVectorStore:
 
         The O(fetch_k²) greedy step runs driver-side on the collected
         candidate vectors — bounded by fetch_k (a user knob ≪ corpus),
-        NOT corpus size, so the distributed part stays the heavy part."""
+        NOT corpus size, so the distributed part stays the heavy part.
+        ``filter`` narrows the candidate fetch BEFORE scoring (same
+        pre-scoring predicate as similarity_search)."""
+        return self.max_marginal_relevance_search_by_vector(
+            self._query_vec(query), k, fetch_k, lambda_mult, filter=filter
+        )
+
+    def max_marginal_relevance_search_by_vector(
+        self,
+        embedding: list[float],
+        k: int = 4,
+        fetch_k: int = 20,
+        lambda_mult: float = 0.5,
+        filter: dict[str, Any] | None = None,
+    ) -> list[dict[str, Any]]:
+        """MMR with a precomputed query vector (upstream VectorStore
+        contract) — the text entry point minus the embed step."""
         if self._count == 0:
             return []
-        qvec = self._query_vec(query)
-        cand_rows = self._topk(qvec, max(fetch_k, k)).collect()
+        qvec = [float(x) for x in embedding]
+        cand_rows = self._topk(qvec, max(fetch_k, k), filter=filter).collect()
         if not cand_rows:
             return []
         import numpy as np
@@ -1056,9 +1073,10 @@ class SparkVectorStore:
         k: int = 4,
         fetch_k: int = 20,
         lambda_mult: float = 0.5,
+        filter: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
         return await self._to_thread(
-            self.max_marginal_relevance_search, query, k, fetch_k, lambda_mult
+            self.max_marginal_relevance_search, query, k, fetch_k, lambda_mult, filter=filter
         )
 
     # ------------------------------------------------------------------ stats

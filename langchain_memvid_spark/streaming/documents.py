@@ -53,6 +53,7 @@ def stream_ingest_store(
     checkpoint_path: str,
     dim: int = 64,
     watermark: str = "2 hours",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Streaming ``add_texts``: a document feed flows through the
     store's ingest pipeline — watermarked exact-text dedup (the
@@ -107,7 +108,22 @@ def stream_ingest_store(
             "embedding", "qscale", "qvec",
         )
     )
-    q = start_parquet_sink(staged, out_path, checkpoint_path)
+    if centroids is not None:
+        # in-stream IVF assignment for the DOCUMENT store path: embed →
+        # nearest centroid → Hive-partitioned sink, so streamed docs are
+        # immediately reachable via the partition-pruned search (same
+        # mechanism as stream_ingest_ivf, composed with the full ingest
+        # pipeline: dedup → embed → codes → assign)
+        from langchain_memvid_spark.core.ivf import nearest_centroid_col
+
+        staged = staged.withColumn(
+            "cluster_id", nearest_centroid_col(F.col("embedding"), centroids)
+        )
+        q = start_parquet_sink(
+            staged, out_path, checkpoint_path, partition_by=["cluster_id"]
+        )
+    else:
+        q = start_parquet_sink(staged, out_path, checkpoint_path)
     q.awaitTermination()
     return spark.read.parquet(out_path)
 

@@ -207,6 +207,24 @@ def test_similarity_search_by_vector_matches_by_text(store):
     sync_mmr = store.max_marginal_relevance_search(q, k=3, fetch_k=6)
     async_mmr = asyncio.run(store.amax_marginal_relevance_search(q, k=3, fetch_k=6))
     assert [d["doc_id"] for d in async_mmr] == [d["doc_id"] for d in sync_mmr]
+    vec_mmr = store.max_marginal_relevance_search_by_vector(
+        store.embeddings.embed_query(q), k=3, fetch_k=6
+    )
+    assert [d["doc_id"] for d in vec_mmr] == [d["doc_id"] for d in sync_mmr]
+
+
+def test_mmr_filter_narrows_candidates(spark):
+    """MMR's filter kwarg restricts the candidate fetch BEFORE scoring:
+    every selected doc satisfies the predicate, and k fills from the
+    filtered corpus."""
+    texts = [f"note {i}" for i in range(20)]
+    metas = [{"category": "even" if i % 2 == 0 else "odd"} for i in range(20)]
+    s = SparkVectorStore.from_texts(texts, spark, metadatas=metas)
+    res = s.max_marginal_relevance_search(
+        "note 1", k=4, fetch_k=10, filter={"category": "odd"}
+    )
+    assert len(res) == 4
+    assert all(d["metadata"]["category"] == "odd" for d in res)
 
 
 def test_metadata_schema_strict_store_filter(spark):

@@ -172,6 +172,47 @@ def test_stream_ingest_store_matches_batch_add_texts(spark, sf_dir, tmp_path_fac
     assert got == want
 
 
+def test_stream_ingest_store_with_centroids_partitions_layout(spark, sf_dir, tmp_path_factory):
+    """stream_ingest_store(centroids=...) composes the full document
+    ingest (dedup -> embed -> codes) with in-stream IVF assignment:
+    the sink is Hive-partitioned and each doc's cluster equals the
+    batch assignment expression over its sunk embedding."""
+    import os as _os
+
+    from langchain_memvid_spark.core.ivf import nearest_centroid_col
+
+    # centroids from the embedding space the docs actually land in:
+    # embed a sample batch-side, mean per (doc_id % 4) group
+    from langchain_memvid_spark.embeddings import HashEmbeddings
+    from langchain_memvid_spark.operators.topk import label_centroids
+    from langchain_memvid_spark.streaming import documents as sd
+
+    emb = HashEmbeddings(64)
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.withColumn("embedding", emb.udf()(F.col("text"))).withColumn(
+        "label", (F.col("doc_id") % 4).cast("int")
+    )
+    cents = [
+        (r["label"], [float(x) for x in r["centroid"]])
+        for r in label_centroids(sample).collect()
+    ]
+    base = tmp_path_factory.mktemp("store_ivf")
+    out = sd.stream_ingest_store(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        str(base / "table"),
+        str(base / "ckpt"),
+        centroids=cents,
+    )
+    dirs = [d for d in _os.listdir(base / "table") if d.startswith("cluster_id=")]
+    assert len(dirs) >= 2
+    want = out.withColumn(
+        "expect", nearest_centroid_col(F.col("embedding"), cents)
+    )
+    mismatches = want.filter(F.col("cluster_id") != F.col("expect")).count()
+    assert mismatches == 0 and out.count() == docs.select("text").distinct().count()
+
+
 def test_stream_ingest_ivf_partitioned_and_batch_parity(spark, sf_dir, tmp_path_factory):
     """Streaming IVF ingest must (a) land a Hive cluster_id=N layout,
     (b) partition-prune a probe filter at the scan, and (c) assign every
