@@ -40,10 +40,31 @@ class SparkRetriever:
     here is a payload row (doc_id IS the frame number; the reference's
     doc→frame mapping is the identity in this engine)."""
 
-    def __init__(self, store: SparkVectorStore, k: int = 4, frame_cache_size: int = 100):
+    _SEARCH_TYPES = ("similarity", "mmr", "similarity_score_threshold")
+
+    def __init__(
+        self,
+        store: SparkVectorStore,
+        k: int = 4,
+        frame_cache_size: int = 100,
+        search_type: str = "similarity",
+        search_kwargs: dict[str, Any] | None = None,
+    ):
+        """``search_type``/``search_kwargs`` mirror LangChain's
+        ``as_retriever`` contract (beyond the reference, whose
+        retriever is similarity-only): "similarity" (default),
+        "mmr" (kwargs: fetch_k, lambda_mult, filter), or
+        "similarity_score_threshold" (kwargs: score_threshold in
+        [0, 1] over the normalized relevance map, filter)."""
+        if search_type not in self._SEARCH_TYPES:
+            raise RetrievalError(
+                f"search_type {search_type!r} not in {self._SEARCH_TYPES}"
+            )
         self.store = store
         self.k = k
         self.frame_cache_size = frame_cache_size
+        self.search_type = search_type
+        self.search_kwargs = dict(search_kwargs or {})
         self._frame_cache: dict[int, Document] = {}
 
     # ----------------------------------------------------- Runnable surface
@@ -106,8 +127,45 @@ class SparkRetriever:
 
     def _get_relevant_documents(self, query: str) -> list[Document]:
         """≙ retriever.py:171-258: essential-metadata Documents with
-        source/category/similarity/doc_id/metadata_type fields."""
+        source/category/similarity/doc_id/metadata_type fields.
+        Dispatches on ``search_type`` (similarity / mmr /
+        similarity_score_threshold)."""
         try:
+            if self.search_type == "mmr":
+                kw = self.search_kwargs
+                docs = self.store.max_marginal_relevance_search(
+                    query,
+                    k=self.k,
+                    fetch_k=kw.get("fetch_k", 20),
+                    lambda_mult=kw.get("lambda_mult", 0.5),
+                    filter=kw.get("filter"),
+                )
+                return [
+                    Document(page_content=d["page_content"], metadata=d["metadata"])
+                    for d in docs
+                ]
+            if self.search_type == "similarity_score_threshold":
+                kw = self.search_kwargs
+                thr = kw.get("score_threshold", 0.0)
+                scored = self.store.similarity_search_with_relevance_scores(
+                    query, k=self.k, filter=kw.get("filter")
+                )
+                return [
+                    Document(
+                        page_content=d["page_content"],
+                        metadata={**d["metadata"], "relevance_score": s},
+                    )
+                    for d, s in scored
+                    if s >= thr
+                ]
+            if self.search_kwargs.get("filter"):
+                scored = self.store.similarity_search_with_score(
+                    query, k=self.k, filter=self.search_kwargs["filter"]
+                )
+                return [
+                    Document(page_content=d["page_content"], metadata=d["metadata"])
+                    for d, _ in scored
+                ]
             results = self.store.search_text(query, k=self.k)
             return [
                 Document(

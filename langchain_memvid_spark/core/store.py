@@ -833,13 +833,30 @@ class SparkVectorStore:
             out.append({"page_content": r["text"], "metadata": meta, "doc_id": r["doc_id"]})
         return out
 
-    def as_retriever(self, k: int = 4, frame_cache_size: int = 100):
+    def as_retriever(
+        self,
+        k: int = 4,
+        frame_cache_size: int = 100,
+        search_type: str = "similarity",
+        search_kwargs: dict[str, Any] | None = None,
+    ):
         """LangChain-convention retriever factory ≙ the reference's
         lazy ``retriever`` property (vectorstore.py:147-172), explicit
-        instead of implicit."""
+        instead of implicit. ``search_type``/``search_kwargs`` follow
+        the upstream contract (similarity / mmr /
+        similarity_score_threshold); ``search_kwargs={"k": n}`` also
+        respected for upstream-shaped callers."""
         from langchain_memvid_spark.core.retriever import SparkRetriever
 
-        return SparkRetriever(self, k=k, frame_cache_size=frame_cache_size)
+        kw = dict(search_kwargs or {})
+        k = kw.pop("k", k)
+        return SparkRetriever(
+            self,
+            k=k,
+            frame_cache_size=frame_cache_size,
+            search_type=search_type,
+            search_kwargs=kw,
+        )
 
     # ------------------------------------------------------------ point lookups
 

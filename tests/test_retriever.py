@@ -32,6 +32,43 @@ def retriever(spark):
     return SparkRetriever(store, k=3)
 
 
+def test_search_type_dispatch(spark):
+    """as_retriever(search_type=...) mirrors the upstream contract:
+    mmr routes through max_marginal_relevance_search,
+    similarity_score_threshold filters on the normalized relevance
+    score, an unknown type raises, and search_kwargs={'k': n} is
+    respected."""
+    store = SparkVectorStore.from_texts(TEXTS, spark, metadatas=METAS)
+    mmr = store.as_retriever(k=2, search_type="mmr", search_kwargs={"fetch_k": 4})
+    docs = mmr.invoke(TEXTS[0])
+    assert len(docs) == 2 and docs[0].page_content == TEXTS[0]
+    want = store.max_marginal_relevance_search(TEXTS[0], k=2, fetch_k=4)
+    assert [d.page_content for d in docs] == [d["page_content"] for d in want]
+
+    thr = store.as_retriever(
+        k=5, search_type="similarity_score_threshold", search_kwargs={"score_threshold": 0.99}
+    )
+    hits = thr.invoke(TEXTS[2])
+    assert [d.page_content for d in hits] == [TEXTS[2]]  # only the self-match >= .99
+    assert hits[0].metadata["relevance_score"] >= 0.99
+
+    with pytest.raises(RetrievalError):
+        store.as_retriever(search_type="nope")
+    kw = store.as_retriever(search_kwargs={"k": 1})
+    assert len(kw.invoke(TEXTS[1])) == 1
+
+
+def test_similarity_search_kwargs_filter(spark):
+    """The default similarity path honors search_kwargs['filter']."""
+    store = SparkVectorStore.from_texts(
+        TEXTS, spark, metadatas=[{**m, "parity": i % 2} for i, m in enumerate(METAS)]
+    )
+    r = store.as_retriever(k=5, search_kwargs={"filter": {"parity": 1}})
+    docs = r.invoke(TEXTS[0])
+    assert len(docs) == 2  # ids 1 and 3
+    assert all(d.metadata["parity"] == 1 for d in docs)
+
+
 def test_invoke_returns_documents(retriever):
     docs = retriever.invoke("programming in python")
     assert len(docs) == 3
