@@ -60,6 +60,16 @@ class SparkRetriever:
             raise RetrievalError(
                 f"search_type {search_type!r} not in {self._SEARCH_TYPES}"
             )
+        if search_type == "similarity_score_threshold" and (
+            not search_kwargs or "score_threshold" not in search_kwargs
+        ):
+            # relevance scores are clamped to [0,1], so a 0.0 default
+            # would silently disable the threshold — require it up
+            # front (upstream LangChain also raises when it's missing)
+            raise RetrievalError(
+                "search_type='similarity_score_threshold' requires "
+                "search_kwargs={'score_threshold': ...}"
+            )
         self.store = store
         self.k = k
         self.frame_cache_size = frame_cache_size
@@ -146,7 +156,7 @@ class SparkRetriever:
                 ]
             if self.search_type == "similarity_score_threshold":
                 kw = self.search_kwargs
-                thr = kw.get("score_threshold", 0.0)
+                thr = kw["score_threshold"]  # required at construction
                 scored = self.store.similarity_search_with_relevance_scores(
                     query, k=self.k, filter=kw.get("filter")
                 )

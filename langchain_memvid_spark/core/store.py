@@ -524,9 +524,17 @@ class SparkVectorStore:
 
     def _query_vec(self, query: str) -> list[float]:
         """Embed a query and apply the metric's normalization — the ONE
-        place search paths get their query vector, so normalization for
-        a new metric cannot diverge between them."""
-        qvec = self.embeddings.embed_query(query)
+        place text search paths get their query vector."""
+        return self._normalize_query(self.embeddings.embed_query(query))
+
+    def _normalize_query(self, qvec: list[float]) -> list[float]:
+        """Apply the metric's normalization to a raw query vector — the
+        ONE place any search path (text or by-vector) normalizes, so a
+        new metric cannot diverge between entry points.  Without this
+        the by-vector entry points would return cosine 'similarities'
+        scaled by |query| (outside [-1, 1] for non-unit embedding
+        models) while the text path returns true cosine."""
+        qvec = [float(x) for x in qvec]
         if self.config.index.metric == "cosine":
             import math
 
@@ -611,7 +619,7 @@ class SparkVectorStore:
         return [
             d
             for d, _ in self._search_vec_with_score(
-                [float(x) for x in embedding], k, include_full_metadata, filter=filter
+                self._normalize_query(embedding), k, include_full_metadata, filter=filter
             )
         ]
 
@@ -699,24 +707,34 @@ class SparkVectorStore:
         self, query: str, k: int = 4, filter: dict[str, Any] | None = None
     ) -> list[tuple[dict[str, Any], float]]:
         """LangChain-standard normalized relevance in [0, 1]: cosine
-        maps via (1+sim)/2, l2 via 1/(1+d), ip via a sigmoid — the
-        unnormalized dot is unbounded, so the affine cosine map would
-        pile scores onto the clamped endpoints and destroy ordering
-        (ADVICE r4 #4). (Beyond the reference, which returns raw FAISS
-        scores only — vectorstore.py:659-684.)"""
-        import math
+        maps via (1+sim)/2 clamped, l2 via 1/(1+d²), ip via a sigmoid —
+        the unnormalized dot is unbounded, so the affine cosine map
+        would pile scores onto the clamped endpoints and destroy
+        ordering (ADVICE r4 #4). (Beyond the reference, which returns
+        raw FAISS scores only — vectorstore.py:659-684.)
 
-        res = self.similarity_search_with_score(query, k, filter=filter)
-        if self.config.index.metric == "l2":
-            scored = [(d, 1.0 / (1.0 + s)) for d, s in res]
-        elif self.config.index.metric == "ip":
-            # monotone, order-preserving on the whole real line
-            scored = [(d, 1.0 / (1.0 + math.exp(-s))) for d, s in res]
-        else:
-            scored = [(d, (1.0 + s) / 2.0) for d, s in res]
-        # float32 dot products can exceed |1| by ~1e-7 on self-matches;
-        # clamp so the [0,1] contract holds
-        return [(d, min(1.0, max(0.0, s))) for d, s in scored]
+        The map is computed IN-PLAN from the SHARED Catalyst expression
+        (functions.vector.relevance_score_col) that the oracle-checked
+        vs_relevance_scores query also builds from, so the driver hash
+        pins the exact map this API returns."""
+        from langchain_memvid_spark.functions.vector import relevance_score_col
+
+        if self._count == 0:
+            return []
+        top = self._topk(self._query_vec(query), k, filter=filter).withColumn(
+            "__rel",
+            relevance_score_col(
+                F.col("similarity").cast("double"), self.config.index.metric
+            ),
+        )
+        out = []
+        for r in top.collect():
+            meta = json.loads(r["metadata_json"] or "{}")
+            meta["similarity"] = r["similarity"]
+            meta["metadata_type"] = "essential"
+            doc = {"page_content": r["text"], "metadata": meta, "doc_id": r["doc_id"]}
+            out.append((doc, float(r["__rel"])))
+        return out
 
     def max_marginal_relevance_search(
         self,
@@ -752,25 +770,32 @@ class SparkVectorStore:
         contract) — the text entry point minus the embed step."""
         if self._count == 0:
             return []
-        qvec = [float(x) for x in embedding]
+        qvec = self._normalize_query(embedding)
         cand_rows = self._topk(qvec, max(fetch_k, k), filter=filter).collect()
         if not cand_rows:
             return []
-        import numpy as np
+        # shared greedy (operators/topk.py greedy_mmr): the SAME loop
+        # the oracle-checked mmr_search query pins, so the store API
+        # cannot silently diverge from the driver-verified selection.
+        # _topk rows arrive sorted by the metric order with doc_id
+        # tie-breaks; qsim is re-derived as cosine over the candidate
+        # frame (metric-independent diversity term needs unit vectors
+        # anyway, and for cosine/ip stores the candidate order is
+        # already the qsim order greedy_mmr expects).
+        from langchain_memvid_spark.operators.topk import greedy_mmr
 
-        vecs = np.asarray([list(r["embedding"]) for r in cand_rows], dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        q = np.asarray(qvec, dtype=np.float64)
-        qn = np.linalg.norm(q) or 1.0
-        qsim = unit @ (q / qn)
-        selected: list[int] = [int(np.argmax(qsim))]
-        while len(selected) < min(k, len(cand_rows)):
-            rest = [i for i in range(len(cand_rows)) if i not in selected]
-            red = unit[rest] @ unit[selected].T  # (rest, selected) sims
-            scores = lambda_mult * qsim[rest] - (1 - lambda_mult) * red.max(axis=1)
-            selected.append(rest[int(np.argmax(scores))])
+        import math
+
+        def _cosq(v: list[float]) -> float:
+            d = sum(a * b for a, b in zip(v, qvec))
+            nv = math.sqrt(sum(a * a for a in v)) or 1.0
+            nq = math.sqrt(sum(a * a for a in qvec)) or 1.0
+            return d / (nv * nq)
+
+        vecs = [[float(x) for x in r["embedding"]] for r in cand_rows]
+        ids = [r["doc_id"] for r in cand_rows]
+        qsim = [_cosq(v) for v in vecs]
+        selected = greedy_mmr(vecs, qsim, ids, k, lambda_mult)
         out = []
         for i in selected:
             r = cand_rows[i]

@@ -47,6 +47,27 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def relevance_score_col(score: Column, metric: str) -> Column:
+    """LangChain-normalized relevance in [0, 1] as a Catalyst
+    expression — THE single source for the metric maps: the store API
+    (similarity_search_with_relevance_scores computes it in-plan) and
+    the vs_relevance_scores oracle query both build from here, so the
+    driver hash pins the exact map the API returns (ADVICE r4 #4 — ip
+    maps via a sigmoid, not the affine cosine map, because the
+    unnormalized dot is unbounded).
+
+    cosine → (1+s)/2 clamped (float32 self-matches can exceed |1| by
+    ~1e-7); l2 (squared distance, lower=better) → 1/(1+d²);
+    ip → 1/(1+e^(−s))."""
+    if metric == "l2":
+        return F.lit(1.0) / (F.lit(1.0) + score)
+    if metric == "ip":
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+    return F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), (F.lit(1.0) + score) / F.lit(2.0))
+    )
+
+
 def l2_sq(a: Column, b: Column) -> Column:
     """Squared L2 distance (FAISS IndexFlatL2 convention: lower=better,
     /root/reference/src/langchain_memvid/index.py:148,327)."""

@@ -686,9 +686,14 @@ def minhash_jaccard_estimates(
 
 
 def simhash_near_pairs(
-    documents: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    documents: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+    Batch-only (the streaming flavor is streaming/documents.py's
+    near_dedup_stream).
 
     LSH banding makes this sub-quadratic: the 32-bit signature splits
     into 4 bands of 8 bits, candidates are pairs agreeing on ≥1 band
@@ -735,7 +740,11 @@ def simhash_near_pairs(
     # trusting the static planner's default stats for the RDD-backed
     # simhash plan: explicit broadcast under the row bound, explicit
     # SMJ (the only always-safe shape for corpus x corpus) above it.
-    n_docs = documents.count()
+    # The count is EAGER at plan-build time — pass n_docs when the
+    # input is a derived frame whose lineage is expensive to count (or
+    # when composing plans without executing them) to skip the job.
+    if n_docs is None:
+        n_docs = documents.count()
     left = (
         F.broadcast(a)
         if n_docs * n_bands <= _PAIR_BROADCAST_ROW_LIMIT

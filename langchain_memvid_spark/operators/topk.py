@@ -225,6 +225,57 @@ def lsh_search(
     ).orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
 
 
+def greedy_mmr(
+    vecs: list[list[float]],
+    qsim: list[float],
+    ids: list,
+    k: int,
+    lambda_mult: float,
+) -> list[int]:
+    """The MMR greedy selection loop, shared verbatim by mmr_topk and
+    SparkVectorStore.max_marginal_relevance_search so the two cannot
+    diverge — the registry's mmr_search oracle therefore pins the SAME
+    greedy the store API runs. Inputs are parallel (vector,
+    query-similarity, tie-break id) lists in ANY order — the first
+    pick is the argmax of qsim with id tie-break, so callers whose
+    candidate order is an l2/ip ranking rather than the cosine qsim
+    order still pick correctly. Returns selected INDICES in pick
+    order.
+
+    Arithmetic is SEQUENTIAL double folds (plain loops, NOT numpy
+    pairwise summation) so pick order is bit-compatible with
+    functions.vector.dot and DuckDB's list_cosine_similarity."""
+    import math
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        na = math.sqrt(_dot(a, a))
+        nb = math.sqrt(_dot(b, b))
+        return _dot(a, b) / (na * nb) if na and nb else 0.0
+
+    selected: list[int] = []
+    while len(selected) < min(k, len(vecs)):
+        best: tuple[tuple[float, object], int] | None = None
+        for i in range(len(vecs)):
+            if i in selected:
+                continue
+            if selected:
+                red = max(_cos(vecs[i], vecs[j]) for j in selected)
+                score = lambda_mult * qsim[i] - (1.0 - lambda_mult) * red
+            else:
+                score = qsim[i]  # first pick: pure query relevance
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i)
+        selected.append(best[1])
+    return selected
+
+
 def mmr_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -249,8 +300,6 @@ def mmr_topk(
     Mirrors SparkVectorStore.max_marginal_relevance_search
     (LangChain-standard MMR, beyond the reference's vector-only search,
     /root/reference/src/langchain_memvid/vectorstore.py:602-707)."""
-    import math
-
     qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
     if qrow is None:
         raise ValueError(f"query {id_col}={query_vec_id} not found in the corpus")
@@ -269,33 +318,10 @@ def mmr_topk(
         return cand.select(
             F.lit(1).alias("mmr_rank"), F.col(id_col), F.round("__s", 4).alias("qsim")
         )
-
-    def _dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        na = math.sqrt(_dot(a, a))
-        nb = math.sqrt(_dot(b, b))
-        return _dot(a, b) / (na * nb) if na and nb else 0.0
-
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
     ids = [r[id_col] for r in rows]
     qsim = [r["__s"] for r in rows]  # Spark-computed, reused verbatim
-    selected = [0]  # rows arrive sorted by (qsim desc, id asc)
-    while len(selected) < min(k, len(rows)):
-        best: tuple[tuple[float, int], int] | None = None
-        for i in range(len(rows)):
-            if i in selected:
-                continue
-            red = max(_cos(vecs[i], vecs[j]) for j in selected)
-            score = lambda_mult * qsim[i] - (1.0 - lambda_mult) * red
-            key = (-score, ids[i])
-            if best is None or key < best[0]:
-                best = (key, i)
-        selected.append(best[1])
+    selected = greedy_mmr(vecs, qsim, ids, k, lambda_mult)
     sel = embeddings.sparkSession.createDataFrame(
         [(r + 1, ids[i]) for r, i in enumerate(selected)],
         f"mmr_rank INT, {id_col} LONG",

