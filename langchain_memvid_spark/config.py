@@ -25,6 +25,14 @@ class IndexConfig:
 
     metric: str = "cosine"          # cosine | ip | l2
     dim: int = 64
+    # Opt-in IVF layout for the STORE's own search path: once the
+    # corpus passes the 30*nlist training gate, add_texts assigns every
+    # row a cluster_id (pure-Catalyst nearest-centroid argmax), the
+    # corpus is persisted partitionBy(cluster_id), and _topk prunes to
+    # the nprobe probed clusters BEFORE the int8 first pass — at 100 TB
+    # the user-facing similarity_search scans nprobe/nlist of the files
+    # instead of all of them. False keeps the flat (full-scan) layout.
+    ivf: bool = False
     nlist: int = 100                # IVF cluster count (KMeans analog)
     nprobe: int = 8                 # clusters probed at search time
     # IVF is only worth it past this many points per cluster on average

@@ -28,7 +28,11 @@ from langchain_memvid_spark.functions.vector import cosine_sim
 from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols, query_codes
 
 
-def nearest_centroid_col(vec_col: F.Column, centroids: list[tuple[int, list[float]]]) -> F.Column:
+def nearest_centroid_col(
+    vec_col: F.Column,
+    centroids: list[tuple[int, list[float]]],
+    metric: str = "cosine",
+) -> F.Column:
     """Pure-Catalyst nearest-centroid assignment: an unrolled
     argmax-by-cosine chain over the (small, driver-known) centroid set,
     inlined as literals — no join, no shuffle, no Python worker, so it
@@ -44,14 +48,42 @@ def nearest_centroid_col(vec_col: F.Column, centroids: list[tuple[int, list[floa
     structs — each cosine appears exactly once in the expression tree
     (a nested when-chain is O(nlist²) expression size and shipped a
     15 MB task binary at nlist=10·dim=64).  nlist is assumed small
-    (≤ hundreds); for thousands of centroids use a broadcast join."""
-    entries = [
-        F.struct(
-            cosine_sim(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
-            F.lit(-int(cid)).alias("nid"),
-        )
-        for cid, c in sorted(centroids, key=lambda ic: ic[0])
-    ]
+    (≤ hundreds); for thousands of centroids use a broadcast join.
+
+    Zero-norm guard (ADVICE r6): a zero-norm row vector — or a zero
+    centroid, which IVFIndex.build's flat fallback emits — would hit
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode, and inside a
+    streaming microbatch the checkpoint would replay the poisoned
+    batch forever.  Centroid norms are driver-known, so a zero
+    centroid becomes a literal sim 0.0; a zero-norm vector scores 0.0
+    against every centroid, mirroring probe_clusters' Python guard.
+
+    ``metric``: 'cosine' (default — what streaming ingest and
+    cosine/ip stores use) or 'l2' (argmin squared distance, division-
+    free).  Assignment and search-time probing MUST share one metric —
+    probing the dot-nearest centroid of a cosine-assigned layout sends
+    the query to the wrong partitions and recall collapses."""
+    from langchain_memvid_spark.functions.vector import dot, l2_sq, norm
+
+    entries = []
+    if metric == "l2":
+        for cid, c in sorted(centroids, key=lambda ic: ic[0]):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            entries.append(
+                F.struct((-l2_sq(vec_col, carr)).alias("sim"), F.lit(-int(cid)).alias("nid"))
+            )
+        return (-F.array_max(F.array(*entries))["nid"]).cast("int")
+    vnorm = norm(vec_col)
+    for cid, c in sorted(centroids, key=lambda ic: ic[0]):
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        if cn == 0.0:
+            sim = F.lit(0.0)
+        else:
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            sim = F.when(vnorm > 0, dot(vec_col, carr) / (vnorm * F.lit(cn))).otherwise(
+                F.lit(0.0)
+            )
+        entries.append(F.struct(sim.alias("sim"), F.lit(-int(cid)).alias("nid")))
     return (-F.array_max(F.array(*entries))["nid"]).cast("int")
 
 
@@ -113,14 +145,27 @@ class IVFIndex:
 
     # ----------------------------------------------------------------- search
 
-    def probe_clusters(self, qvec: list[float], nprobe: int) -> list[int]:
+    def probe_clusters(
+        self, qvec: list[float], nprobe: int, metric: str = "cosine"
+    ) -> list[int]:
+        """Rank centroids driver-side (nlist ≪ corpus) under the
+        store's metric: cosine/ip descending by similarity, l2
+        ascending by squared distance. Ties break on cluster id."""
+
         def cos(c: list[float]) -> float:
             d = sum(a * b for a, b in zip(c, qvec))
             na = math.sqrt(sum(a * a for a in c))
             nb = math.sqrt(sum(b * b for b in qvec))
             return d / (na * nb) if na and nb else 0.0
 
-        ranked = sorted(self.centroids, key=lambda ic: (-cos(ic[1]), ic[0]))
+        def score(c: list[float]) -> float:
+            if metric == "l2":
+                return -sum((a - b) * (a - b) for a, b in zip(c, qvec))
+            if metric == "ip":
+                return sum(a * b for a, b in zip(c, qvec))
+            return cos(c)
+
+        ranked = sorted(self.centroids, key=lambda ic: (-score(ic[1]), ic[0]))
         return [i for i, _ in ranked[:nprobe]]
 
     def search(

@@ -310,6 +310,14 @@ class SparkVectorStore:
         self._doc_index: DataFrame = spark.createDataFrame([], INDEX_SCHEMA)
         self._payload: DataFrame = spark.createDataFrame([], PAYLOAD_SCHEMA)
         self._count = 0
+        # IVF layout state (config.index.ivf): once trained, _ivf holds
+        # the centroids and _doc_index IS the partitionBy(cluster_id)
+        # parquet scan — uncached, so the cluster_id.isin(probes) filter
+        # stays a file-level PartitionFilter instead of an in-memory
+        # batch filter. None = flat layout (the default).
+        self._ivf = None
+        self._ivf_version = 0
+        self._layout_base: str | None = None
 
     # ------------------------------------------------------------------ ingest
 
@@ -365,7 +373,55 @@ class SparkVectorStore:
             for i, (t, m) in enumerate(zip(texts, metas))
         ]
         staged = self.spark.createDataFrame(rows, INGEST_SCHEMA)
+        n_parts = max(1, min(self.spark.sparkContext.defaultParallelism, len(rows) // 256 + 1))
+        self._ingest(staged, n_parts)
+        return [str(i) for i in range(len(texts))]
 
+    def add_dataframe(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        order_col: str | None = None,
+        embedding_col: str | None = None,
+        metadata_json_col: str | None = None,
+    ) -> int:
+        """Distributed bulk ingest — the 100 TB path the reference's
+        list-based add_texts (vectorstore.py:174-225) cannot express:
+        rows stay a DataFrame end to end (no driver-side lists), and a
+        precomputed ``embedding_col`` skips the embed UDF entirely so an
+        upstream embedding pipeline's output loads at scan speed.
+
+        ``order_col`` fixes the deterministic doc_id order (ids follow
+        it via the two-phase range-partitioned offset pattern — no
+        single-reducer stage). Dedup semantics match add_texts: first
+        occurrence per text within the batch, anti-join vs the existing
+        corpus. Returns the ingested row count."""
+        if order_col is None:
+            raise IndexError_("add_dataframe requires an explicit order_col")
+        cols = [
+            F.col(order_col).cast("long").alias("__pos"),
+            F.col(text_col).cast("string").alias("text"),
+            (
+                F.coalesce(F.col(metadata_json_col), F.lit("{}"))
+                if metadata_json_col
+                else F.lit("{}")
+            ).alias("metadata_json"),
+        ]
+        if embedding_col:
+            cols.append(F.col(embedding_col).cast("array<float>").alias("embedding"))
+        before = self._count
+        n_parts = max(1, self.spark.sparkContext.defaultParallelism)
+        self._ingest(df.select(*cols), n_parts)
+        return self._count - before
+
+    def _ingest(self, staged: DataFrame, n_parts: int) -> None:
+        """Shared ingest lineage (SURVEY.md §3.1): in-batch
+        first-occurrence dedup → anti-join vs existing texts →
+        range-partitioned id assignment → essential projection + sha256
+        metadata_hash → embed (Arrow pandas_udf) AFTER dedup unless the
+        batch carries precomputed vectors → normalize if cosine → int8
+        codes → append to both tables (IVF-assigned partition append
+        when the layout is live)."""
         # first occurrence within batch (reference keeps first, index.py:211-218)
         w = Window.partitionBy("text").orderBy("__pos")
         staged = staged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
@@ -376,7 +432,6 @@ class SparkVectorStore:
         # offset pattern (core/ids.py). Ids follow __pos globally with NO
         # single-reducer stage, and the embed UDF below runs across all
         # partitions instead of being funneled through coalesce(1).
-        n_parts = max(1, min(self.spark.sparkContext.defaultParallelism, len(rows) // 256 + 1))
         staged = add_sequential_ids(
             staged.repartitionByRange(n_parts, "__pos"),
             id_col="doc_id",
@@ -387,13 +442,15 @@ class SparkVectorStore:
         meta_struct = F.from_json(
             F.col("metadata_json"), "source STRING, category STRING, id BIGINT"
         )
-        embed_udf = self.embeddings.udf()
         enriched = (
             staged.withColumn("source", meta_struct["source"])
             .withColumn("category", meta_struct["category"])
             .withColumn("metadata_hash", F.sha2(F.col("metadata_json"), 256))
-            .withColumn("embedding", embed_udf(F.col("text")))
         )
+        if "embedding" not in staged.columns:
+            enriched = enriched.withColumn(
+                "embedding", self.embeddings.udf()(F.col("text"))
+            )
         if self.config.index.metric == "cosine":
             enriched = enriched.withColumn("embedding", l2_normalize(F.col("embedding")))
         qscale, qvec = quantize_cols(F.col("embedding"))
@@ -410,7 +467,24 @@ class SparkVectorStore:
             ).alias("payload_json"),
         )
         old_index, old_payload = self._doc_index, self._payload
-        self._doc_index = self._doc_index.unionByName(new_index).cache()
+        if self._ivf is not None:
+            # IVF-active append: assign cluster_id in the SAME lineage
+            # (the pure-Catalyst argmax streaming ingest also uses, so
+            # batch and stream assignment cannot diverge), append the
+            # new partition files to the live layout, and re-point the
+            # scan — new rows land on the pruned search path at commit.
+            from langchain_memvid_spark.core.ivf import nearest_centroid_col
+
+            assigned = new_index.withColumn(
+                "cluster_id",
+                nearest_centroid_col(
+                    F.col("embedding"), self._ivf.centroids, metric=self._ivf_metric()
+                ),
+            )
+            assigned.write.mode("append").partitionBy("cluster_id").parquet(self._ivf.path)
+            self._doc_index = self.spark.read.parquet(self._ivf.path)
+        else:
+            self._doc_index = self._doc_index.unionByName(new_index).cache()
         self._payload = self._payload.unionByName(new_payload).cache()
         self._count = self._doc_index.count()
         self._payload.count()
@@ -419,7 +493,96 @@ class SparkVectorStore:
         old_index.unpersist()
         old_payload.unpersist()
         self._maybe_truncate_lineage()
-        return [str(i) for i in range(len(texts))]
+        self._maybe_build_ivf()
+
+    # ------------------------------------------------------------------ IVF
+
+    def _layout_root(self) -> str:
+        """Directory that holds the versioned IVF layouts. Uses the
+        configured storage base_path when set; a session temp dir
+        otherwise (local mode — on a cluster base_path would be the
+        shared filesystem)."""
+        if self._layout_base is None:
+            base = self.config.storage.base_path
+            if base:
+                self._layout_base = os.path.join(base, "ivf_layout")
+            else:
+                import tempfile
+
+                self._layout_base = tempfile.mkdtemp(prefix="vs_ivf_")
+        return self._layout_base
+
+    def _swap_layout(self, assigned: DataFrame) -> None:
+        """Write `assigned` (doc_index columns + cluster_id) as the next
+        layout VERSION and re-point the scan. Versioned dirs, not
+        overwrite-in-place: Spark cannot overwrite a path a plan is
+        concurrently reading from, and the swap keeps the old files
+        valid until the new commit lands (the reference's file-swap
+        semantics, vectorstore.py:579-581)."""
+        self._ivf_version += 1
+        path = os.path.join(self._layout_root(), f"v{self._ivf_version}")
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        old = self._doc_index
+        self._doc_index = self.spark.read.parquet(path)
+        self._ivf.path = path
+        self._count = self._doc_index.count()
+        old.unpersist()
+
+    _IVF_TRAIN_CAP = 100_000  # KMeans training-sample row bound
+
+    def _ivf_metric(self) -> str:
+        """One geometry for BOTH cluster assignment and search-time
+        probing (probing under a different metric than assignment sends
+        queries to the wrong partitions): l2 stores assign/probe by
+        squared distance, cosine/ip by centroid cosine."""
+        return "l2" if self.config.index.metric == "l2" else "cosine"
+
+    def _maybe_build_ivf(self) -> None:
+        """Train the IVF layout once the corpus passes the reference's
+        30·nlist gate (index.py:152-162 — the gate that is dead code
+        there, made live end-to-end here): KMeans centroids on the full
+        corpus, cluster_id assigned via the shared pure-Catalyst argmax
+        (core/ivf.py nearest_centroid_col), corpus persisted
+        partitionBy(cluster_id). From then on _topk prunes to nprobe
+        probes before the int8 first pass — two composed pruning layers
+        on the user-facing search path."""
+        ic = self.config.index
+        if not ic.ivf or self._ivf is not None:
+            return
+        if self._count < ic.ivf_min_points_factor * ic.nlist:
+            return
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from langchain_memvid_spark.core.ivf import IVFIndex, nearest_centroid_col
+
+        # KMeans trains on a bounded SAMPLE (FAISS trains IVF quantizers
+        # on ~256 points/centroid, not the corpus): at 100 TB the train
+        # pass must not iterate the full table 20 times. The assignment
+        # below still covers every row.
+        train = self._doc_index
+        cap = max(self._IVF_TRAIN_CAP, 256 * ic.nlist)
+        if self._count > cap:
+            train = train.sample(fraction=min(1.0, cap / self._count), seed=42)
+        feat = train.withColumn(
+            "__features", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        model = KMeans(
+            k=ic.nlist, seed=42, featuresCol="__features", predictionCol="__cid"
+        ).fit(feat)
+        cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        self._ivf = IVFIndex(cents)
+        assigned = self._doc_index.withColumn(
+            "cluster_id",
+            nearest_centroid_col(F.col("embedding"), cents, metric=self._ivf_metric()),
+        )
+        self._swap_layout(assigned)
+
+    @property
+    def ivf_index(self):
+        """The trained IVFIndex (centroids + layout path), or None while
+        the corpus is below the training gate / IVF is disabled."""
+        return self._ivf
 
     # Each append/delete nests the logical plan one level deeper
     # (union/anti-join over the previous plan). Caching bounds
@@ -435,11 +598,17 @@ class SparkVectorStore:
         if self._mutations < self._CHECKPOINT_EVERY:
             return
         self._mutations = 0
-        idx_cp = self._doc_index.localCheckpoint(eager=True)
         pay_cp = self._payload.localCheckpoint(eager=True)
-        self._doc_index.unpersist()
         self._payload.unpersist()
-        self._doc_index, self._payload = idx_cp, pay_cp
+        self._payload = pay_cp
+        if self._ivf is not None:
+            # doc_index is already a materialized parquet scan (the IVF
+            # layout) — checkpointing it would only copy the corpus into
+            # block storage and DROP the partition pruning
+            return
+        idx_cp = self._doc_index.localCheckpoint(eager=True)
+        self._doc_index.unpersist()
+        self._doc_index = idx_cp
 
     def add_documents(self, documents: Iterable[Any]) -> list[str]:
         texts = [d.page_content if hasattr(d, "page_content") else d["text"] for d in documents]
@@ -456,6 +625,7 @@ class SparkVectorStore:
         self._doc_index = self.spark.createDataFrame([], INDEX_SCHEMA)
         self._payload = self.spark.createDataFrame([], PAYLOAD_SCHEMA)
         self._count = 0
+        self._ivf = None  # retrains once the corpus re-passes the gate
 
     # ------------------------------------------------------------------ search
 
@@ -500,8 +670,19 @@ class SparkVectorStore:
         first pass → exact re-rank of config.index.rerank_candidates
         when the corpus is big enough for two passes to win. l2 stays
         direct (the integer dot is a cosine/ip surrogate only).
-        A metadata filter narrows the corpus before either strategy."""
+        A metadata filter narrows the corpus before either strategy.
+
+        With a trained IVF layout the corpus is FIRST pruned to the
+        config.index.nprobe probed clusters — on the partitioned
+        parquet layout the isin(probes) filter is a file-level
+        PartitionFilter, so only nprobe/nlist of the corpus files are
+        scanned; the int8 first pass then runs inside the probed
+        partitions only. nprobe >= nlist probes everything (exact)."""
         base = self._doc_index
+        if self._ivf is not None:
+            nprobe = min(self.config.index.nprobe, len(self._ivf.centroids))
+            probes = self._ivf.probe_clusters(qvec, nprobe, metric=self._ivf_metric())
+            base = base.filter(F.col("cluster_id").isin(probes))
         if filter:
             base = base.filter(self._metadata_predicate(filter))
         asc = self.config.index.metric == "l2"
@@ -666,9 +847,26 @@ class SparkVectorStore:
         qdf = self.spark.createDataFrame(
             qrows, "query_id LONG, query STRING, __qv ARRAY<DOUBLE>, __qc ARRAY<INT>"
         )
+        # IVF layout: prune the scan to the UNION of every query's
+        # probed clusters — the batch still reads only probed files
+        # (per-query probe restriction would shave a little more work
+        # but not bytes; the union IS the byte bound).
+        corpus = self._doc_index
+        if self._ivf is not None:
+            nprobe = min(self.config.index.nprobe, len(self._ivf.centroids))
+            all_probes = sorted(
+                {
+                    cid
+                    for _, _, v, _ in qrows
+                    for cid in self._ivf.probe_clusters(
+                        v, nprobe, metric=self._ivf_metric()
+                    )
+                }
+            )
+            corpus = corpus.filter(F.col("cluster_id").isin(all_probes))
         cand = self.config.index.rerank_candidates
         if self.config.index.metric != "l2" and 0 < cand < self._count:
-            codes = self._doc_index.select("doc_id", "qscale", "qvec")
+            codes = corpus.select("doc_id", "qscale", "qvec")
             p1 = (
                 codes.crossJoin(F.broadcast(qdf.select("query_id", "__qc")))
                 .withColumn("__qscore", int8_dot(F.col("qvec"), F.col("__qc")))
@@ -682,13 +880,13 @@ class SparkVectorStore:
                 .filter(F.col("__r") <= max(cand, k))
                 .select("query_id", "doc_id")
             )
-            docs = self._doc_index.select("doc_id", "text", "embedding")
+            docs = corpus.select("doc_id", "text", "embedding")
             joined = (
                 docs.join(F.broadcast(cands), "doc_id")
                 .join(F.broadcast(qdf), "query_id")
             )
         else:
-            docs = self._doc_index.select("doc_id", "text", "embedding")
+            docs = corpus.select("doc_id", "text", "embedding")
             joined = docs.crossJoin(F.broadcast(qdf))
         if self.config.index.metric == "l2":
             scored = joined.withColumn("similarity", l2_sq(F.col("embedding"), F.col("__qv")))
@@ -940,16 +1138,25 @@ class SparkVectorStore:
             start=0,
         )
         old_index, old_payload = self._doc_index, self._payload
-        self._doc_index = (
+        idx_cols = [
+            "doc_id", "text", "source", "category", "metadata_json",
+            "metadata_hash", "embedding", "qscale", "qvec",
+        ]
+        if self._ivf is not None:
+            idx_cols.append("cluster_id")  # assignments survive deletes
+        renumbered = (
             self._doc_index.join(old_new, "doc_id")
             .drop("doc_id")
             .withColumnRenamed("__new_id", "doc_id")
-            .select(
-                "doc_id", "text", "source", "category", "metadata_json",
-                "metadata_hash", "embedding", "qscale", "qvec",
-            )
-            .cache()
+            .select(*idx_cols)
         )
+        if self._ivf is not None:
+            # rewrite the partitioned layout under the new ids
+            # (overwrite-swap into the next version dir — the derived
+            # plan reads the OLD files while writing the new ones)
+            self._swap_layout(renumbered)
+        else:
+            self._doc_index = renumbered.cache()
         self._payload = (
             self._payload.join(old_new, "doc_id")
             .drop("doc_id")
@@ -1154,9 +1361,25 @@ class SparkVectorStore:
     def save(self, path: str) -> None:
         """≙ IndexManager.save (index.py:609-635) — both tables to
         Parquet. Overwrite-swap semantics like the reference's file swap
-        (vectorstore.py:579-581)."""
+        (vectorstore.py:579-581).
+
+        With a trained IVF layout the doc_index is written
+        partitionBy(cluster_id) and the centroids go to a tiny
+        `ivf_centroids` parquet alongside, so load() restores the
+        partition-pruned search path — the layout survives the
+        round-trip instead of degrading to a flat scan."""
         try:
-            self._doc_index.write.mode("overwrite").parquet(os.path.join(path, "doc_index"))
+            w = self._doc_index.write.mode("overwrite")
+            if self._ivf is not None:
+                w = w.partitionBy("cluster_id")
+                cents = self.spark.createDataFrame(
+                    [(cid, [float(x) for x in c]) for cid, c in self._ivf.centroids],
+                    "cluster_id INT, centroid ARRAY<DOUBLE>",
+                )
+                cents.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(path, "ivf_centroids")
+                )
+            w.parquet(os.path.join(path, "doc_index"))
             self._payload.write.mode("overwrite").parquet(os.path.join(path, "payload"))
         except Exception as e:  # pragma: no cover
             raise StorageError(f"save to {path} failed: {e}") from e
@@ -1172,14 +1395,33 @@ class SparkVectorStore:
         """≙ IndexManager.load (index.py:637-670)."""
         store = cls(spark, embeddings=embeddings, config=config)
         try:
-            idx = spark.read.parquet(os.path.join(path, "doc_index"))
+            idx_path = os.path.join(path, "doc_index")
+            idx = spark.read.parquet(idx_path)
             if "qvec" not in idx.columns:
                 # store saved before the int8 code columns existed:
                 # backfill codes from the stored float vectors so appends
                 # (unionByName) and the compressed first pass keep working
                 qscale, qvec = quantize_cols(F.col("embedding"))
                 idx = idx.withColumn("qscale", qscale).withColumn("qvec", qvec)
-            store._doc_index = idx.select([f.name for f in INDEX_SCHEMA.fields]).cache()
+            cents_path = os.path.join(path, "ivf_centroids")
+            if "cluster_id" in idx.columns and os.path.isdir(cents_path):
+                # restore the IVF layout: the saved doc_index IS the
+                # partitioned parquet, so keep it as an UNCACHED scan —
+                # caching would trade the file-level partition pruning
+                # for an in-memory full-corpus copy
+                from langchain_memvid_spark.core.ivf import IVFIndex
+
+                cents = sorted(
+                    (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+                    for r in spark.read.parquet(cents_path).collect()
+                )
+                store._ivf = IVFIndex(cents, path=idx_path)
+                keep = [f.name for f in INDEX_SCHEMA.fields] + ["cluster_id"]
+                store._doc_index = idx.select(keep)
+            else:
+                store._doc_index = idx.select(
+                    [f.name for f in INDEX_SCHEMA.fields]
+                ).cache()
             store._payload = spark.read.parquet(os.path.join(path, "payload")).cache()
         except Exception as e:
             raise StorageError(f"load from {path} failed: {e}") from e

@@ -628,3 +628,150 @@ def test_hybrid_search_empty_query_and_empty_store(spark):
     s2 = SparkVectorStore.from_texts(["x"], spark)
     s2.delete_by_ids([0])
     assert s2.hybrid_search("x") == []
+
+
+# ---------------------------------------------------------------------------
+# IVF layout in the STORE's own search path (VERDICT r6 item 1): once
+# the 30·nlist gate trains, similarity_search prunes to nprobe probed
+# clusters at the FILE level — the user-facing API stops full-scanning.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivf_store(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    return s
+
+
+def _brute_ids(spark, qvec, k=10):
+    from pyspark.sql import functions as F
+
+    from langchain_memvid_spark.functions.vector import dot
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    rows = (
+        emb.withColumn("s", dot(F.col("embedding"), q))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    return [r["vec_id"] for r in rows]
+
+
+def _qvec(spark, vec_id=0):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return [float(x) for x in emb.filter(F.col("vec_id") == vec_id).head()["embedding"]]
+
+
+def test_ivf_trains_past_gate(ivf_store):
+    assert ivf_store.ivf_index is not None
+    assert len(ivf_store.ivf_index.centroids) == 4
+    assert "cluster_id" in ivf_store.doc_index.columns
+
+
+def test_ivf_full_probe_equals_brute_force(spark, ivf_store):
+    qvec = _qvec(spark)
+    ivf_store.config.index.nprobe = 4  # nprobe = nlist → exact
+    got = [r["doc_id"] for r in ivf_store._topk(qvec, 10).collect()]
+    assert got == _brute_ids(spark, qvec)
+
+
+def test_ivf_search_plan_has_partition_filter(spark, ivf_store):
+    """The STORE's own search must show a file-level PartitionFilter on
+    cluster_id — the 100 TB pruning claim, asserted on the plan."""
+    qvec = _qvec(spark)
+    ivf_store.config.index.nprobe = 2
+    plan = ivf_store._topk(qvec, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cluster_id" in line.split("PartitionFilters")[1][:80]
+
+
+def test_ivf_partial_probe_recall(spark, ivf_store):
+    qvec = _qvec(spark)
+    ivf_store.config.index.nprobe = 2
+    got = {r["doc_id"] for r in ivf_store._topk(qvec, 10).collect()}
+    exact = set(_brute_ids(spark, qvec))
+    assert 0 in got  # self-match lives in the probed (nearest) cluster
+    assert len(got & exact) / 10 >= 0.3
+
+
+def test_ivf_save_load_keeps_layout(spark, ivf_store, tmp_path):
+    qvec = _qvec(spark)
+    ivf_store.config.index.nprobe = 2
+    before = [r["doc_id"] for r in ivf_store._topk(qvec, 10).collect()]
+    path = str(tmp_path / "ivf_store")
+    ivf_store.save(path)
+    loaded = SparkVectorStore.load(path, spark, config=ivf_store.config)
+    assert loaded.ivf_index is not None
+    assert loaded.ivf_index.centroids == ivf_store.ivf_index.centroids
+    plan = loaded._topk(qvec, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert [r["doc_id"] for r in loaded._topk(qvec, 10).collect()] == before
+
+
+def test_ivf_append_assigns_cluster_and_is_searchable(spark):
+    """Appends after training land with a cluster_id (batch uses the
+    same pure-Catalyst argmax as streaming ingest) and are findable."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="cosine", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    assert s.ivf_index is not None
+    n0 = s.get_document_count()
+    s.add_texts(["a brand new appended document"])
+    assert s.get_document_count() == n0 + 1
+    nulls = s.doc_index.filter("cluster_id IS NULL").count()
+    assert nulls == 0
+    res = s.similarity_search("a brand new appended document", k=1)
+    assert res[0]["page_content"] == "a brand new appended document"
+
+
+def test_ivf_delete_renumber_rewrites_layout(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    n0 = s.get_document_count()
+    assert s.delete_by_ids([0, 1, 2])
+    assert s.get_document_count() == n0 - 3
+    ids = [r["doc_id"] for r in s.doc_index.select("doc_id").orderBy("doc_id").collect()]
+    assert ids == list(range(n0 - 3))  # renumbered 0..n-1
+    assert "cluster_id" in s.doc_index.columns
+    assert s.doc_index.filter("cluster_id IS NULL").count() == 0
