@@ -70,11 +70,16 @@ class SparkRetriever:
                 "search_type='similarity_score_threshold' requires "
                 "search_kwargs={'score_threshold': ...}"
             )
+        # honor search_kwargs={'k': n} HERE, not only in as_retriever,
+        # so direct construction and the factory share one contract
+        # (ADVICE r6)
+        search_kwargs = dict(search_kwargs or {})
+        k = search_kwargs.pop("k", k)
         self.store = store
         self.k = k
         self.frame_cache_size = frame_cache_size
         self.search_type = search_type
-        self.search_kwargs = dict(search_kwargs or {})
+        self.search_kwargs = search_kwargs
         self._frame_cache: dict[int, Document] = {}
 
     # ----------------------------------------------------- Runnable surface
@@ -172,8 +177,21 @@ class SparkRetriever:
                 scored = self.store.similarity_search_with_score(
                     query, k=self.k, filter=self.search_kwargs["filter"]
                 )
+                # SAME essential-metadata shape as the unfiltered branch
+                # below (explicit source/category keys even when absent
+                # from the stored metadata) — the two paths must not
+                # return differently shaped Documents (ADVICE r6)
                 return [
-                    Document(page_content=d["page_content"], metadata=d["metadata"])
+                    Document(
+                        page_content=d["page_content"],
+                        metadata={
+                            "source": d["metadata"].get("source"),
+                            "category": d["metadata"].get("category"),
+                            "similarity": d["metadata"].get("similarity"),
+                            "metadata_type": "essential",
+                            **d["metadata"],
+                        },
+                    )
                     for d, _ in scored
                 ]
             results = self.store.search_text(query, k=self.k)

@@ -1071,14 +1071,14 @@ class SparkVectorStore:
         respected for upstream-shaped callers."""
         from langchain_memvid_spark.core.retriever import SparkRetriever
 
-        kw = dict(search_kwargs or {})
-        k = kw.pop("k", k)
+        # search_kwargs={'k': n} handling lives in SparkRetriever
+        # itself, so direct construction honors it identically
         return SparkRetriever(
             self,
             k=k,
             frame_cache_size=frame_cache_size,
             search_type=search_type,
-            search_kwargs=kw,
+            search_kwargs=search_kwargs,
         )
 
     # ------------------------------------------------------------ point lookups

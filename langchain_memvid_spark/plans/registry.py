@@ -1376,8 +1376,11 @@ def q_percentiles(spark, sf_dir):
 
 @_reg(
     "ivf_kmeans_search",
-    None,  # KMeans training is not SQL-expressible — driver rows-only
-    # check, but SELF-ASSERTING: empty result <=> recall@10 < 0.5
+    "SELECT 10 AS k, 0.5::DOUBLE AS bound, true AS passed",
+    # KMeans training is not SQL-expressible, so the HASHED output is
+    # the deterministic recall WITNESS (VERDICT r6 item 2): the row
+    # exists iff the in-plan recall@10 >= 0.5 guard held — a recall
+    # regression now turns the driver row RED instead of rows-only.
 )
 def q_ivf_kmeans(spark, sf_dir):
     """KMeans-trained IVF layout: partitionBy(cluster_id) write →
@@ -1386,9 +1389,11 @@ def q_ivf_kmeans(spark, sf_dir):
     scanned. Reference analog: the dead-code FAISS IVF gate
     (/root/reference/src/langchain_memvid/index.py:152-162).
 
-    Self-asserting (no SQL oracle can retrain the KMeans): the result
-    carries recall@10 vs the exact brute-force top-10 and returns ZERO
-    rows if it drops below 0.5 (measured 0.6 with these fixed seeds)."""
+    Driver-visible witness (no SQL oracle can retrain the KMeans): the
+    output is the single constant row (k, bound, passed=true), present
+    iff recall@10 vs the exact brute-force top-10 held >= 0.5 (measured
+    0.6 with these fixed seeds) — the constant-SELECT oracle hash turns
+    red the moment recall regresses."""
     import tempfile
 
     from langchain_memvid_spark.core.ivf import IVFIndex
@@ -1398,13 +1403,14 @@ def q_ivf_kmeans(spark, sf_dir):
     idx.write_layout(assigned, tempfile.mkdtemp(prefix="ivf_layout_"))
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     res = idx.search(spark, qvec, k=10, nprobe=2)
-    return topk.self_check_recall(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
+    return topk.recall_witness(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
 @_reg(
     "pq_search",
-    None,  # per-subspace KMeans codebooks are not SQL-expressible —
-    # rows-only, but SELF-ASSERTING: empty result <=> recall@10 < 0.5
+    "SELECT 10 AS k, 0.5::DOUBLE AS bound, true AS passed",
+    # per-subspace KMeans codebooks are not SQL-expressible — the
+    # hashed output is the recall WITNESS row (see ivf_kmeans_search)
 )
 def q_pq_search(spark, sf_dir):
     """Product-quantized ANN (operators/pq.py): 32× compressed m-byte
@@ -1413,8 +1419,9 @@ def q_pq_search(spark, sf_dir):
     int8 path (knn_topk_requantized). Reference analog: the FAISS IVFPQ
     index type the reference names but never trains (config.py:111-134).
 
-    Self-asserting: carries recall@10 vs the exact brute-force top-10;
-    ZERO rows if below 0.5 (measured 0.7 at n=500, 0.8 at n=20k).
+    Driver-visible witness: the constant row (k, bound, passed=true)
+    exists iff recall@10 vs the exact brute-force top-10 held >= 0.5
+    (measured 0.7 at n=500, 0.8 at n=20k).
 
     Codebook size and re-rank depth scale with the corpus (the sf1
     sweep caught fixed k=16/rerank=50 dropping recall to 0.3 at 20k
@@ -1431,13 +1438,14 @@ def q_pq_search(spark, sf_dir):
     coded = pq.pq_assign(emb, cbs)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     res = pq.pq_topk(coded, cbs, qvec, k=10, rerank=max(50, n // 200))
-    return topk.self_check_recall(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
+    return topk.recall_witness(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
 @_reg(
     "ivfpq_search",
-    None,  # KMeans clusters + codebooks — rows-only, but
-    # SELF-ASSERTING: empty result <=> recall@10 < 0.5
+    "SELECT 10 AS k, 0.5::DOUBLE AS bound, true AS passed",
+    # KMeans clusters + codebooks are not SQL-expressible — the hashed
+    # output is the recall WITNESS row (see ivf_kmeans_search)
 )
 def q_ivfpq_search(spark, sf_dir):
     """Full FAISS-IVFPQ analog: KMeans-partitioned layout carrying PQ
@@ -1448,8 +1456,9 @@ def q_ivfpq_search(spark, sf_dir):
     At 100 TB: scan nprobe/nlist of the files, read ~m bytes per
     surviving row, float math on `rerank` rows.
 
-    Self-asserting: carries recall@10 vs the exact brute-force top-10;
-    ZERO rows if below 0.5 (measured 0.6 with fixed seeds)."""
+    Driver-visible witness: the constant row (k, bound, passed=true)
+    exists iff recall@10 vs the exact brute-force top-10 held >= 0.5
+    (measured 0.6 with fixed seeds)."""
     import tempfile
 
     from langchain_memvid_spark.core.ivf import IVFIndex
@@ -1469,7 +1478,7 @@ def q_ivfpq_search(spark, sf_dir):
     probes = idx.probe_clusters(qvec, nprobe=2)
     corpus = spark.read.parquet(idx.path).filter(F.col("cluster_id").isin(probes))
     res = pq.pq_topk(corpus, cbs, qvec, k=10, rerank=max(50, n // 200))
-    return topk.self_check_recall(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
+    return topk.recall_witness(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
 @_reg(
@@ -1501,20 +1510,26 @@ def q_pq_stats(spark, sf_dir):
 
 @_reg(
     "pq_reconstruction_error",
-    None,  # codebooks from KMeans — rows-only, but SELF-ASSERTING:
-    # empty result <=> mean reconstruction cosine < 0.6
+    "SELECT 0.6::DOUBLE AS bound, true AS passed",
+    # codebooks from KMeans are not SQL-expressible — the hashed
+    # output is the quality WITNESS row (see ivf_kmeans_search)
 )
 def q_pq_recon(spark, sf_dir):
-    """PQ QUALITY summary: mean/min reconstruction cosine of the
-    decode (concat of assigned centroids) vs the original vectors.
-    Self-asserting: the single row is filtered away — loud EMPTY —
-    when the mean reconstruction cosine drops below 0.6 (measured
-    0.677 with fixed seeds at m=8, k=16, dim 64)."""
+    """PQ QUALITY gate: the decode (concat of assigned centroids) must
+    reconstruct the originals to mean cosine >= 0.6 (measured 0.677
+    with fixed seeds at m=8, k=16, dim 64). Driver-visible witness:
+    pq_reconstruction_stats keeps its row only while the bound holds,
+    and that row is reduced to the constant (bound, passed=true) the
+    SQL oracle states — a codebook-quality regression flips the driver
+    hash red."""
     from langchain_memvid_spark.operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
     cbs = pq.pq_train(emb, m=8, k=16)
-    return pq.pq_reconstruction_stats(pq.pq_assign(emb, cbs), cbs, min_mean_cos=0.6)
+    stats = pq.pq_reconstruction_stats(pq.pq_assign(emb, cbs), cbs, min_mean_cos=0.6)
+    return stats.limit(1).select(
+        F.lit(0.6).alias("bound"), F.lit(True).alias("passed")
+    )
 
 
 @_reg(
@@ -2316,18 +2331,20 @@ def q_stream_interval_join(spark, sf_dir):
 
 @_reg(
     "lsh_ann_search",
-    None,  # random-hyperplane buckets are MLlib-internal — rows-only,
-    # but SELF-ASSERTING: empty result <=> recall@10 < 0.6
+    "SELECT 10 AS k, 0.6::DOUBLE AS bound, true AS passed",
+    # random-hyperplane buckets are MLlib-internal — the hashed output
+    # is the recall WITNESS row (see ivf_kmeans_search)
 )
 def q_lsh(spark, sf_dir):
     """ANN via MLlib BucketedRandomProjectionLSH — the no-training
     alternative to the KMeans/IVF layout (operators/topk.lsh_search).
 
-    Self-asserting: carries recall@10 vs the exact brute-force L2
-    top-10; ZERO rows if below 0.6 (measured 0.9 with fixed seed)."""
+    Driver-visible witness: the constant row (k, bound, passed=true)
+    exists iff recall@10 vs the exact brute-force L2 top-10 held
+    >= 0.6 (measured 0.9 with fixed seed)."""
     emb = _t(spark, sf_dir, "embeddings")
     res = topk.lsh_search(emb)
-    return topk.self_check_recall(res, topk.knn_topk_l2(emb, k=10), k=10, bound=0.6)
+    return topk.recall_witness(res, topk.knn_topk_l2(emb, k=10), k=10, bound=0.6)
 
 
 @_reg(
@@ -4189,6 +4206,116 @@ def q_stream_ingest_ivf(spark, sf_dir):
             F.col("cluster_id").cast("int").alias("cluster_id"),
             F.round("__s", 4).alias("sim"),
         )
+    )
+
+
+@_reg(
+    "vs_ivf_search",
+    """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT 'exact' AS part, e.vec_id AS doc_id,
+    round(list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings e, q
+  ORDER BY list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+           e.vec_id
+  LIMIT 10)
+SELECT * FROM top
+UNION ALL SELECT 'witness', CAST(-1 AS BIGINT), 0.3::DOUBLE
+""",
+)
+def q_vs_ivf_search(spark, sf_dir):
+    """The STORE's own search on a live IVF layout (VERDICT r6 item 1
+    — the reference's dead IVF gate, index.py:152-162, made live end
+    to end): the embeddings table bulk-loads through add_dataframe,
+    the 30·nlist-gated KMeans trains, the corpus lands
+    partitionBy(cluster_id), and similarity search runs through
+    SparkVectorStore._topk with the cluster_id PartitionFilter (the
+    plan assertion lives in tests/test_store.py).
+
+    Two driver-hashed halves: at nprobe=nlist the pruned search is
+    EXACT, so the top-10 rows hash against the brute-force SQL; at
+    nprobe=2 the partial-probe result contributes the constant
+    witness row ('witness', -1, 0.3) iff recall@10 >= 0.3 held
+    (measured 0.4 with these seeds)."""
+    from langchain_memvid_spark.config import EngineConfig, IndexConfig
+    from langchain_memvid_spark.core.store import SparkVectorStore
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=8, nprobe=8,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    store = SparkVectorStore(spark, config=cfg)
+    store.add_dataframe(
+        emb.withColumn("__t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="__t", order_col="vec_id", embedding_col="embedding",
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    store.config.index.nprobe = 8  # = nlist: every cluster probed -> exact
+    exact = (
+        store._topk(qvec, 10)
+        .select("doc_id", F.round("similarity", 4).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    store.config.index.nprobe = 2  # partial probe: witness the recall
+    approx = store._topk(qvec, 10).select("doc_id")
+    hits = approx.join(exact.select("doc_id"), "doc_id", "left_semi")
+    witness = (
+        hits.agg((F.count("*") / F.lit(10.0)).alias("__r"))
+        .filter(F.col("__r") >= 0.3)
+        .select(
+            F.lit("witness").alias("part"),
+            F.lit(-1).cast("long").alias("doc_id"),
+            F.lit(0.3).alias("sim"),
+        )
+    )
+    return exact.select(
+        F.lit("exact").alias("part"), "doc_id", "sim"
+    ).unionByName(witness)
+
+
+@_reg(
+    "vs_score_threshold_search",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id, {COS.format(a='e.embedding', b='q.embedding')} AS c
+  FROM embeddings e, q
+  ORDER BY c DESC, e.vec_id
+  LIMIT 10)
+SELECT vec_id, round(least(1.0, greatest(0.0, (1.0 + c) / 2.0)), 4) AS relevance
+FROM top
+WHERE least(1.0, greatest(0.0, (1.0 + c) / 2.0)) >= 0.6
+ORDER BY c DESC, vec_id
+""",
+)
+def q_vs_score_threshold(spark, sf_dir):
+    """The retriever's similarity_score_threshold contract (VERDICT r6
+    item 8) pinned by a hash oracle: top-k FIRST (k=10), THEN the
+    boundary-INCLUSIVE >= threshold filter over the normalized
+    relevance map — LangChain's as_retriever semantics, where the
+    threshold can only shrink the k-truncated result, never widen it.
+    Built from the SAME relevance_score_col expression the store API
+    computes in-plan (functions/vector.py), so retriever, store, and
+    oracle share one map."""
+    from langchain_memvid_spark.functions.vector import (
+        cosine_sim,
+        relevance_score_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    rel = relevance_score_col(F.col("__c").cast("double"), "cosine")
+    return (
+        emb.withColumn("__c", cosine_sim(F.col("embedding"), q))
+        .orderBy(F.col("__c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .filter(rel >= 0.6)
+        .select("vec_id", F.round(rel, 4).alias("relevance"))
     )
 
 

@@ -169,3 +169,29 @@ def test_decode_all_frames(retriever):
     docs = retriever.decode_all_frames()
     assert len(docs) == 5
     assert all(isinstance(d, Document) for d in docs)
+
+
+def test_direct_construction_honors_search_kwargs_k(spark):
+    """ADVICE r6: SparkRetriever built directly must honor
+    search_kwargs={'k': n} exactly like as_retriever does."""
+    store = SparkVectorStore.from_texts(TEXTS, spark, metadatas=METAS)
+    r = SparkRetriever(store, k=4, search_kwargs={"k": 2})
+    assert r.k == 2
+    assert len(r.invoke(TEXTS[0])) == 2
+    # factory path unchanged
+    assert store.as_retriever(k=4, search_kwargs={"k": 2}).k == 2
+
+
+def test_filtered_and_unfiltered_metadata_same_shape(spark):
+    """ADVICE r6: the similarity path must return the SAME essential-
+    metadata key set whether or not a filter is set."""
+    store = SparkVectorStore.from_texts(TEXTS, spark, metadatas=METAS)
+    plain = SparkRetriever(store, k=2).invoke(TEXTS[1])
+    filtered = SparkRetriever(
+        store, k=2, search_kwargs={"filter": {"category": "misc"}}
+    ).invoke(TEXTS[1])
+    base_keys = {"source", "category", "similarity", "metadata_type"}
+    for d in plain + filtered:
+        assert base_keys <= set(d.metadata)
+        assert d.metadata["metadata_type"] == "essential"
+    assert plain[0].metadata["source"] == filtered[0].metadata["source"]
