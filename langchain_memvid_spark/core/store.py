@@ -61,7 +61,12 @@ from langchain_memvid_spark.exceptions import (
     StorageError,
 )
 from langchain_memvid_spark.functions.vector import dot, l2_normalize, l2_sq
-from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols, query_codes
+from langchain_memvid_spark.operators.quantize import (
+    int8_dot,
+    quantize4_cols,
+    quantize_cols,
+    query_codes,
+)
 
 INGEST_SCHEMA = StructType(
     [
@@ -85,6 +90,12 @@ INDEX_SCHEMA = StructType(
         # touches float32 only for the re-rank candidates.
         StructField("qscale", DoubleType()),
         StructField("qvec", ArrayType(ByteType())),
+        # packed int4 codes + scale (2 vectors/byte): the sub-byte tier
+        # of the quantization ladder, persisted at ingest so int4
+        # search scans stored codes instead of re-deriving them per
+        # query (VERDICT r6 item 6).
+        StructField("pscale", DoubleType()),
+        StructField("pvec", ArrayType(ByteType())),
     ]
 )
 
@@ -197,12 +208,34 @@ def _typed_json_col(key: str, dtype: str) -> F.Column:
     under boolean only for the bare literal).  For 'string' the
     coercing string extraction is masked to NULL wherever the value
     strictly parses as a number or boolean, so declared-string keys
-    never match stored numerics."""
+    never match stored numerics.
+
+    Special float literals (ADVICE r6): from_json parses the JSON
+    STRINGS "NaN"/"Infinity"/"+INF"/"-INF" as doubles, which would (a)
+    mask a declared-string key storing "NaN" to NULL and (b) let a
+    declared-double key match the STRING "NaN" against numeric range
+    filters.  When the extracted double is non-finite, a raw-text
+    check (is the value quoted in the stored JSON?) decides: quoted →
+    it is a string (excluded from the numeric type, visible to the
+    string type); bare → a genuine non-finite number.  The check
+    anchors on '{{' or ',' before the key, so an escaped \\" inside
+    another value cannot fake it (only a same-named key inside a
+    NESTED object value could — nested keys are outside this flat
+    dialect's contract)."""
     mj = F.col("metadata_json")
+    quoted = mj.rlike('[{,]\\s*"' + key + '"\\s*:\\s*"')
+
+    def _nonfinite(c: F.Column) -> F.Column:
+        return F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+
     if dtype == "string":
-        is_num = F.from_json(mj, f"`{key}` double")[key].isNotNull()
+        num = F.from_json(mj, f"`{key}` double")[key]
+        is_num = num.isNotNull() & ~(_nonfinite(num) & quoted)
         is_bool = F.from_json(mj, f"`{key}` boolean")[key].isNotNull()
         return F.when(~is_num & ~is_bool, F.get_json_object(mj, f"$.{key}"))
+    if dtype == "double":
+        num = F.from_json(mj, f"`{key}` double")[key]
+        return F.when(~(_nonfinite(num) & quoted), num)
     return F.from_json(mj, f"`{key}` {dtype}")[key]
 
 
@@ -454,11 +487,17 @@ class SparkVectorStore:
         if self.config.index.metric == "cosine":
             enriched = enriched.withColumn("embedding", l2_normalize(F.col("embedding")))
         qscale, qvec = quantize_cols(F.col("embedding"))
-        enriched = enriched.withColumn("qscale", qscale).withColumn("qvec", qvec)
+        pscale, pvec = quantize4_cols(F.col("embedding"))
+        enriched = (
+            enriched.withColumn("qscale", qscale)
+            .withColumn("qvec", qvec)
+            .withColumn("pscale", pscale)
+            .withColumn("pvec", pvec)
+        )
 
         new_index = enriched.select(
             "doc_id", "text", "source", "category", "metadata_json", "metadata_hash",
-            "embedding", "qscale", "qvec",
+            "embedding", "qscale", "qvec", "pscale", "pvec",
         )
         new_payload = enriched.select(
             "doc_id",
@@ -1140,7 +1179,7 @@ class SparkVectorStore:
         old_index, old_payload = self._doc_index, self._payload
         idx_cols = [
             "doc_id", "text", "source", "category", "metadata_json",
-            "metadata_hash", "embedding", "qscale", "qvec",
+            "metadata_hash", "embedding", "qscale", "qvec", "pscale", "pvec",
         ]
         if self._ivf is not None:
             idx_cols.append("cluster_id")  # assignments survive deletes
@@ -1403,6 +1442,10 @@ class SparkVectorStore:
                 # (unionByName) and the compressed first pass keep working
                 qscale, qvec = quantize_cols(F.col("embedding"))
                 idx = idx.withColumn("qscale", qscale).withColumn("qvec", qvec)
+            if "pvec" not in idx.columns:
+                # pre-r7 save: backfill the packed int4 tier the same way
+                pscale, pvec = quantize4_cols(F.col("embedding"))
+                idx = idx.withColumn("pscale", pscale).withColumn("pvec", pvec)
             cents_path = os.path.join(path, "ivf_centroids")
             if "cluster_id" in idx.columns and os.path.isdir(cents_path):
                 # restore the IVF layout: the saved doc_index IS the

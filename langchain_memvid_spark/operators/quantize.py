@@ -283,14 +283,26 @@ def knn_topk_int4(
     rows on true cosine. The 100 TB reading: the first pass scans
     ceil(dim/2) bytes per vector — 8× fewer than float32 — at a
     recall cost the coarser codes make visible, which is exactly why
-    the exact re-rank follows. FAISS analog: SQ4 + refine."""
+    the exact re-rank follows. FAISS analog: SQ4 + refine.
+
+    When the input carries PERSISTED code columns (``pvec`` +
+    ``pscale``, written at ingest like the store's int8 qvec), the
+    first pass scans them directly instead of re-deriving the packed
+    codes from the float column per query — the sf10 ladder measured
+    the in-plan derivation at 40.6× because every search paid the
+    quantization again. The derive path stays for no-ingest inputs."""
     from langchain_memvid_spark.functions.vector import cosine_sim
 
     # same missing-query contract as topk.knn_topk / ivf_search: an
     # absent id must raise, not silently empty out both broadcast sides
     if embeddings.filter(F.col(id_col) == query_vec_id).head() is None:
         raise ValueError(f"query {id_col}={query_vec_id} not found in the corpus")
-    q = quantize4_embeddings(embeddings, id_col, vec_col)
+    if "pvec" in embeddings.columns and "pscale" in embeddings.columns:
+        q = embeddings.select(
+            F.col(id_col), F.col("pscale").alias("scale"), F.col("pvec")
+        )
+    else:
+        q = quantize4_embeddings(embeddings, id_col, vec_col)
     qrow = q.filter(F.col(id_col) == query_vec_id).select(F.col("pvec").alias("__qq"))
     first_pass = (
         q.crossJoin(F.broadcast(qrow))

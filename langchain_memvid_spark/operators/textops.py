@@ -391,8 +391,17 @@ def stratified_sample_exact(
     )
 
 
+# Vocabulary tables at or below this many terms broadcast to the
+# scoring join (a unigram vocab is ~50 B/term -> tens of MB); above it
+# the join stays a shuffle equi-join on the term. Same exact-count
+# strategy pick as the simhash band join (dedup.py) — the sf10 ladder
+# measured the blanket shuffle at 46.4x because 25 M token rows were
+# shuffled against a vocabulary that is TINY at every tested SF.
+_VOCAB_BROADCAST_ROW_LIMIT = 1_000_000
+
+
 def unigram_logprob_scores(
-    documents: DataFrame, text_col: str = "text"
+    documents: DataFrame, text_col: str = "text", n_terms: int | None = None
 ) -> DataFrame:
     """Per-document mean unigram surprisal −avg(ln p(token)) under the
     corpus's own unigram LM — the cheapest 'perplexity-ish' quality
@@ -401,9 +410,13 @@ def unigram_logprob_scores(
 
     One aggregation builds the LM (token → count), a broadcast-sized
     grand total turns counts into probabilities, and one join scores
-    every token occurrence — all JVM-side. The token-count table is
-    vocabulary-sized; for web-scale vocabularies the join is a plain
-    shuffle equi-join on the token (never collected)."""
+    every token occurrence — all JVM-side. The scoring join picks its
+    strategy from an EXACT vocabulary count (the distinct-term count
+    runs EAGERLY at plan-build time unless ``n_terms`` is passed):
+    broadcast at or below _VOCAB_BROADCAST_ROW_LIMIT terms — the token
+    stream never shuffles, the corpus-sized side stays map-side —
+    shuffle equi-join above (web-scale vocabularies, never
+    collected)."""
     from langchain_memvid_spark.functions.text import tokens as _tokens
 
     tok = documents.select(
@@ -415,6 +428,10 @@ def unigram_logprob_scores(
         "term",
         (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("p"),
     )
+    if n_terms is None:
+        n_terms = counts.count()
+    if n_terms <= _VOCAB_BROADCAST_ROW_LIMIT:
+        probs = F.broadcast(probs)
     return (
         tok.join(probs, "term")
         .groupBy("doc_id")

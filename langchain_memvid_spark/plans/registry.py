@@ -3696,6 +3696,34 @@ def q_quantization_int4(spark, sf_dir):
     return quantization4_report(_t(spark, sf_dir, "embeddings"))
 
 
+_INT4_LAYOUTS: dict[str, str] = {}
+
+
+def _int4_table(spark, sf_dir):
+    """Embeddings WITH PERSISTED packed int4 codes — written once per
+    (process, sf_dir) like an ingest would, so repeated searches
+    measure SEARCH, not re-quantization (VERDICT r6 item 6: the sf10
+    ladder measured the per-query in-plan derivation at 40.6×; the
+    store now persists pvec/pscale at ingest the same way)."""
+    path = _INT4_LAYOUTS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from langchain_memvid_spark.operators.quantize import quantize4_cols
+
+        path = tempfile.mkdtemp(prefix="int4_layout_")
+        scale, pvec = quantize4_cols(F.col("embedding"))
+        (
+            _t(spark, sf_dir, "embeddings")
+            .withColumn("pscale", scale)
+            .withColumn("pvec", pvec)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _INT4_LAYOUTS[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 @_reg(
     "knn_topk_int4",
     f"""
@@ -3723,14 +3751,16 @@ LIMIT 10
 """,
 )
 def q_knn_int4(spark, sf_dir):
-    """Two-phase SQ4 search: packed-nibble integer first pass (scan
-    ceil(dim/2) bytes/vector — 8× less than float32), debiased
-    qscore·scale candidate cut, exact cosine re-rank of 50. The oracle
-    scores the UNPACKED codes — equal by construction since the pad
-    nibble is 0 — so a packing defect would break the hash match."""
+    """Two-phase SQ4 search over PERSISTED packed codes: the integer
+    first pass scans the stored pvec column (ceil(dim/2) bytes/vector
+    — 8× less than float32, and no per-query re-quantization),
+    debiased qscore·scale candidate cut, exact cosine re-rank of 50.
+    The oracle derives and scores the UNPACKED codes from the floats —
+    equal by construction since the pad nibble is 0 — so a packing OR
+    persistence defect breaks the hash match."""
     from langchain_memvid_spark.operators.quantize import knn_topk_int4
 
-    return knn_topk_int4(_t(spark, sf_dir, "embeddings"))
+    return knn_topk_int4(_int4_table(spark, sf_dir))
 
 
 @_reg(

@@ -775,3 +775,38 @@ def test_ivf_delete_renumber_rewrites_layout(spark):
     assert ids == list(range(n0 - 3))  # renumbered 0..n-1
     assert "cluster_id" in s.doc_index.columns
     assert s.doc_index.filter("cluster_id IS NULL").count() == 0
+
+
+def test_typed_filter_special_float_literals(spark):
+    """ADVICE r6: the JSON STRING "NaN" under a declared-string key
+    must stay visible to string filters, and under a declared-double
+    key must NOT match numeric filters; a BARE NaN stays numeric."""
+    from pyspark.sql import functions as F
+
+    from langchain_memvid_spark.core.store import metadata_predicate
+
+    rows = [
+        (0, '{"v": "NaN"}'),        # string "NaN"
+        (1, '{"v": NaN}'),          # bare non-finite number
+        (2, '{"v": "Infinity"}'),   # string "Infinity"
+        (3, '{"v": 2.5}'),          # plain number
+        (4, '{"v": "2.5"}'),        # numeric-looking string
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, metadata_json STRING")
+
+    def ids(pred):
+        return sorted(r["doc_id"] for r in df.filter(pred).collect())
+
+    # declared string: the quoted literals match string equality
+    assert ids(metadata_predicate({"v": "NaN"}, schema={"v": "string"})) == [0]
+    assert ids(metadata_predicate({"v": "Infinity"}, schema={"v": "string"})) == [2]
+    assert ids(metadata_predicate({"v": "2.5"}, schema={"v": "string"})) == [4]
+    # declared double: quoted "NaN"/"Infinity" are NOT numbers; the
+    # bare NaN is excluded from range matches by NaN semantics... but
+    # Spark orders NaN above all doubles, so assert the quoted rows
+    # specifically cannot sneak in via $gt
+    gt = ids(metadata_predicate({"v": {"$gt": 1.0}}, schema={"v": "double"}))
+    assert 0 not in gt and 2 not in gt
+    assert 3 in gt
+    eq = ids(metadata_predicate({"v": 2.5}, schema={"v": "double"}))
+    assert eq == [3]
