@@ -112,6 +112,33 @@ def main() -> None:
     by_vec = vs.similarity_search_by_vector(qv, k=2)
     print(f"by-vector picks: {[d['doc_id'] for d in by_vec]}")
 
+    # IVF layout in the STORE itself (round 7): opt in with
+    # IndexConfig(ivf=True) and bulk-load a pre-embedded DataFrame —
+    # once the corpus passes the 30*nlist gate the store trains
+    # KMeans, persists the corpus partitionBy(cluster_id), and every
+    # similarity search scans only the nprobe probed clusters
+    # (file-level partition pruning: the 100 TB search path).
+    from langchain_memvid_spark.config import EngineConfig, IndexConfig
+
+    emb_table = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf_cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=2,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    ivf_vs = SparkVectorStore(spark, config=ivf_cfg)
+    n = ivf_vs.add_dataframe(
+        emb_table.withColumn("t", F.concat(F.lit("vec-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    qv0 = [float(x) for x in emb_table.filter(F.col("vec_id") == 0).head()["embedding"]]
+    pruned = ivf_vs.similarity_search_by_vector(qv0, k=3)
+    print(
+        f"\nIVF store: {n} rows, {len(ivf_vs.ivf_index.centroids)} clusters, "
+        f"nprobe=2 picks: {[d['doc_id'] for d in pruned]}"
+    )
+
     # tabular rendering ≙ the reference's %%as_table notebook magic
     # (ext.py:531) — engine-side the equivalent is one createDataFrame
     # + show(): search results are plain rows, so any Spark sink or

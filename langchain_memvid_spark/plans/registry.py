@@ -4430,74 +4430,68 @@ _DRIVER_GREEN = {
     "unigram_logprob_scores", "embedding_quantization_int4",
     "knn_topk_int4", "pq_reconstruction_error", "pretrain_pipeline_v4",
     "vs_metadata_filter_range",
+    # CORRECTNESS_r06.json: 50 full hash passes, zero failures. New
+    # names not already listed above:
+    "mmr_search", "vs_relevance_scores", "vs_metadata_filter_typed",
+    "stream_ingest_ivf",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 6:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 7:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
-# actually landed belongs here (the r3 list claimed work that never
-# shipped — VERDICT r3 "What's wrong" #3); grown as round-6 work lands.
+# actually landed belong here.
 _CHANGED_THIS_ROUND = (
-    # r6 A/B-adjudicated join-strategy change: size-aware broadcast vs
-    # merge pick from an exact band-row count (output identical; the
-    # PLAN changed, so re-green it)
-    "simhash_near_pairs",
-    # default flipped to the shuffle join (AQE recovers the broadcast);
-    # output identical, plan changed — pretrain_pipeline_v2 calls
-    # decontaminate with defaults, so its plan changed too
-    "decontaminate",
-    "pretrain_pipeline_v2",
-    # relevance maps now built from the shared Catalyst expression the
-    # store computes in-plan (values identical, provenance changed)
-    "vs_relevance_scores",
+    # rows-only -> driver-visible witness conversion (output AND oracle
+    # changed: the hashed row is now the constant recall/quality
+    # witness — VERDICT r6 item 2)
+    "ivf_kmeans_search",
+    "pq_search",
+    "ivfpq_search",
+    "pq_reconstruction_error",
+    "lsh_ann_search",
+    # now searches a PERSISTED packed-code layout instead of deriving
+    # int4 codes in-plan per query (VERDICT r6 item 6)
+    "knn_topk_int4",
+    # scoring join now broadcasts the vocabulary under an exact-count
+    # bound (VERDICT r6 item 5) — output identical, plan changed
+    "unigram_logprob_scores",
+    # nearest_centroid_col gained the zero-norm ANSI guard (ADVICE r6)
+    # — assignment expression changed, output identical
+    "stream_ingest_ivf",
+    "stream_ingest_store",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 5 the newest-signal distribution is 45 queries at
-# r3, 45 at r4, 50 at r5 (zero failures as latest state).  Round 6
-# rotates onto the 45 r3-era rows: with ~4 new r6 queries in the
-# pending tier and 2 in changed, the ~50-query budget covers changed +
-# pending + ~44 of these (core search/vs_* paths ordered first; at most
-# one r3-era name slips to r7).  Rotate each round so every query gets
-# hard driver signal at least every ~2 rounds.
+# first.  After round 6 the newest-signal distribution is 2 queries at
+# r3, 43 at r4, 49 at r5, 50 at r6 (zero failures as latest state).
+# Round 7 rotates onto the r3 pair + the r4 block: with 2 new r7
+# queries pending and 9 in changed, the ~50-query budget covers
+# changed + pending + the 2 r3-era + ~37 of the 43 r4-era names (the
+# six simple-aggregate queries at the tail — their operator shapes are
+# re-verified through other green queries — slip to round 8).
 _STALE_ROTATION = (
-    # newest signal is r3 (oldest — all 45; search/store surface first)
-    "vs_storage_stats", "knn_topk", "knn_batch", "pretrain_pipeline_stats",
-    "ivf_search", "dedup_exact", "ngram_jaccard", "simhash",
-    "minhash_signatures", "minhash_band_pairs",
-    "embedding_cosine_pairs", "embedding_candidate_pairs",
-    "embedding_quantization", "stream_near_dedup",
-    "stream_dedup_within_watermark", "text_token_counts", "text_quality",
-    "text_lang_id", "text_fingerprint", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_regional_revenue",
-    "q21_sole_late_supplier", "top_customers_per_nation",
-    "orders_rollup", "running_revenue", "customers_without_orders",
-    "urgent_building_customers", "scalar_showcase", "events_hourly",
-    "events_sessionize", "events_json_stats", "customer_quartiles",
-    "cohort_retention", "dense_hourly_counts", "filtered_aggregates",
-    "per_user_zscore", "order_age_buckets", "part_name_string_ops",
-    "orders_unpivot", "sql_interface_demo", "rolling_30d_revenue",
-    "udtf_bigram_counts", "window_function_showcase",
-    "quality_filter_summary",
-    # newest signal is r4 (picked up as far as the budget reaches)
-    "knn_topk_l2", "vs_delete_renumber", "knn_topk_filtered", "sequence_packing",
-    "domain_weighted_sample", "dedup_clusters", "dedup_clusters_star",
-    "canonical_docs", "event_funnel", "value_outliers_iqr",
-    "knn_topk_quantized", "knn_topk_requantized",
-    "text_bpe_token_counts", "text_repetition_stats", "train_val_split",
-    "pii_scrub", "media_header_info", "image_resize_stats",
-    "video_header_info", "video_frames_extract", "udaf_median_price",
-    "minhash_jaccard_estimates", "monthly_order_stats", "order_gaps",
-    "orders_cube", "part_type_stats", "event_type_pivot",
-    "above_avg_customers", "big_spender_customers",
-    "doc_length_histogram", "ivf_centroid_stats", "purchase_attribution",
-    "price_percentiles", "q4_late_shipment_priority",
+    # newest signal is r3 (oldest)
+    "window_function_showcase", "quality_filter_summary",
+    # newest signal is r4 — search / store / multimodal / pipeline
+    # surface first, simple aggregates last
+    "knn_topk_l2", "knn_topk_filtered", "knn_topk_quantized",
+    "knn_topk_requantized", "ivf_centroid_stats", "vs_delete_renumber",
+    "multimodal_features", "image_resize_stats", "video_header_info",
+    "video_frames_extract", "media_header_info", "sequence_packing",
+    "domain_weighted_sample", "train_val_split", "pretrain_pipeline_v3",
+    "text_bpe_token_counts", "text_repetition_stats", "pii_scrub",
+    "dedup_clusters", "dedup_clusters_star", "canonical_docs",
+    "minhash_jaccard_estimates", "udaf_median_price", "event_funnel",
+    "value_outliers_iqr", "purchase_attribution", "event_type_pivot",
+    "orders_cube", "order_gaps", "q4_late_shipment_priority",
     "q6_forecast_revenue", "q7_nation_volume", "q9_product_profit",
     "q10_returned_items", "q13_customer_distribution",
-    "q16_supplier_counts", "q20_excess_shipments", "multimodal_features",
-    "pretrain_pipeline_v2", "pretrain_pipeline_v3",
+    "q16_supplier_counts", "q20_excess_shipments",
+    # tail — may slip to round 8 under the budget
+    "above_avg_customers", "big_spender_customers", "monthly_order_stats",
+    "part_type_stats", "price_percentiles", "doc_length_histogram",
 )
 
 
