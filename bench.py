@@ -81,6 +81,12 @@ EXTENDED = [
     "mmr_search",
     "vs_relevance_scores",
     "vs_metadata_filter_typed",
+    # round-7 operators (vs_ivf_search stays out: its wall time is the
+    # one-time store ingest + KMeans train + layout write, not
+    # steady-state search latency — the same amortized-cost exclusion
+    # as bucketed_colocated_join; it remains oracle-checked, and the
+    # steady-state pruned-search path is what ivf_search measures)
+    "vs_score_threshold_search",
 ]
 
 
