@@ -668,12 +668,6 @@ class SparkVectorStore:
 
     # ------------------------------------------------------------------ search
 
-    def _score(self, qvec: list[float]) -> DataFrame:
-        q = F.array(*[F.lit(float(x)) for x in qvec])
-        if self.config.index.metric == "l2":
-            return self._doc_index.withColumn("similarity", l2_sq(F.col("embedding"), q))
-        return self._doc_index.withColumn("similarity", dot(F.col("embedding"), q))
-
     def _phase1_candidates(
         self, qvec: list[float], candidates: int, base: DataFrame | None = None
     ) -> DataFrame:
