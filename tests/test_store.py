@@ -863,3 +863,35 @@ def test_add_dataframe_dedup_and_metadata(spark):
     # order_col is mandatory (deterministic ids)
     with pytest.raises(IndexError_):
         s.add_dataframe(df, text_col="txt")
+
+
+def test_ivf_composes_with_int8_first_pass(spark):
+    """With IVF active AND rerank_candidates > 0, the store composes
+    BOTH pruning layers: the scan shows a cluster_id PartitionFilter,
+    and the phase-1 ReadSchema touches only the code columns (doc_id,
+    qscale, qvec) — floats are read only for the re-rank join."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=2,
+            ivf_min_points_factor=5, rerank_candidates=64,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    plan = s._topk(qvec, 10)._jdf.queryExecution().executedPlan().toString()
+    # every scan in this plan is pruned (phase-1 codes scan AND re-rank scan)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("cluster_id" in l.split("PartitionFilters")[1][:80] for l in scans if "PartitionFilters" in l)
+    # at least one scan reads ONLY the code columns (no embedding)
+    code_only = [
+        l for l in scans
+        if "ReadSchema" in l and "qvec" in l.split("ReadSchema")[1] and "embedding" not in l.split("ReadSchema")[1]
+    ]
+    assert code_only, f"no code-only scan in plan:\n{plan}"
