@@ -124,7 +124,7 @@ class IVFIndex:
 
         try:
             from pyspark.ml.clustering import KMeans
-            from pyspark.ml.functions import array_to_vector, vector_to_array
+            from pyspark.ml.functions import array_to_vector
         except ImportError as e:  # pragma: no cover
             raise IndexError_(f"MLlib unavailable: {e}") from e
 

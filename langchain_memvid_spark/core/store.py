@@ -623,6 +623,38 @@ class SparkVectorStore:
         the corpus is below the training gate / IVF is disabled."""
         return self._ivf
 
+    def rebuild_ivf(self, nlist: int | None = None) -> bool:
+        """Retrain the quantizer on the CURRENT corpus and rewrite the
+        layout — the drift repair for long-lived stores: appends are
+        assigned under the ORIGINAL centroids, so a shifted data
+        distribution slowly skews clusters (hot partitions, weaker
+        pruning). Optionally resizes ``nlist`` (a growing corpus wants
+        more clusters: pruning ratio is nprobe/nlist). Returns True
+        when a fresh layout was trained and swapped in; False when IVF
+        is disabled or the corpus is still below the training gate."""
+        ic = self.config.index
+        if not ic.ivf:
+            return False
+        if nlist is not None:
+            ic.nlist = nlist
+        if self._count < ic.ivf_min_points_factor * ic.nlist:
+            return False
+        self._ivf = None  # force a retrain over the current corpus
+        self._maybe_build_ivf()
+        return self._ivf is not None
+
+    def ivf_cluster_sizes(self) -> DataFrame:
+        """Per-cluster row counts — the skew health check for the
+        layout (a hot cluster means weaker pruning for queries probing
+        it; rebuild_ivf with a larger nlist is the repair)."""
+        if self._ivf is None:
+            raise IndexError_("no IVF layout is active")
+        return (
+            self._doc_index.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("cluster_id")
+        )
+
     # Each append/delete nests the logical plan one level deeper
     # (union/anti-join over the previous plan). Caching bounds
     # RECOMPUTATION but not driver-side plan processing — thousands of

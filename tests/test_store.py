@@ -895,3 +895,32 @@ def test_ivf_composes_with_int8_first_pass(spark):
         if "ReadSchema" in l and "qvec" in l.split("ReadSchema")[1] and "embedding" not in l.split("ReadSchema")[1]
     ]
     assert code_only, f"no code-only scan in plan:\n{plan}"
+
+
+def test_ivf_rebuild_retrains_and_resizes(spark):
+    """rebuild_ivf retrains on the current corpus (drift repair) and
+    can resize nlist; the new layout stays exact at full probe."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    before = [r["doc_id"] for r in s._topk(qvec, 10).collect()]
+    sizes4 = {r["cluster_id"]: r["n_docs"] for r in s.ivf_cluster_sizes().collect()}
+    assert sum(sizes4.values()) == s.get_document_count() and len(sizes4) <= 4
+
+    assert s.rebuild_ivf(nlist=8)
+    assert len(s.ivf_index.centroids) == 8
+    s.config.index.nprobe = 8  # full probe on the NEW layout -> same exact top-k
+    assert [r["doc_id"] for r in s._topk(qvec, 10).collect()] == before
+    assert s.doc_index.filter("cluster_id IS NULL").count() == 0
