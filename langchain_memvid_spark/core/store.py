@@ -1497,6 +1497,63 @@ class SparkVectorStore:
         store._count = store._doc_index.count()
         return store
 
+    @classmethod
+    def attach(
+        cls,
+        table_path: str,
+        spark: SparkSession,
+        embeddings: Any | None = None,
+        config: EngineConfig | None = None,
+        centroids: list[tuple[int, list[float]]] | None = None,
+    ) -> "SparkVectorStore":
+        """Open a SEARCHABLE store over an externally written
+        doc_index-shaped parquet table WITHOUT copying it — the
+        composition closer for streaming ingest: the exactly-once sink
+        (streaming/documents.py stream_ingest_store / stream_ingest_ivf)
+        writes doc_id/text/metadata/embedding/qscale/qvec rows, and
+        attach() puts the full search surface (similarity / MMR /
+        relevance / batch / hybrid) on top of them in place.
+
+        Missing engine columns are derived in-plan (category from the
+        metadata JSON, int8/int4 codes from the floats). When the table
+        carries a ``cluster_id`` partition column AND ``centroids`` are
+        supplied (the same list the streaming assignment used), the
+        partition-pruned IVF search path is live immediately — streamed
+        rows are probed, not full-scanned, and the table stays an
+        UNCACHED scan so the cluster_id filter remains a file-level
+        PartitionFilter. Payload rows (full-metadata tier) are not part
+        of the streamed table; include_full_metadata returns the
+        essential tier only."""
+        store = cls(spark, embeddings=embeddings, config=config)
+        try:
+            idx = spark.read.parquet(table_path)
+        except Exception as e:
+            raise StorageError(f"attach of {table_path} failed: {e}") from e
+        if "category" not in idx.columns:
+            idx = idx.withColumn(
+                "category",
+                F.from_json(F.col("metadata_json"), "category STRING")["category"],
+            )
+        if "qvec" not in idx.columns:
+            qscale, qvec = quantize_cols(F.col("embedding"))
+            idx = idx.withColumn("qscale", qscale).withColumn("qvec", qvec)
+        if "pvec" not in idx.columns:
+            pscale, pvec = quantize4_cols(F.col("embedding"))
+            idx = idx.withColumn("pscale", pscale).withColumn("pvec", pvec)
+        keep = [f.name for f in INDEX_SCHEMA.fields]
+        if "cluster_id" in idx.columns and centroids is not None:
+            from langchain_memvid_spark.core.ivf import IVFIndex
+
+            store._ivf = IVFIndex(
+                sorted((int(c), [float(x) for x in v]) for c, v in centroids),
+                path=table_path,
+            )
+            store._doc_index = idx.select(keep + ["cluster_id"])
+        else:
+            store._doc_index = idx.select(keep).cache()
+        store._count = store._doc_index.count()
+        return store
+
     # ------------------------------------------------------------- dataframes
 
     @property

@@ -252,3 +252,56 @@ def test_stream_ingest_ivf_partitioned_and_batch_parity(spark, sf_dir, tmp_path_
     got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
     want = {r["vec_id"]: r["cluster_id"] for r in batch.collect()}
     assert got == want and len(got) == emb.count()
+
+
+def test_attach_store_over_streamed_ivf_table(spark, sf_dir, tmp_path_factory):
+    """The composition closer: stream documents through the
+    exactly-once IVF-partitioned sink, then ATTACH a SparkVectorStore
+    over the streamed table in place — full search surface, live
+    partition-pruned path (PartitionFilters on cluster_id), results
+    identical to a search over the raw table."""
+    from langchain_memvid_spark import SparkVectorStore
+    from langchain_memvid_spark.config import EngineConfig, IndexConfig
+    from langchain_memvid_spark.embeddings import HashEmbeddings
+    from langchain_memvid_spark.operators.topk import label_centroids
+    from langchain_memvid_spark.streaming import documents as sd
+
+    emb = HashEmbeddings(64)
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.withColumn("embedding", emb.udf()(F.col("text"))).withColumn(
+        "label", (F.col("doc_id") % 4).cast("int")
+    )
+    cents = [
+        (r["label"], [float(x) for x in r["centroid"]])
+        for r in label_centroids(sample).collect()
+    ]
+    base = tmp_path_factory.mktemp("attach_ivf")
+    sd.stream_ingest_store(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        str(base / "table"),
+        str(base / "ckpt"),
+        centroids=cents,
+    )
+
+    cfg = EngineConfig(
+        index=IndexConfig(metric="cosine", ivf=True, nlist=4, nprobe=4,
+                          ivf_min_points_factor=5, rerank_candidates=0)
+    )
+    store = SparkVectorStore.attach(
+        str(base / "table"), spark, embeddings=emb, config=cfg, centroids=cents
+    )
+    assert store.ivf_index is not None
+    assert store.get_document_count() == docs.select("text").distinct().count()
+
+    qtext = docs.orderBy("doc_id").head()["text"]
+    res = store.similarity_search(qtext, k=3)
+    assert res and res[0]["page_content"] == qtext
+    qvec = store._query_vec(qtext)
+    plan = store._topk(qvec, 3)._jdf.queryExecution().executedPlan().toString()
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cluster_id" in line.split("PartitionFilters")[1][:80]
+    # partial probe: the self-match doc lives in its own nearest cluster
+    store.config.index.nprobe = 1
+    res1 = store.similarity_search(qtext, k=1)
+    assert res1[0]["page_content"] == qtext
