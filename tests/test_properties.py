@@ -383,11 +383,16 @@ _TYPED_SCHEMA = {"k1": "double", "k2": "boolean", "k3": "string"}
 # collision-prone stored values: numbers, numeric-LOOKING strings,
 # bools, and bool-looking strings — exactly the cases the permissive
 # dialect cannot tell apart (VERDICT r5 item 5)
+# "NaN"/"Infinity"/"-INF" STRINGS included since r7: from_json parses
+# them as doubles, so without the raw-text quote check they leaked into
+# the double type and vanished from the string type (ADVICE r6)
 _TYPED_STORED = st.one_of(
     st.booleans(),
     st.integers(-5, 5),
     st.integers(-50, 50).map(lambda n: n / 10.0),
-    st.sampled_from(["a", "true", "false", "2", "2.0", "-3", "x1"]),
+    st.sampled_from(
+        ["a", "true", "false", "2", "2.0", "-3", "x1", "NaN", "Infinity", "-INF"]
+    ),
 )
 
 
@@ -398,7 +403,9 @@ def _typed_spec(key):
     elif dtype == "boolean":
         val = st.booleans()
     else:
-        val = st.sampled_from(["a", "true", "false", "2", "2.0", "-3", "x1"])
+        val = st.sampled_from(
+            ["a", "true", "false", "2", "2.0", "-3", "x1", "NaN", "Infinity"]
+        )
     one_op = st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"])
     return st.one_of(
         val,
