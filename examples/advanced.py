@@ -118,8 +118,6 @@ def main() -> None:
     # KMeans, persists the corpus partitionBy(cluster_id), and every
     # similarity search scans only the nprobe probed clusters
     # (file-level partition pruning: the 100 TB search path).
-    from langchain_memvid_spark.config import EngineConfig, IndexConfig
-
     emb_table = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     ivf_cfg = EngineConfig(
         index=IndexConfig(

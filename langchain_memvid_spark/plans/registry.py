@@ -4532,9 +4532,12 @@ _CHANGED_THIS_ROUND = (
     "ivfpq_search",
     "pq_reconstruction_error",
     "lsh_ann_search",
-    # now searches a PERSISTED packed-code layout instead of deriving
-    # int4 codes in-plan per query (VERDICT r6 item 6)
+    # now search a PERSISTED codes layout instead of deriving int8/int4
+    # codes in-plan per query (VERDICT r6 item 6 + the r7 ladder
+    # widening that caught the int8 twins)
     "knn_topk_int4",
+    "knn_topk_quantized",
+    "knn_topk_requantized",
     # scoring join now broadcasts the vocabulary under an exact-count
     # bound (VERDICT r6 item 5) — output identical, plan changed
     "unigram_logprob_scores",
