@@ -644,6 +644,27 @@ class SparkVectorStore:
         self._maybe_build_ivf()
         return self._ivf is not None
 
+    def compact_ivf_layout(self) -> int:
+        """Consolidate the layout's small files into ~one file per
+        cluster and swap in the compacted version — the maintenance op
+        for append/streaming-heavy stores: every add_texts batch and
+        every streaming microbatch writes a new file per touched
+        cluster, and at 100 TB thousands of tiny files per partition
+        make footer reads and task scheduling dominate scan time
+        (sources/compact.py states the same problem for flat tables).
+
+        Hash-repartitioning on cluster_id sends each cluster to one
+        task, so the partitioned rewrite emits one file per cluster
+        dir; the versioned-layout swap (_swap_layout) keeps the old
+        files valid until the new commit lands, unlike the rename swap
+        the flat compactor uses. Returns the new parquet file count."""
+        from langchain_memvid_spark.sources.compact import parquet_file_count
+
+        if self._ivf is None:
+            raise IndexError_("no IVF layout is active")
+        self._swap_layout(self._doc_index.repartition(F.col("cluster_id")))
+        return parquet_file_count(self._ivf.path)
+
     def ivf_cluster_sizes(self) -> DataFrame:
         """Per-cluster row counts — the skew health check for the
         layout (a hot cluster means weaker pruning for queries probing

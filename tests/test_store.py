@@ -924,3 +924,39 @@ def test_ivf_rebuild_retrains_and_resizes(spark):
     s.config.index.nprobe = 8  # full probe on the NEW layout -> same exact top-k
     assert [r["doc_id"] for r in s._topk(qvec, 10).collect()] == before
     assert s.doc_index.filter("cluster_id IS NULL").count() == 0
+
+
+def test_ivf_compact_layout_consolidates_files(spark):
+    """Appends fragment the layout (a file per touched cluster per
+    batch); compact_ivf_layout rewrites to ~one file per cluster with
+    identical contents and a still-pruned search plan."""
+    from pyspark.sql import functions as F
+
+    from langchain_memvid_spark.sources.compact import parquet_file_count
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    for i in range(3):  # fragment: each append adds files per cluster
+        s.add_texts([f"extra doc {i} alpha", f"extra doc {i} beta"])
+    before_files = parquet_file_count(s.ivf_index.path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    before = [r["doc_id"] for r in s._topk(qvec, 10).collect()]
+    n_docs = s.get_document_count()
+
+    after_files = s.compact_ivf_layout()
+    assert after_files < before_files
+    assert after_files <= 4 + 1  # ~one file per cluster dir
+    assert s.get_document_count() == n_docs
+    assert [r["doc_id"] for r in s._topk(qvec, 10).collect()] == before
+    plan = s._topk(qvec, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
