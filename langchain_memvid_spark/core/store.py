@@ -1448,7 +1448,9 @@ class SparkVectorStore:
     def save(self, path: str) -> None:
         """≙ IndexManager.save (index.py:609-635) — both tables to
         Parquet. Overwrite-swap semantics like the reference's file swap
-        (vectorstore.py:579-581).
+        (vectorstore.py:579-581). Note that after load(), an IVF
+        store's appends write INTO the loaded doc_index directory —
+        the saved path IS the live layout for the loaded store.
 
         With a trained IVF layout the doc_index is written
         partitionBy(cluster_id) and the centroids go to a tiny
