@@ -521,7 +521,9 @@ class SparkVectorStore:
                 ),
             )
             assigned.write.mode("append").partitionBy("cluster_id").parquet(self._ivf.path)
-            self._doc_index = self.spark.read.parquet(self._ivf.path)
+            self._doc_index = self.spark.read.schema(self._layout_schema()).parquet(
+                self._ivf.path
+            )
         else:
             self._doc_index = self._doc_index.unionByName(new_index).cache()
         self._payload = self._payload.unionByName(new_payload).cache()
@@ -535,6 +537,18 @@ class SparkVectorStore:
         self._maybe_build_ivf()
 
     # ------------------------------------------------------------------ IVF
+
+    def _layout_schema(self) -> StructType:
+        """Explicit read schema for the partitioned layout: an ALL-rows
+        delete leaves a next-version dir with no parquet files, and a
+        schema-less read of it throws AnalysisException (inference
+        needs at least one footer) — the explicit schema makes the
+        empty layout a plain empty table instead of a crash."""
+        from pyspark.sql.types import IntegerType
+
+        return StructType(
+            list(INDEX_SCHEMA.fields) + [StructField("cluster_id", IntegerType())]
+        )
 
     def _layout_root(self) -> str:
         """Directory that holds the versioned IVF layouts. Uses the
@@ -563,7 +577,7 @@ class SparkVectorStore:
         path = os.path.join(self._layout_root(), f"v{self._ivf_version}")
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
         old = self._doc_index
-        self._doc_index = self.spark.read.parquet(path)
+        self._doc_index = self.spark.read.schema(self._layout_schema()).parquet(path)
         self._ivf.path = path
         self._count = self._doc_index.count()
         old.unpersist()

@@ -960,3 +960,32 @@ def test_ivf_compact_layout_consolidates_files(spark):
     assert [r["doc_id"] for r in s._topk(qvec, 10).collect()] == before
     plan = s._topk(qvec, 10)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_ivf_delete_all_then_readd(spark):
+    """Regression: deleting EVERY row of an IVF store left a layout
+    version with zero parquet files, and the schema-less re-read threw
+    AnalysisException. With the explicit layout schema the store
+    survives a full wipe and accepts new documents."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("d-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    assert s.delete_by_ids(list(range(s.get_document_count())))
+    assert s.get_document_count() == 0
+    assert s.similarity_search_by_vector([0.1] * 64, k=3) == []
+    s.add_texts(["fresh doc after wipe"])
+    assert s.get_document_count() == 1
+    assert s.similarity_search("fresh doc after wipe", k=1)[0]["page_content"] == (
+        "fresh doc after wipe"
+    )
