@@ -989,3 +989,41 @@ def test_ivf_delete_all_then_readd(spark):
     assert s.similarity_search("fresh doc after wipe", k=1)[0]["page_content"] == (
         "fresh doc after wipe"
     )
+
+
+def test_ivf_l2_metric_full_probe_exact(spark):
+    """l2 stores assign AND probe by squared distance (one geometry);
+    at nprobe=nlist the pruned search equals the flat l2 ranking
+    (ascending, lower=better)."""
+    from pyspark.sql import functions as F
+
+    from langchain_memvid_spark.functions.vector import l2_sq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="l2", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("d-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    assert s.ivf_index is not None
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [(r["doc_id"], round(r["similarity"], 4)) for r in s._topk(qvec, 10).collect()]
+    q = F.array(*[F.lit(x) for x in qvec])
+    want = [
+        (r["vec_id"], round(r["d"], 4))
+        for r in emb.withColumn("d", l2_sq(F.col("embedding"), q))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+    assert got[0][0] == 0 and got[0][1] == 0.0  # self-match at distance 0
+    # partial probe: self-match survives (its own cluster is nearest)
+    s.config.index.nprobe = 1
+    assert s._topk(qvec, 1).collect()[0]["doc_id"] == 0
