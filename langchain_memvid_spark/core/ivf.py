@@ -104,6 +104,7 @@ class IVFIndex:
         vec_col: str = "embedding",
         min_points_factor: int = 30,
         seed: int = 42,
+        metric: str = "cosine",
     ) -> tuple["IVFIndex", DataFrame]:
         """Train KMeans and assign cluster ids. Returns (index, assigned
         DataFrame with a cluster_id column).
@@ -111,7 +112,17 @@ class IVFIndex:
         Mirrors the reference's `30·nlist` training gate
         (index.py:152-162): under-populated corpora stay flat (single
         cluster) rather than training a degenerate quantizer.
-        """
+
+        Assignment uses nearest_centroid_col under ``metric`` — the
+        SAME geometry probe_clusters ranks centroids with at search
+        time — NOT the KMeans model's own l2 transform. An l2-assigned
+        layout probed by cosine sends queries to partitions their
+        neighbors were not assigned to, and recall sits at the guard
+        boundary: the r7 all-SF sweep caught exactly this (ivfpq
+        recall@10 fell below 0.5 on sf0.1's file layout, where a
+        different KMeans init flipped the boundary). Consistent
+        geometry also makes streamed and batch assignment identical
+        (streaming ingest uses the same expression)."""
         qscale, qvec = quantize_cols(F.col(vec_col))
         embeddings = embeddings.withColumn("qscale", qscale).withColumn("qvec", qvec)
         n = embeddings.count()
@@ -129,11 +140,13 @@ class IVFIndex:
             raise IndexError_(f"MLlib unavailable: {e}") from e
 
         feat = embeddings.withColumn("__features", array_to_vector(F.col(vec_col)))
-        model = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="cluster_id").fit(
+        model = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="__cid").fit(
             feat
         )
-        assigned = model.transform(feat).drop("__features")
         cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        assigned = embeddings.withColumn(
+            "cluster_id", nearest_centroid_col(F.col(vec_col), cents, metric=metric)
+        )
         return cls(cents), assigned
 
     def write_layout(self, assigned: DataFrame, path: str) -> "IVFIndex":

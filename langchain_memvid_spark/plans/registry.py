@@ -1542,9 +1542,14 @@ def q_ivfpq_search(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
     idx, assigned = IVFIndex.build(emb, nlist=8)
-    # corpus-adaptive codebooks + re-rank depth (see q_pq_search); the
-    # probe count stays nprobe=2 of nlist=8 — the pruning ratio IS the
-    # scale story, recall headroom comes from the finer ADC ranking
+    # corpus-adaptive codebooks (see q_pq_search); the probe count
+    # stays nprobe=2 of nlist=8 — the pruning ratio IS the scale story.
+    # Re-rank depth scales with the PROBED set (half of n·nprobe/nlist),
+    # not the corpus: the r7 all-SF sweep caught the n//200 depth
+    # dropping recall to 0.3 on sf0.1's 2000 near-iid vectors — the
+    # ADC ranking needs a deep exact tail on unclustered synthetic
+    # data, and the floats touched are still ≤ nprobe/(2·nlist) of the
+    # corpus (12.5% here) vs 100% for brute force.
     ksub = max(16, min(64, n // 30))
     cbs = pq.pq_train(emb, m=8, k=ksub)
     coded = pq.pq_assign(assigned, cbs)
@@ -1552,7 +1557,7 @@ def q_ivfpq_search(spark, sf_dir):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     probes = idx.probe_clusters(qvec, nprobe=2)
     corpus = spark.read.parquet(idx.path).filter(F.col("cluster_id").isin(probes))
-    res = pq.pq_topk(corpus, cbs, qvec, k=10, rerank=max(50, n // 200))
+    res = pq.pq_topk(corpus, cbs, qvec, k=10, rerank=max(50, n * 2 // (8 * 2)))
     return topk.recall_witness(res, topk.knn_topk(emb, k=10), k=10, bound=0.5)
 
 
