@@ -173,9 +173,12 @@ class SparkRetriever:
                     for d, s in scored
                     if s >= thr
                 ]
-            if self.search_kwargs.get("filter"):
+            if self.search_kwargs.get("filter") or self.search_kwargs.get("nprobe"):
                 scored = self.store.similarity_search_with_score(
-                    query, k=self.k, filter=self.search_kwargs["filter"]
+                    query,
+                    k=self.k,
+                    filter=self.search_kwargs.get("filter"),
+                    nprobe=self.search_kwargs.get("nprobe"),
                 )
                 # SAME essential-metadata shape as the unfiltered branch
                 # below (explicit source/category keys even when absent

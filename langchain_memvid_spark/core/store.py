@@ -765,7 +765,11 @@ class SparkVectorStore:
         return metadata_predicate(filter, schema=self.metadata_schema)
 
     def _topk(
-        self, qvec: list[float], k: int, filter: dict[str, Any] | None = None
+        self,
+        qvec: list[float],
+        k: int,
+        filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """Pick the physical search strategy: direct exact scan, or int8
         first pass → exact re-rank of config.index.rerank_candidates
@@ -781,8 +785,11 @@ class SparkVectorStore:
         partitions only. nprobe >= nlist probes everything (exact)."""
         base = self._doc_index
         if self._ivf is not None:
-            nprobe = min(self.config.index.nprobe, len(self._ivf.centroids))
-            probes = self._ivf.probe_clusters(qvec, nprobe, metric=self._ivf_metric())
+            np_eff = min(
+                nprobe if nprobe is not None else self.config.index.nprobe,
+                len(self._ivf.centroids),
+            )
+            probes = self._ivf.probe_clusters(qvec, np_eff, metric=self._ivf_metric())
             base = base.filter(F.col("cluster_id").isin(probes))
         if filter:
             base = base.filter(self._metadata_predicate(filter))
@@ -830,6 +837,7 @@ class SparkVectorStore:
         k: int = 4,
         include_full_metadata: bool = False,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[tuple[dict[str, Any], float]]:
         """≙ vectorstore.py:659-684. Broadcast query vector → JVM-side
         dot product → TakeOrderedAndProject top-k (no full sort).
@@ -840,7 +848,7 @@ class SparkVectorStore:
         the table layout the predicate prunes the scan rather than
         post-filtering the top-k (which would under-fill k)."""
         return self._search_vec_with_score(
-            self._query_vec(query), k, include_full_metadata, filter=filter
+            self._query_vec(query), k, include_full_metadata, filter=filter, nprobe=nprobe
         )
 
     def _search_vec_with_score(
@@ -849,12 +857,15 @@ class SparkVectorStore:
         k: int = 4,
         include_full_metadata: bool = False,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[tuple[dict[str, Any], float]]:
         """Shared vector-query search body (text and by-vector entry
-        points both land here)."""
+        points both land here). ``nprobe`` overrides the configured
+        probe count for THIS call on IVF stores (more probes = higher
+        recall, more files scanned); ignored on flat stores."""
         if self._count == 0:
             return []
-        top = self._topk(embedding, k, filter=filter)
+        top = self._topk(embedding, k, filter=filter, nprobe=nprobe)
         if include_full_metadata:
             top = top.join(self._payload, "doc_id", "left")
         out = []
@@ -877,12 +888,13 @@ class SparkVectorStore:
         k: int = 4,
         include_full_metadata: bool = False,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[dict[str, Any]]:
         """≙ vectorstore.py:602-634."""
         return [
             d
             for d, _ in self.similarity_search_with_score(
-                query, k, include_full_metadata, filter=filter
+                query, k, include_full_metadata, filter=filter, nprobe=nprobe
             )
         ]
 
@@ -892,6 +904,7 @@ class SparkVectorStore:
         k: int = 4,
         include_full_metadata: bool = False,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[dict[str, Any]]:
         """LangChain-standard by-vector entry point (upstream
         VectorStore contract; the reference omits it — its search is
@@ -901,7 +914,8 @@ class SparkVectorStore:
         return [
             d
             for d, _ in self._search_vec_with_score(
-                self._normalize_query(embedding), k, include_full_metadata, filter=filter
+                self._normalize_query(embedding), k, include_full_metadata,
+                filter=filter, nprobe=nprobe,
             )
         ]
 

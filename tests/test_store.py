@@ -1027,3 +1027,24 @@ def test_ivf_l2_metric_full_probe_exact(spark):
     # partial probe: self-match survives (its own cluster is nearest)
     s.config.index.nprobe = 1
     assert s._topk(qvec, 1).collect()[0]["doc_id"] == 0
+
+
+def test_per_call_nprobe_override(spark, ivf_store):
+    """similarity_search(..., nprobe=n) overrides the configured probe
+    count for one call without mutating config; nprobe=nlist recovers
+    the exact result."""
+    qvec = _qvec(spark)
+    ivf_store.config.index.nprobe = 1
+    exact = _brute_ids(spark, qvec)
+    got_full = [
+        d["doc_id"]
+        for d in ivf_store.similarity_search_by_vector(qvec, k=10, nprobe=4)
+    ]
+    assert got_full == exact  # full probe via override, config untouched
+    assert ivf_store.config.index.nprobe == 1
+    got_1 = {d["doc_id"] for d in ivf_store.similarity_search_by_vector(qvec, k=10)}
+    assert len(got_1) == 10  # configured nprobe=1 still answers
+    # retriever threads nprobe through search_kwargs
+    r = ivf_store.as_retriever(k=3, search_kwargs={"nprobe": 4})
+    docs = r.invoke("doc-0")
+    assert len(docs) == 3
