@@ -46,6 +46,16 @@ for n in names:
         QUERIES[n].fn(spark, warm).count()
     except Exception:
         pass
+try:
+    # persisted-codes queries: write the one-time ingest artifact at the
+    # TARGET SF before timing (mirrors bench.py) — without this each
+    # fresh-subprocess rep re-pays the layout write and the A/B compares
+    # write+search against the base's derive+search
+    from langchain_memvid_spark.plans.registry import _codes_table
+
+    _codes_table(spark, sf_dir).count()
+except Exception:
+    pass
 out = {}
 for n in names:
     t0 = time.time()
