@@ -105,6 +105,7 @@ class IVFIndex:
         min_points_factor: int = 30,
         seed: int = 42,
         metric: str = "cosine",
+        id_col: str = "vec_id",
     ) -> tuple["IVFIndex", DataFrame]:
         """Train KMeans and assign cluster ids. Returns (index, assigned
         DataFrame with a cluster_id column).
@@ -139,7 +140,26 @@ class IVFIndex:
         except ImportError as e:  # pragma: no cover
             raise IndexError_(f"MLlib unavailable: {e}") from e
 
-        feat = embeddings.withColumn("__features", array_to_vector(F.col(vec_col)))
+        # Bounded training sample (FAISS trains IVF quantizers on a few
+        # hundred points per centroid, not the corpus), then a CANONICAL
+        # layout for the fit: kmeans|| init samples per partition, so
+        # without the repartition+sort the centroids depend on the
+        # accidental scan split (core/store.py documents the measured
+        # 0.2–0.7 recall swing across local[4..32]). Sampling runs
+        # FIRST — canonicalizing a 100 TB corpus to 8 partitions would
+        # be the bottleneck; below the cap (every driver SF) training
+        # is fully deterministic, above it the sample membership is the
+        # only topology-dependent bit and quality is statistically
+        # stable.
+        train = embeddings
+        cap = max(100_000, 256 * nlist)
+        if n > cap:
+            train = train.sample(fraction=min(1.0, cap / n), seed=seed)
+        feat = (
+            train.repartitionByRange(8, id_col)
+            .sortWithinPartitions(id_col)
+            .withColumn("__features", array_to_vector(F.col(vec_col)))
+        )
         model = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="__cid").fit(
             feat
         )

@@ -618,6 +618,15 @@ class SparkVectorStore:
         cap = max(self._IVF_TRAIN_CAP, 256 * ic.nlist)
         if self._count > cap:
             train = train.sample(fraction=min(1.0, cap / self._count), seed=42)
+        # Canonicalize the training layout BEFORE the fit: kmeans||
+        # init samples per partition, so centroids otherwise depend on
+        # the accidental scan split (defaultParallelism changes
+        # maxSplitBytes) — the same corpus trained on local[4] vs
+        # local[32] produced different centroids and the partial-probe
+        # recall swung 0.2–0.7. Range-partition + in-partition sort on
+        # doc_id pins the layout to the DATA, making training
+        # deterministic across cluster topologies.
+        train = train.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
         feat = train.withColumn(
             "__features", array_to_vector(F.col("embedding").cast("array<double>"))
         )
