@@ -87,6 +87,55 @@ def nearest_centroid_col(
     return (-F.array_max(F.array(*entries))["nid"]).cast("int")
 
 
+def train_centroids(
+    df: DataFrame,
+    nlist: int,
+    *,
+    n: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    cap: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """The ONE deterministic KMeans-training recipe every IVF consumer
+    (IVFIndex.build, SparkVectorStore._maybe_build_ivf) shares — two
+    drifting copies of this would silently reintroduce the
+    cross-topology recall swing the canonicalization fixed.
+
+    Bounded training sample (FAISS trains IVF quantizers on a few
+    hundred points per centroid, not the corpus), then a CANONICAL
+    layout for the fit: kmeans|| init samples per partition, so without
+    the repartition+sort the centroids depend on the accidental scan
+    split — the same corpus trained on local[4] vs local[32] produced
+    different centroids and the partial-probe recall swung 0.2–0.7.
+    Sampling runs FIRST: canonicalizing a 100 TB corpus to 8 partitions
+    would be the bottleneck; below the cap (every driver SF) training
+    is fully deterministic, above it the sample membership is the only
+    topology-dependent bit and quality is statistically stable."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover
+        raise IndexError_(f"MLlib unavailable: {e}") from e
+
+    if n is None:
+        n = df.count()
+    if cap is None:
+        cap = max(100_000, 256 * nlist)
+    train = df
+    if n > cap:
+        train = train.sample(fraction=min(1.0, cap / n), seed=seed)
+    feat = (
+        train.repartitionByRange(8, id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("__features", array_to_vector(F.col(vec_col)))
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="__cid").fit(
+        feat
+    )
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
 class IVFIndex:
     """KMeans-partitioned vector layout with centroid-pruned search."""
 
@@ -134,36 +183,9 @@ class IVFIndex:
             dim = len(assigned.select(vec_col).head()[0])
             return cls([(0, [0.0] * dim)]), assigned
 
-        try:
-            from pyspark.ml.clustering import KMeans
-            from pyspark.ml.functions import array_to_vector
-        except ImportError as e:  # pragma: no cover
-            raise IndexError_(f"MLlib unavailable: {e}") from e
-
-        # Bounded training sample (FAISS trains IVF quantizers on a few
-        # hundred points per centroid, not the corpus), then a CANONICAL
-        # layout for the fit: kmeans|| init samples per partition, so
-        # without the repartition+sort the centroids depend on the
-        # accidental scan split (core/store.py documents the measured
-        # 0.2–0.7 recall swing across local[4..32]). Sampling runs
-        # FIRST — canonicalizing a 100 TB corpus to 8 partitions would
-        # be the bottleneck; below the cap (every driver SF) training
-        # is fully deterministic, above it the sample membership is the
-        # only topology-dependent bit and quality is statistically
-        # stable.
-        train = embeddings
-        cap = max(100_000, 256 * nlist)
-        if n > cap:
-            train = train.sample(fraction=min(1.0, cap / n), seed=seed)
-        feat = (
-            train.repartitionByRange(8, id_col)
-            .sortWithinPartitions(id_col)
-            .withColumn("__features", array_to_vector(F.col(vec_col)))
+        cents = train_centroids(
+            embeddings, nlist, n=n, vec_col=vec_col, id_col=id_col, seed=seed
         )
-        model = KMeans(k=nlist, seed=seed, featuresCol="__features", predictionCol="__cid").fit(
-            feat
-        )
-        cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
         assigned = embeddings.withColumn(
             "cluster_id", nearest_centroid_col(F.col(vec_col), cents, metric=metric)
         )

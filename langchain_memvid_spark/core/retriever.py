@@ -154,6 +154,7 @@ class SparkRetriever:
                     fetch_k=kw.get("fetch_k", 20),
                     lambda_mult=kw.get("lambda_mult", 0.5),
                     filter=kw.get("filter"),
+                    nprobe=kw.get("nprobe"),
                 )
                 return [
                     Document(page_content=d["page_content"], metadata=d["metadata"])
@@ -163,7 +164,7 @@ class SparkRetriever:
                 kw = self.search_kwargs
                 thr = kw["score_threshold"]  # required at construction
                 scored = self.store.similarity_search_with_relevance_scores(
-                    query, k=self.k, filter=kw.get("filter")
+                    query, k=self.k, filter=kw.get("filter"), nprobe=kw.get("nprobe")
                 )
                 return [
                     Document(
@@ -173,7 +174,10 @@ class SparkRetriever:
                     for d, s in scored
                     if s >= thr
                 ]
-            if self.search_kwargs.get("filter") or self.search_kwargs.get("nprobe"):
+            if (
+                self.search_kwargs.get("filter") is not None
+                or self.search_kwargs.get("nprobe") is not None
+            ):
                 scored = self.store.similarity_search_with_score(
                     query,
                     k=self.k,

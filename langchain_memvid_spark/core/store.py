@@ -38,6 +38,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -188,6 +189,15 @@ def metadata_predicate(
                 f"metadata schema dtype {dtype!r} for key {key!r} is not one "
                 f"of {sorted(_SCHEMA_DTYPES)}"
             )
+        if not isinstance(key, str) or not _FILTER_KEY_RE.match(key):
+            # same identifier rule as filter keys, enforced at the
+            # DECLARATION so a schema whose keys could never be
+            # filtered on fails fast (quotes/backticks/parens would
+            # break the from_json schema string and raw-text anchor)
+            raise FilterError(
+                f"metadata schema key {key!r} is not a plain identifier; "
+                "only [A-Za-z_][A-Za-z0-9_-]* keys can be typed-filtered"
+            )
     cond = F.lit(True)
     for key, spec in sorted(filter.items()):
         ops = spec if isinstance(spec, dict) else {"$eq": spec}
@@ -223,7 +233,9 @@ def _typed_json_col(key: str, dtype: str) -> F.Column:
     NESTED object value could — nested keys are outside this flat
     dialect's contract)."""
     mj = F.col("metadata_json")
-    quoted = mj.rlike('[{,]\\s*"' + key + '"\\s*:\\s*"')
+    # re.escape: keys are data, not patterns — an unescaped '(' or '.'
+    # would throw PatternSyntaxException / silently over-match
+    quoted = mj.rlike('[{,]\\s*"' + re.escape(key) + '"\\s*:\\s*"')
 
     def _nonfinite(c: F.Column) -> F.Column:
         return F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
@@ -351,6 +363,13 @@ class SparkVectorStore:
         self._ivf = None
         self._ivf_version = 0
         self._layout_base: str | None = None
+        # True when the live IVF layout's parquet FILES are missing some
+        # engine columns (attach() of a streamed table, load() of an
+        # older save) and those columns exist only as in-plan
+        # derivations: any re-read of the directory must re-derive them
+        # or the explicit-schema scan fills NULL for the original files
+        # and the int8 first pass silently drops the whole old corpus.
+        self._layout_derived = False
 
     # ------------------------------------------------------------------ ingest
 
@@ -521,9 +540,15 @@ class SparkVectorStore:
                 ),
             )
             assigned.write.mode("append").partitionBy("cluster_id").parquet(self._ivf.path)
-            self._doc_index = self.spark.read.schema(self._layout_schema()).parquet(
-                self._ivf.path
-            )
+            idx = self.spark.read.schema(self._layout_schema()).parquet(self._ivf.path)
+            if self._layout_derived:
+                # the layout's ORIGINAL files (attach of a streamed
+                # table / older save) lack some engine columns, so the
+                # explicit-schema re-read returns NULL for them there —
+                # re-derive per row or the pre-append corpus drops out
+                # of the int8 first pass (every NULL score sorts last)
+                idx = self._backfill_derived_cols(idx)
+            self._doc_index = idx
         else:
             self._doc_index = self._doc_index.unionByName(new_index).cache()
         self._payload = self._payload.unionByName(new_payload).cache()
@@ -549,6 +574,28 @@ class SparkVectorStore:
         return StructType(
             list(INDEX_SCHEMA.fields) + [StructField("cluster_id", IntegerType())]
         )
+
+    # engine columns attach()/load() may derive in-plan when the
+    # underlying files don't carry them physically
+    _DERIVABLE_COLS = ("category", "qscale", "qvec", "pscale", "pvec")
+
+    def _backfill_derived_cols(self, idx: DataFrame) -> DataFrame:
+        """Re-derive the derivable engine columns wherever the stored
+        value is NULL (files written before the column existed read as
+        NULL under the explicit layout schema); rows from files that
+        carry the columns keep their stored values."""
+        qscale, qvec = quantize_cols(F.col("embedding"))
+        pscale, pvec = quantize4_cols(F.col("embedding"))
+        derived = {
+            "category": F.from_json(F.col("metadata_json"), "category STRING")["category"],
+            "qscale": qscale,
+            "qvec": qvec,
+            "pscale": pscale,
+            "pvec": pvec,
+        }
+        for name, expr in derived.items():
+            idx = idx.withColumn(name, F.coalesce(F.col(name), expr))
+        return idx
 
     def _layout_root(self) -> str:
         """Directory that holds the versioned IVF layouts. Uses the
@@ -580,6 +627,9 @@ class SparkVectorStore:
         self._doc_index = self.spark.read.schema(self._layout_schema()).parquet(path)
         self._ivf.path = path
         self._count = self._doc_index.count()
+        # the rewrite materialized every engine column physically, so
+        # any attach/load-era in-plan derivations are now persisted
+        self._layout_derived = False
         old.unpersist()
 
     _IVF_TRAIN_CAP = 100_000  # KMeans training-sample row bound
@@ -605,35 +655,24 @@ class SparkVectorStore:
             return
         if self._count < ic.ivf_min_points_factor * ic.nlist:
             return
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        from langchain_memvid_spark.core.ivf import IVFIndex, nearest_centroid_col
-
-        # KMeans trains on a bounded SAMPLE (FAISS trains IVF quantizers
-        # on ~256 points/centroid, not the corpus): at 100 TB the train
-        # pass must not iterate the full table 20 times. The assignment
-        # below still covers every row.
-        train = self._doc_index
-        cap = max(self._IVF_TRAIN_CAP, 256 * ic.nlist)
-        if self._count > cap:
-            train = train.sample(fraction=min(1.0, cap / self._count), seed=42)
-        # Canonicalize the training layout BEFORE the fit: kmeans||
-        # init samples per partition, so centroids otherwise depend on
-        # the accidental scan split (defaultParallelism changes
-        # maxSplitBytes) — the same corpus trained on local[4] vs
-        # local[32] produced different centroids and the partial-probe
-        # recall swung 0.2–0.7. Range-partition + in-partition sort on
-        # doc_id pins the layout to the DATA, making training
-        # deterministic across cluster topologies.
-        train = train.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
-        feat = train.withColumn(
-            "__features", array_to_vector(F.col("embedding").cast("array<double>"))
+        from langchain_memvid_spark.core.ivf import (
+            IVFIndex,
+            nearest_centroid_col,
+            train_centroids,
         )
-        model = KMeans(
-            k=ic.nlist, seed=42, featuresCol="__features", predictionCol="__cid"
-        ).fit(feat)
-        cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+        # ONE shared deterministic training recipe (core/ivf.py
+        # train_centroids): bounded sample + canonicalized fit layout,
+        # so the store and IVFIndex.build cannot drift apart on the
+        # topology-determinism fix. The assignment below still covers
+        # every row.
+        cents = train_centroids(
+            self._doc_index,
+            ic.nlist,
+            n=self._count,
+            id_col="doc_id",
+            cap=max(self._IVF_TRAIN_CAP, 256 * ic.nlist),
+        )
         self._ivf = IVFIndex(cents)
         assigned = self._doc_index.withColumn(
             "cluster_id",
@@ -659,10 +698,12 @@ class SparkVectorStore:
         ic = self.config.index
         if not ic.ivf:
             return False
-        if nlist is not None:
-            ic.nlist = nlist
-        if self._count < ic.ivf_min_points_factor * ic.nlist:
+        new_nlist = nlist if nlist is not None else ic.nlist
+        if self._count < ic.ivf_min_points_factor * new_nlist:
+            # gate BEFORE mutating: a refused rebuild must not leave the
+            # shared config claiming an nlist the live layout never got
             return False
+        ic.nlist = new_nlist
         self._ivf = None  # force a retrain over the current corpus
         self._maybe_build_ivf()
         return self._ivf is not None
@@ -1026,7 +1067,11 @@ class SparkVectorStore:
         )
 
     def similarity_search_with_relevance_scores(
-        self, query: str, k: int = 4, filter: dict[str, Any] | None = None
+        self,
+        query: str,
+        k: int = 4,
+        filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[tuple[dict[str, Any], float]]:
         """LangChain-standard normalized relevance in [0, 1]: cosine
         maps via (1+sim)/2 clamped, l2 via 1/(1+d²), ip via a sigmoid —
@@ -1043,7 +1088,7 @@ class SparkVectorStore:
 
         if self._count == 0:
             return []
-        top = self._topk(self._query_vec(query), k, filter=filter).withColumn(
+        top = self._topk(self._query_vec(query), k, filter=filter, nprobe=nprobe).withColumn(
             "__rel",
             relevance_score_col(
                 F.col("similarity").cast("double"), self.config.index.metric
@@ -1065,6 +1110,7 @@ class SparkVectorStore:
         fetch_k: int = 20,
         lambda_mult: float = 0.5,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[dict[str, Any]]:
         """MMR re-ranking (LangChain-standard, beyond the reference):
         fetch the top `fetch_k` candidates with the distributed
@@ -1077,7 +1123,7 @@ class SparkVectorStore:
         ``filter`` narrows the candidate fetch BEFORE scoring (same
         pre-scoring predicate as similarity_search)."""
         return self.max_marginal_relevance_search_by_vector(
-            self._query_vec(query), k, fetch_k, lambda_mult, filter=filter
+            self._query_vec(query), k, fetch_k, lambda_mult, filter=filter, nprobe=nprobe
         )
 
     def max_marginal_relevance_search_by_vector(
@@ -1087,13 +1133,14 @@ class SparkVectorStore:
         fetch_k: int = 20,
         lambda_mult: float = 0.5,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[dict[str, Any]]:
         """MMR with a precomputed query vector (upstream VectorStore
         contract) — the text entry point minus the embed step."""
         if self._count == 0:
             return []
         qvec = self._normalize_query(embedding)
-        cand_rows = self._topk(qvec, max(fetch_k, k), filter=filter).collect()
+        cand_rows = self._topk(qvec, max(fetch_k, k), filter=filter, nprobe=nprobe).collect()
         if not cand_rows:
             return []
         # shared greedy (operators/topk.py greedy_mmr): the SAME loop
@@ -1447,9 +1494,16 @@ class SparkVectorStore:
         fetch_k: int = 20,
         lambda_mult: float = 0.5,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[dict[str, Any]]:
         return await self._to_thread(
-            self.max_marginal_relevance_search, query, k, fetch_k, lambda_mult, filter=filter
+            self.max_marginal_relevance_search,
+            query,
+            k,
+            fetch_k,
+            lambda_mult,
+            filter=filter,
+            nprobe=nprobe,
         )
 
     # ------------------------------------------------------------------ stats
@@ -1523,6 +1577,7 @@ class SparkVectorStore:
         try:
             idx_path = os.path.join(path, "doc_index")
             idx = spark.read.parquet(idx_path)
+            physical = set(idx.columns)
             if "qvec" not in idx.columns:
                 # store saved before the int8 code columns existed:
                 # backfill codes from the stored float vectors so appends
@@ -1534,7 +1589,18 @@ class SparkVectorStore:
                 pscale, pvec = quantize4_cols(F.col("embedding"))
                 idx = idx.withColumn("pscale", pscale).withColumn("pvec", pvec)
             cents_path = os.path.join(path, "ivf_centroids")
-            if "cluster_id" in idx.columns and os.path.isdir(cents_path):
+            cents_rows = None
+            if "cluster_id" in idx.columns:
+                # probe for the centroids table THROUGH Spark, not
+                # os.path: the save/load path is a shared filesystem on
+                # a real cluster (HDFS/S3), where a driver-local isdir
+                # is always False and would silently degrade the loaded
+                # store to a flat full scan
+                try:
+                    cents_rows = spark.read.parquet(cents_path).collect()
+                except AnalysisException:
+                    cents_rows = None  # no centroids saved: flat store
+            if cents_rows is not None:
                 # restore the IVF layout: the saved doc_index IS the
                 # partitioned parquet, so keep it as an UNCACHED scan —
                 # caching would trade the file-level partition pruning
@@ -1543,11 +1609,15 @@ class SparkVectorStore:
 
                 cents = sorted(
                     (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
-                    for r in spark.read.parquet(cents_path).collect()
+                    for r in cents_rows
                 )
                 store._ivf = IVFIndex(cents, path=idx_path)
                 keep = [f.name for f in INDEX_SCHEMA.fields] + ["cluster_id"]
                 store._doc_index = idx.select(keep)
+                # appends re-read the directory with the explicit layout
+                # schema; columns backfilled in-plan above must be
+                # re-derived there (files read as NULL)
+                store._layout_derived = bool(set(cls._DERIVABLE_COLS) - physical)
             else:
                 store._doc_index = idx.select(
                     [f.name for f in INDEX_SCHEMA.fields]
@@ -1590,6 +1660,7 @@ class SparkVectorStore:
             idx = spark.read.parquet(table_path)
         except Exception as e:
             raise StorageError(f"attach of {table_path} failed: {e}") from e
+        physical = set(idx.columns)
         if "category" not in idx.columns:
             idx = idx.withColumn(
                 "category",
@@ -1610,6 +1681,10 @@ class SparkVectorStore:
                 path=table_path,
             )
             store._doc_index = idx.select(keep + ["cluster_id"])
+            # remember which engine columns exist only as the in-plan
+            # derivations above: appends re-read the directory with the
+            # explicit layout schema and must re-derive them there
+            store._layout_derived = bool(set(cls._DERIVABLE_COLS) - physical)
         else:
             store._doc_index = idx.select(keep).cache()
         store._count = store._doc_index.count()

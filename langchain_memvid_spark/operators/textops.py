@@ -423,13 +423,18 @@ def unigram_logprob_scores(
         "doc_id", F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term")
     )
     counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    if n_terms is None:
+        # the strategy pick must materialize the LM anyway — checkpoint
+        # it so the count AND the two plan uses below (total + join
+        # side) share ONE corpus aggregation instead of recomputing the
+        # tokenize+groupBy three times
+        counts = counts.localCheckpoint(eager=True)
+        n_terms = counts.count()
     total = counts.agg(F.sum("cnt").alias("total"))
     probs = counts.crossJoin(F.broadcast(total)).select(
         "term",
         (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("p"),
     )
-    if n_terms is None:
-        n_terms = counts.count()
     if n_terms <= _VOCAB_BROADCAST_ROW_LIMIT:
         probs = F.broadcast(probs)
     return (

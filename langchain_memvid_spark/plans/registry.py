@@ -469,10 +469,15 @@ def q_ivf_batch(spark, sf_dir):
         idx.search_batch(spark, queries, k=5, nprobe=2, rerank_candidates=64)
         .select(F.col("query_id").cast("long").alias("query_id"), "vec_id")
     )
+    # recall is aggregated over the EXACT side (always 5 rows/query) so
+    # a query with ZERO approx/exact overlap still contributes a group
+    # with __r=0 — a semi-join-then-group would drop that query's group
+    # entirely and min(__r) would skip exactly the collapsed query
     recalls = (
-        approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        exact.select("query_id", "vec_id")
+        .join(approx.withColumn("__hit", F.lit(1.0)), ["query_id", "vec_id"], "left")
         .groupBy("query_id")
-        .agg((F.count("*") / F.lit(5.0)).alias("__r"))
+        .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0.0))) / F.lit(5.0)).alias("__r"))
     )
     witness = (
         recalls.agg(F.min("__r").alias("__rmin"))

@@ -1048,3 +1048,124 @@ def test_per_call_nprobe_override(spark, ivf_store):
     r = ivf_store.as_retriever(k=3, search_kwargs={"nprobe": 4})
     docs = r.invoke("doc-0")
     assert len(docs) == 3
+
+
+def test_attach_derived_cols_survive_append(spark, tmp_path):
+    """An attached layout whose FILES lack qvec/pvec/category (attach
+    derives them in-plan) must keep those derivations after add_texts
+    re-points the scan at the appended directory: the explicit-schema
+    re-read fills NULL for the original files, and without the
+    re-derivation the int8 first pass would silently drop the entire
+    pre-append corpus (NULL scores sort last)."""
+    from pyspark.sql import functions as F
+
+    from langchain_memvid_spark.core.ivf import nearest_centroid_col
+    from langchain_memvid_spark.embeddings import HashEmbeddings
+
+    emb = HashEmbeddings(32)
+    texts = [f"attach corpus doc {i}" for i in range(30)]
+    base = spark.createDataFrame(
+        [
+            (i, t, f"s{i}.txt", '{"source": "s%d.txt"}' % i)
+            for i, t in enumerate(texts)
+        ],
+        "doc_id LONG, text STRING, source STRING, metadata_json STRING",
+    )
+    tbl = base.withColumn("embedding", emb.udf()(F.col("text"))).withColumn(
+        "metadata_hash", F.sha2(F.col("metadata_json"), 256)
+    )
+    cents = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(
+            tbl.filter(F.col("doc_id").isin(0, 15)).orderBy("doc_id").collect()
+        )
+    ]
+    tbl = tbl.withColumn("cluster_id", nearest_centroid_col(F.col("embedding"), cents))
+    path = str(tmp_path / "ext_table")
+    tbl.write.partitionBy("cluster_id").parquet(path)  # NO qvec/pvec/category
+
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="cosine", ivf=True, nlist=2, nprobe=2,
+            ivf_min_points_factor=5, rerank_candidates=8,
+        )
+    )
+    store = SparkVectorStore.attach(
+        path, spark, embeddings=emb, config=cfg, centroids=cents
+    )
+    assert store._layout_derived
+    assert store.similarity_search(texts[7], k=1)[0]["page_content"] == texts[7]
+
+    store.add_texts(["a brand new appended doc"])
+    assert store.get_document_count() == 31
+    # the re-pointed scan re-derives codes for the ORIGINAL files
+    assert store.doc_index.filter(F.col("qvec").isNull()).count() == 0
+    assert store.similarity_search(texts[7], k=1)[0]["page_content"] == texts[7]
+    got = store.similarity_search("a brand new appended doc", k=1)
+    assert got[0]["page_content"] == "a brand new appended doc"
+
+
+def test_typed_filter_key_charset(spark):
+    """Keys are data, not regex: the one non-alphanumeric char the
+    identifier rule admits ('-') must evaluate literally through the
+    typed extraction (it reaches an rlike), and keys outside the rule
+    raise loudly at BOTH boundaries — the filter AND the schema
+    declaration — instead of throwing PatternSyntaxException or
+    silently mis-matching inside the plan."""
+    from langchain_memvid_spark.exceptions import FilterError
+
+    s = SparkVectorStore(spark, metadata_schema={"price-usd": "double"})
+    s.add_texts(["cheap doc", "dear doc"], [{"price-usd": 1.0}, {"price-usd": 9.0}])
+    res = s.similarity_search_with_score(
+        "doc", k=5, filter={"price-usd": {"$gt": 2.0}}
+    )
+    assert [d["metadata"]["price-usd"] for d, _ in res] == [9.0]
+
+    bad = SparkVectorStore(spark, metadata_schema={"price(usd)": "double"})
+    bad.add_texts(["x"], [{}])
+    with pytest.raises(FilterError):  # schema key itself is rejected
+        bad.similarity_search_with_score("x", k=1, filter={"other": 1.0})
+    with pytest.raises(FilterError):  # and so is the filter key
+        s.similarity_search_with_score("x", k=1, filter={'we"ird': {"$gt": 0.0}})
+
+
+def test_ivf_rebuild_refused_keeps_nlist(ivf_store):
+    """A rebuild the training gate refuses must not leave config
+    claiming an nlist the live layout never got."""
+    before = ivf_store.config.index.nlist
+    assert ivf_store.rebuild_ivf(nlist=10_000) is False
+    assert ivf_store.config.index.nlist == before
+    assert ivf_store.ivf_index is not None  # live layout untouched
+
+
+def test_retriever_nprobe_reaches_all_search_types(spark, ivf_store, monkeypatch):
+    """search_kwargs['nprobe'] must reach the store for EVERY
+    search_type, not just plain similarity."""
+    seen = {}
+    orig_mmr = ivf_store.max_marginal_relevance_search
+
+    def spy_mmr(query, **kw):
+        seen["mmr"] = kw.get("nprobe")
+        return orig_mmr(query, **kw)
+
+    monkeypatch.setattr(ivf_store, "max_marginal_relevance_search", spy_mmr)
+    r = ivf_store.as_retriever(search_type="mmr", k=2, search_kwargs={"nprobe": 4})
+    assert len(r.invoke("doc-0")) == 2
+    assert seen["mmr"] == 4
+
+    orig_rel = ivf_store.similarity_search_with_relevance_scores
+
+    def spy_rel(query, **kw):
+        seen["thr"] = kw.get("nprobe")
+        return orig_rel(query, **kw)
+
+    monkeypatch.setattr(
+        ivf_store, "similarity_search_with_relevance_scores", spy_rel
+    )
+    r = ivf_store.as_retriever(
+        search_type="similarity_score_threshold",
+        k=2,
+        search_kwargs={"score_threshold": 0.0, "nprobe": 4},
+    )
+    r.invoke("doc-0")
+    assert seen["thr"] == 4
