@@ -63,6 +63,20 @@ def nearest_centroid_col(
     free).  Assignment and search-time probing MUST share one metric —
     probing the dot-nearest centroid of a cosine-assigned layout sends
     the query to the wrong partitions and recall collapses."""
+    return (-F.array_max(F.array(*_centroid_entries(vec_col, centroids, metric)))["nid"]).cast(
+        "int"
+    )
+
+
+def _centroid_entries(
+    vec_col: F.Column, centroids: list[tuple[int, list[float]]], metric: str
+) -> list[F.Column]:
+    """Per-centroid (sim, -id) struct columns — the shared expression
+    body of nearest_centroid_col (argmax) and top_clusters_col (top-p):
+    each centroid's similarity appears exactly once in the tree, and
+    the negated id makes lexicographic struct comparison break ties
+    toward the LOWEST cluster id, matching every oracle's
+    `ORDER BY sim DESC, id` convention."""
     from langchain_memvid_spark.functions.vector import dot, l2_sq, norm
 
     entries = []
@@ -72,7 +86,7 @@ def nearest_centroid_col(
             entries.append(
                 F.struct((-l2_sq(vec_col, carr)).alias("sim"), F.lit(-int(cid)).alias("nid"))
             )
-        return (-F.array_max(F.array(*entries))["nid"]).cast("int")
+        return entries
     vnorm = norm(vec_col)
     for cid, c in sorted(centroids, key=lambda ic: ic[0]):
         cn = math.sqrt(sum(float(x) * float(x) for x in c))
@@ -84,7 +98,26 @@ def nearest_centroid_col(
                 F.lit(0.0)
             )
         entries.append(F.struct(sim.alias("sim"), F.lit(-int(cid)).alias("nid")))
-    return (-F.array_max(F.array(*entries))["nid"]).cast("int")
+    return entries
+
+
+def top_clusters_col(
+    vec_col: F.Column,
+    centroids: list[tuple[int, list[float]]],
+    p: int,
+    metric: str = "cosine",
+) -> F.Column:
+    """Pure-Catalyst MULTI-assignment: the p nearest cluster ids per
+    row, nearest first — nearest_centroid_col generalized from argmax
+    to top-p (p=1 returns [nearest_centroid_col]).  Multi-probe
+    assignment is the standard recall repair for cluster-gated
+    candidate generation (semantic dedup, multi-probe IVF): a pair
+    straddling a cluster boundary still co-lands in SOME shared
+    cluster once each side carries its p nearest.  Same tie-break as
+    the argmax (lowest cluster id), same zero-norm guards, still zero
+    join / zero shuffle / zero Python."""
+    arr = F.reverse(F.array_sort(F.array(*_centroid_entries(vec_col, centroids, metric))))
+    return F.transform(F.slice(arr, 1, p), lambda st: (-st["nid"]).cast("int"))
 
 
 def train_centroids(

@@ -1166,3 +1166,43 @@ def test_empty_corpus_and_missing_query_raise_cleanly(spark):
     )
     with pytest.raises(ValueError, match="not found"):
         topk.knn_topk(emb, query_vec_id=999)
+
+
+def test_semantic_dedup_subset_and_coverage(spark, sf_dir):
+    """Cluster-gated semantic dedup returns a SUBSET of the exact pair
+    truth (every candidate is exact-scored) and the nlist=16/probes=3
+    knobs hold the registry witness's 0.8 coverage bound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in dedup.embedding_cosine_pairs(emb, exact=True).collect()
+    }
+    sem = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in dedup.semantic_dedup_pairs(emb, nlist=16, probes=3).collect()
+    }
+    assert set(sem) <= set(exact)
+    assert len(sem) >= 0.8 * len(exact)
+    for k, v in sem.items():
+        assert v == exact[k]  # identical scores on the pairs it keeps
+
+
+def test_top_clusters_col_generalizes_argmax(spark, sf_dir):
+    """top_clusters_col(p)[0] must equal nearest_centroid_col (same
+    entries, same lowest-id tie-break), with p distinct clusters."""
+    from langchain_memvid_spark.core.ivf import (
+        nearest_centroid_col,
+        top_clusters_col,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, 8)
+    rows = emb.select(
+        nearest_centroid_col(F.col("embedding"), cents).alias("c1"),
+        top_clusters_col(F.col("embedding"), cents, 3).alias("cp"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["cp"][0] == r["c1"]
+        assert len(r["cp"]) == 3 and len(set(r["cp"])) == 3
