@@ -85,7 +85,12 @@ EXTENDED = [
     # one-time store ingest + KMeans train + layout write, not
     # steady-state search latency — the same amortized-cost exclusion
     # as bucketed_colocated_join; it remains oracle-checked, and the
-    # steady-state pruned-search path is what ivf_search measures)
+    # steady-state pruned-search path is what ivf_search measures.
+    # semantic_dedup stays out for the pq_compression_stats reason:
+    # its wall time is a KMeans fit plus the brute-force exact half
+    # the ORACLE needs, not the operator's data path — the gated
+    # scoring itself is the embedding_candidate_pairs shape already
+    # benched; it remains oracle-checked with a coverage witness)
     "vs_score_threshold_search",
 ]
 
