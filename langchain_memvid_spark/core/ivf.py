@@ -153,6 +153,10 @@ def train_centroids(
 
     if n is None:
         n = df.count()
+    if n == 0:
+        # every consumer inherits the clean error instead of KMeans.fit's
+        # raw 'Nothing has been added to this summarizer' Py4J failure
+        raise IndexError_("cannot train centroids on an empty table")
     if cap is None:
         cap = max(100_000, 256 * nlist)
     train = df

@@ -351,6 +351,12 @@ class SparkVectorStore:
         self.spark = spark
         self.config = config or EngineConfig()
         self.metadata_schema = metadata_schema
+        if metadata_schema:
+            # fail fast at the DECLARATION: a bad dtype or
+            # non-identifier key should not surface hours later on the
+            # first filtered search (the empty filter exercises only
+            # the schema-validation loop)
+            metadata_predicate({}, schema=metadata_schema)
         self.embeddings = embeddings or HashEmbeddings(self.config.index.dim)
         self._doc_index: DataFrame = spark.createDataFrame([], INDEX_SCHEMA)
         self._payload: DataFrame = spark.createDataFrame([], PAYLOAD_SCHEMA)
@@ -1448,9 +1454,15 @@ class SparkVectorStore:
         k: int = 4,
         include_full_metadata: bool = False,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[dict[str, Any]]:
         return await self._to_thread(
-            self.similarity_search, query, k, include_full_metadata, filter=filter
+            self.similarity_search,
+            query,
+            k,
+            include_full_metadata,
+            filter=filter,
+            nprobe=nprobe,
         )
 
     async def asimilarity_search_with_score(
@@ -1459,9 +1471,15 @@ class SparkVectorStore:
         k: int = 4,
         include_full_metadata: bool = False,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[tuple[dict[str, Any], float]]:
         return await self._to_thread(
-            self.similarity_search_with_score, query, k, include_full_metadata, filter=filter
+            self.similarity_search_with_score,
+            query,
+            k,
+            include_full_metadata,
+            filter=filter,
+            nprobe=nprobe,
         )
 
     async def adelete_by_ids(self, doc_ids: list[int | str]) -> bool:
@@ -1482,9 +1500,15 @@ class SparkVectorStore:
         k: int = 4,
         include_full_metadata: bool = False,
         filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
     ) -> list[dict[str, Any]]:
         return await self._to_thread(
-            self.similarity_search_by_vector, embedding, k, include_full_metadata, filter=filter
+            self.similarity_search_by_vector,
+            embedding,
+            k,
+            include_full_metadata,
+            filter=filter,
+            nprobe=nprobe,
         )
 
     async def amax_marginal_relevance_search(
@@ -1598,7 +1622,17 @@ class SparkVectorStore:
                 # store to a flat full scan
                 try:
                     cents_rows = spark.read.parquet(cents_path).collect()
-                except AnalysisException:
+                except AnalysisException as e:
+                    cond = (
+                        e.getCondition()
+                        if hasattr(e, "getCondition")
+                        else e.getErrorClass()
+                    )
+                    if cond != "PATH_NOT_FOUND":
+                        # a PRESENT but unreadable centroids table is
+                        # corruption — fail loudly (outer StorageError)
+                        # rather than silently degrading to a flat scan
+                        raise
                     cents_rows = None  # no centroids saved: flat store
             if cents_rows is not None:
                 # restore the IVF layout: the saved doc_index IS the

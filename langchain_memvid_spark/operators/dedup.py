@@ -682,15 +682,22 @@ def semantic_cluster_candidates(
     iteration."""
     from langchain_memvid_spark.core.ivf import top_clusters_col, train_centroids
 
-    cents = train_centroids(embeddings, nlist, vec_col=vec_col, id_col=id_col)
+    n = embeddings.count()
+    if n < 2:
+        # no pairs to find; also keeps KMeans.fit off the empty corpus
+        return embeddings.sparkSession.createDataFrame([], "a_id long, b_id long")
+    cents = train_centroids(embeddings, nlist, n=n, vec_col=vec_col, id_col=id_col)
     asg = embeddings.select(
         F.col(id_col),
         F.explode(top_clusters_col(F.col(vec_col), cents, probes)).alias("cluster_id"),
     )
     a = asg.select(F.col(id_col).alias("a_id"), "cluster_id")
     b = asg.select(F.col(id_col).alias("b_id"), "cluster_id")
+    # hint('merge'): both sides are the corpus-sized assignment table —
+    # same never-broadcast guard as embedding_lsh_candidates' band join
     return (
-        a.join(b, "cluster_id")
+        a.hint("merge")
+        .join(b, "cluster_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()

@@ -1206,3 +1206,11 @@ def test_top_clusters_col_generalizes_argmax(spark, sf_dir):
     for r in rows:
         assert r["cp"][0] == r["c1"]
         assert len(r["cp"]) == 3 and len(set(r["cp"])) == 3
+
+
+def test_semantic_dedup_empty_and_singleton(spark):
+    """No pairs (and no raw KMeans crash) on empty or 1-row corpora."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert dedup.semantic_dedup_pairs(empty).count() == 0
+    one = spark.createDataFrame([(0, [1.0] * 8)], "vec_id long, embedding array<float>")
+    assert dedup.semantic_dedup_pairs(one).count() == 0

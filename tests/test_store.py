@@ -1121,11 +1121,9 @@ def test_typed_filter_key_charset(spark):
     )
     assert [d["metadata"]["price-usd"] for d, _ in res] == [9.0]
 
-    bad = SparkVectorStore(spark, metadata_schema={"price(usd)": "double"})
-    bad.add_texts(["x"], [{}])
-    with pytest.raises(FilterError):  # schema key itself is rejected
-        bad.similarity_search_with_score("x", k=1, filter={"other": 1.0})
-    with pytest.raises(FilterError):  # and so is the filter key
+    with pytest.raises(FilterError):  # schema key rejected AT DECLARATION
+        SparkVectorStore(spark, metadata_schema={"price(usd)": "double"})
+    with pytest.raises(FilterError):  # filter key rejected at the filter
         s.similarity_search_with_score("x", k=1, filter={'we"ird': {"$gt": 0.0}})
 
 
@@ -1169,3 +1167,39 @@ def test_retriever_nprobe_reaches_all_search_types(spark, ivf_store, monkeypatch
     )
     r.invoke("doc-0")
     assert seen["thr"] == 4
+
+
+def test_async_search_accepts_nprobe(ivf_store):
+    """Per-call nprobe parity across the async surface (the sync
+    methods all take it; the async wrappers must too)."""
+    import asyncio
+
+    got = asyncio.run(ivf_store.asimilarity_search_with_score("doc-0", k=3, nprobe=4))
+    assert len(got) == 3
+    got = asyncio.run(
+        ivf_store.asimilarity_search_by_vector(
+            [float(i) for i in range(64)], k=2, nprobe=4
+        )
+    )
+    assert len(got) == 2
+    got = asyncio.run(ivf_store.asimilarity_search("doc-0", k=2, nprobe=4))
+    assert len(got) == 2
+
+
+def test_load_corrupt_centroids_raises(spark, ivf_store, tmp_path):
+    """A PRESENT but unreadable ivf_centroids table is corruption and
+    must raise StorageError — only a genuinely MISSING table may fall
+    back to the flat layout (that silent-degradation path is exactly
+    what the Spark-side probe exists to avoid)."""
+    import os
+    import shutil
+
+    from langchain_memvid_spark.exceptions import StorageError
+
+    path = str(tmp_path / "st")
+    ivf_store.save(path)
+    cdir = os.path.join(path, "ivf_centroids")
+    shutil.rmtree(cdir)
+    os.makedirs(cdir)  # present but empty -> UNABLE_TO_INFER_SCHEMA
+    with pytest.raises(StorageError):
+        SparkVectorStore.load(path, spark)
