@@ -20,6 +20,7 @@ from typing import Any
 
 from langchain_memvid_spark.core.store import SparkVectorStore
 from langchain_memvid_spark.exceptions import RetrievalError
+from langchain_memvid_spark.functions.metadata import get_on_first_match
 
 
 @dataclass
@@ -194,7 +195,16 @@ class SparkRetriever:
                         metadata={
                             "source": d["metadata"].get("source"),
                             "category": d["metadata"].get("category"),
-                            "similarity": d["metadata"].get("similarity"),
+                            # the reference's exact score-with-fallback
+                            # read (vectorstore.py:678-684): first of
+                            # similarity/distance that is a float
+                            "similarity": get_on_first_match(
+                                d["metadata"],
+                                "similarity",
+                                "distance",
+                                expected_type=float,
+                                default=0.0,
+                            ),
                             "metadata_type": "essential",
                             **d["metadata"],
                         },

@@ -5,6 +5,7 @@ from langchain_memvid_spark.functions.vector import (
     l2_sq,
 )
 from langchain_memvid_spark.functions.hashing import stable_hash64, metadata_hash
+from langchain_memvid_spark.functions.metadata import first_match_col, get_on_first_match
 from langchain_memvid_spark.functions.text import (
     tokens,
     token_count,
@@ -22,6 +23,8 @@ __all__ = [
     "l2_sq",
     "stable_hash64",
     "metadata_hash",
+    "first_match_col",
+    "get_on_first_match",
     "tokens",
     "token_count",
     "word_shingles",

@@ -932,6 +932,44 @@ def q_fp(spark, sf_dir):
 
 
 @_reg(
+    "metadata_first_match",
+    """
+WITH m AS (
+  SELECT doc_id,
+    to_json(struct_pack(lang := lang, source := source, n_chars := n_chars)) AS mj
+  FROM documents)
+SELECT doc_id,
+  COALESCE(json_extract_string(mj, '$.subtitle'),
+           json_extract_string(mj, '$.lang')) AS first_str,
+  COALESCE(TRY_CAST(json_extract(mj, '$.lang') AS DOUBLE),
+           TRY_CAST(json_extract(mj, '$.n_chars') AS DOUBLE),
+           -1.0) AS first_num
+FROM m
+""",
+)
+def q_metadata_first_match(spark, sf_dir):
+    """The reference's get_on_first_match
+    (utils/metadata.py:1-17) as ONE Catalyst expression per output
+    column (functions/metadata.py first_match_col): first present,
+    non-null, TYPE-matching key wins — 'subtitle' is absent so the
+    string scan falls through to 'lang'; 'lang' is a string so the
+    DOUBLE scan type-skips it (strict from_json extraction) and takes
+    'n_chars', with a default terminating the walk. Runs at scan
+    speed over the metadata JSON — no Python, no shuffle."""
+    from langchain_memvid_spark.functions.metadata import first_match_col
+
+    docs = _t(spark, sf_dir, "documents")
+    mj = F.to_json(F.struct(F.col("lang"), F.col("source"), F.col("n_chars")))
+    return docs.select(
+        "doc_id",
+        first_match_col(mj, ["subtitle", "lang"]).alias("first_str"),
+        first_match_col(mj, ["lang", "n_chars"], dtype="double", default=-1.0).alias(
+            "first_num"
+        ),
+    )
+
+
+@_reg(
     "text_bpe_token_counts",
     f"""
 SELECT doc_id,
