@@ -420,7 +420,8 @@ class SparkVectorStore:
         (vectorstore.py:221).
         """
         if not texts:
-            return []
+            # the reference's exact loud contract (vectorstore.py:195)
+            raise ValueError("No texts provided to add")
         if metadatas is not None and len(metadatas) != len(texts):
             raise IndexError_(
                 f"texts/metadatas length mismatch: {len(texts)} vs {len(metadatas)}"
@@ -1351,7 +1352,8 @@ class SparkVectorStore:
         """≙ vectorstore.py:290-352 / index.py:347-376: validate, anti-join
         both tables, renumber. 'Frame removal' is just row deletion."""
         if not doc_ids:
-            return False
+            # reference raises, not a silent no-op (vectorstore.py:310)
+            raise ValueError("No document IDs provided to delete")
         try:
             ids = [int(d) for d in doc_ids]
         except (TypeError, ValueError) as e:
@@ -1389,7 +1391,8 @@ class SparkVectorStore:
         Returns False when no text matched any document, mirroring the
         reference (index.py:389-397)."""
         if not texts:
-            return False
+            # reference raises, not a silent no-op (vectorstore.py:368)
+            raise ValueError("No texts provided to delete")
         tdf = self.spark.createDataFrame([(t,) for t in texts], "text STRING").dropDuplicates()
         w = Window.partitionBy("text").orderBy("doc_id")
         victims = (

@@ -321,7 +321,7 @@ def test_store_async_parity(spark):
     import asyncio
 
     async def flow():
-        s = SparkVectorStore.from_texts([], spark)
+        s = SparkVectorStore(spark)
         ids = await s.aadd_texts(TEXTS, METAS)
         assert ids == [str(i) for i in range(len(TEXTS))]
         hits = await s.asimilarity_search(TEXTS[1], k=2)
@@ -342,7 +342,7 @@ def test_append_lineage_stays_bounded(spark):
     """50 sequential add_texts must not nest the logical plan 50 deep:
     localCheckpoint every _CHECKPOINT_EVERY mutations truncates lineage
     (VERDICT r4 'What's wrong' #2), while contents stay identical."""
-    s = SparkVectorStore.from_texts([], spark)
+    s = SparkVectorStore(spark)
     s._CHECKPOINT_EVERY = 4
     for i in range(14):
         s.add_texts([f"lineage doc {i}"])
@@ -1203,3 +1203,18 @@ def test_load_corrupt_centroids_raises(spark, ivf_store, tmp_path):
     os.makedirs(cdir)  # present but empty -> UNABLE_TO_INFER_SCHEMA
     with pytest.raises(StorageError):
         SparkVectorStore.load(path, spark)
+
+
+def test_empty_input_contracts_match_reference(spark):
+    """The reference raises ValueError on empty add/delete inputs
+    (vectorstore.py:195,310,368 and its tests) — silent no-ops would
+    hide caller bugs; match the loud contract exactly."""
+    s = SparkVectorStore.from_texts(["a", "b"], spark)
+    with pytest.raises(ValueError, match="No texts provided to add"):
+        s.add_texts([])
+    with pytest.raises(ValueError, match="No document IDs provided to delete"):
+        s.delete_by_ids([])
+    with pytest.raises(ValueError, match="No texts provided to delete"):
+        s.delete_by_texts([])
+    with pytest.raises(ValueError, match="No texts provided to delete"):
+        s.delete_documents([])
