@@ -28,8 +28,9 @@ from langchain_memvid_spark.exceptions import (
     FilterError,
 )
 from langchain_memvid_spark.embeddings import HashEmbeddings
-from langchain_memvid_spark.core.store import SparkVectorStore
+from langchain_memvid_spark.core.store import SparkVectorStore, StorageStats
 from langchain_memvid_spark.core.retriever import Document, SparkRetriever
+from langchain_memvid_spark.types import BuildStats, FrameMappingStats, VideoInfo
 
 __version__ = "0.1.0"
 
@@ -48,4 +49,8 @@ __all__ = [
     "SparkVectorStore",
     "SparkRetriever",
     "Document",
+    "StorageStats",
+    "BuildStats",
+    "FrameMappingStats",
+    "VideoInfo",
 ]

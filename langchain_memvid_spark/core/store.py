@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
@@ -123,12 +124,68 @@ class SearchResult:
 @dataclass
 class StorageStats:
     """Real aggregates, not the reference's hard-coded guesses
-    (/root/reference/src/langchain_memvid/vectorstore.py:858-859)."""
+    (/root/reference/src/langchain_memvid/vectorstore.py:858-859 —
+    which estimate essential as docs*0.001 MB and full as 80% of the
+    video file). The reference-named accessors below expose the SAME
+    field surface (types.py:33-42) computed from the measured bytes:
+    the essential tier is the index table (text + metadata + vectors
+    + codes), the full tier / 'video file' is the payload table."""
 
     document_count: int
     index_bytes: int
     payload_bytes: int
     frame_mapping_count: int
+
+    _MB = 1024.0 * 1024.0
+
+    @property
+    def total_documents(self) -> int:
+        return self.document_count
+
+    @property
+    def video_file_size_mb(self) -> float:
+        return self.payload_bytes / self._MB
+
+    @property
+    def index_size_mb(self) -> float:
+        return self.index_bytes / self._MB
+
+    @property
+    def essential_metadata_size_mb(self) -> float:
+        return self.index_bytes / self._MB
+
+    @property
+    def full_metadata_size_mb(self) -> float:
+        return self.payload_bytes / self._MB
+
+    @property
+    def redundancy_percentage(self) -> float:
+        """essential/full ratio as a percent (the reference's formula,
+        vectorstore.py:860-863, over real bytes)."""
+        if self.payload_bytes <= 0:
+            return 0.0
+        return self.index_bytes / self.payload_bytes * 100.0
+
+    @property
+    def storage_efficiency(self) -> str:
+        return "hybrid"  # two-tier essential/full split, like the reference
+
+    @property
+    def frame_mapping_stats(self):
+        """doc_id IS the frame key in this engine (identity mapping by
+        id assignment), so coverage is structural: every stored row is
+        mapped."""
+        from langchain_memvid_spark.types import FrameMappingStats
+
+        return FrameMappingStats(
+            total_documents=self.document_count,
+            mapped_documents=self.frame_mapping_count,
+            mapping_coverage=100.0 if self.document_count else 0.0,
+            mapping_efficiency={
+                "strategy": "identity (doc_id is the physical order key)",
+                "dict_entries": 0,
+            },
+        )
 
 
 _FILTER_KEY_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_\-]*$")
@@ -369,6 +426,10 @@ class SparkVectorStore:
         self._ivf = None
         self._ivf_version = 0
         self._layout_base: str | None = None
+        # per-batch build record (≙ the reference's BuildStats return
+        # from Encoder.build_video, encoder.py:212-218) — None until
+        # the first ingest
+        self.last_build_stats = None
         # True when the live IVF layout's parquet FILES are missing some
         # engine columns (attach() of a streamed table, load() of an
         # older save) and those columns exist only as in-plan
@@ -481,6 +542,8 @@ class SparkVectorStore:
         batch carries precomputed vectors → normalize if cosine → int8
         codes → append to both tables (IVF-assigned partition append
         when the layout is live)."""
+        t0 = time.time()
+        start_count = self._count
         # first occurrence within batch (reference keeps first, index.py:211-218)
         w = Window.partitionBy("text").orderBy("__pos")
         staged = staged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
@@ -567,6 +630,21 @@ class SparkVectorStore:
         old_payload.unpersist()
         self._maybe_truncate_lineage()
         self._maybe_build_ivf()
+        # the payload table was just materialized (cached), so the byte
+        # aggregate is an in-memory scan, not a recompute of the lineage
+        payload_bytes = int(
+            self._payload.select(F.sum(F.length("payload_json")).alias("b")).collect()[0]["b"]
+            or 0
+        )
+        from langchain_memvid_spark.types import BuildStats
+
+        self.last_build_stats = BuildStats(
+            total_chunks=self._count - start_count,
+            video_size_mb=payload_bytes / (1024.0 * 1024.0),
+            encoding_time=round(time.time() - t0, 3),
+            index_path=self._ivf.path if self._ivf is not None else None,
+            video_path=None,  # the payload tier is in-session until save()
+        )
 
     # ------------------------------------------------------------------ IVF
 

@@ -178,3 +178,21 @@ def test_binaryfile_roundtrip_and_decode(spark, sf_dir, tmp_path):
     # glob filter prunes at the source
     only_png = read_media_dir(spark, str(tmp_path / "media"), glob="*.png")
     assert only_png.count() == 10
+
+
+def test_video_info_dataclass_from_row(spark, sf_dir):
+    """≙ reference test_video_info_dataclass (tests/test_vectorstore.py
+    :500): the decode_video_info scan's rows bridge to the reference's
+    VideoInfo return shape with derived duration and real size."""
+    from langchain_memvid_spark.types import VideoInfo
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = mm.synthesize_video_media(docs.filter(F.col("doc_id") < 3))
+    rows = mm.decode_video_info(vids).orderBy("media_id").collect()
+    infos = [VideoInfo.from_row(r) for r in rows]
+    for mid, (r, vi) in enumerate(zip(rows, infos)):
+        assert vi.frame_count == r["n_frames"] == 1 + mid % 4
+        assert vi.fps == float(r["fps"])
+        assert vi.width == r["width"] and vi.height == r["height"]
+        assert vi.duration_seconds == pytest.approx(vi.frame_count / vi.fps)
+        assert vi.file_size_mb == pytest.approx(r["content_bytes"] / (1024 * 1024))

@@ -1218,3 +1218,48 @@ def test_empty_input_contracts_match_reference(spark):
         s.delete_by_texts([])
     with pytest.raises(ValueError, match="No texts provided to delete"):
         s.delete_documents([])
+
+
+def test_storage_stats_reference_shape(spark):
+    """≙ reference test_get_storage_stats_returns_storage_stats and
+    the stats dataclass cases (tests/test_vectorstore.py:448-520): the
+    reference-named accessors expose its full StorageStats field
+    surface, computed from REAL bytes instead of its hard-coded
+    estimates (vectorstore.py:858-859)."""
+    s = SparkVectorStore.from_texts(TEXTS, spark, metadatas=METAS)
+    st = s.get_storage_stats()
+    assert st.total_documents == st.document_count == 4
+    assert st.index_size_mb == pytest.approx(st.index_bytes / 1048576)
+    assert st.video_file_size_mb == pytest.approx(st.payload_bytes / 1048576)
+    assert st.full_metadata_size_mb == st.video_file_size_mb
+    assert st.redundancy_percentage == pytest.approx(
+        st.index_bytes / st.payload_bytes * 100.0
+    )
+    assert st.storage_efficiency == "hybrid"
+    fm = st.frame_mapping_stats
+    assert fm.total_documents == 4 and fm.mapped_documents == 4
+    assert fm.mapping_coverage == 100.0
+    # per-batch build record (≙ Encoder.build_video's BuildStats)
+    bs = s.last_build_stats
+    assert bs.total_chunks == 4
+    assert bs.encoding_time > 0
+    assert bs.video_size_mb == pytest.approx(st.payload_bytes / 1048576)
+    assert bs.index_path is None  # flat store: no IVF layout yet
+
+
+def test_similarity_search_thread_safety(spark):
+    """≙ reference test_similarity_search_thread_safety
+    (tests/test_vectorstore.py:266): concurrent searches over one
+    store return each thread's own correct result."""
+    import concurrent.futures
+
+    s = SparkVectorStore.from_texts([f"tdoc {i}" for i in range(20)], spark)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        futs = {
+            i: ex.submit(s.similarity_search_with_score, f"tdoc {i}", 3)
+            for i in range(12)
+        }
+        for i, fut in futs.items():
+            res = fut.result(timeout=120)
+            assert len(res) == 3
+            assert res[0][0]["page_content"] == f"tdoc {i}"
