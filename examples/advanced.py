@@ -137,6 +137,26 @@ def main() -> None:
         f"nprobe=2 picks: {[d['doc_id'] for d in pruned]}"
     )
 
+    # semantic dedup (SemDeDup, late r7): cluster-gated embedding
+    # near-dup pairs — candidates come from an equi-join on the
+    # KMeans cluster assignment (top-3 multi-probe), never all pairs;
+    # every returned pair is exact-verified at the cosine threshold.
+    from langchain_memvid_spark.operators.dedup import semantic_dedup_pairs
+
+    pairs = semantic_dedup_pairs(emb_table, nlist=8, probes=3, threshold=0.4)
+    print(f"semantic near-dup pairs (cluster-gated, exact-scored): {pairs.count()}")
+
+    # stats surface (late r7): the reference's StorageStats/BuildStats
+    # field names, computed from REAL bytes instead of its estimates
+    st = vs.get_storage_stats()
+    bs = vs.last_build_stats
+    print(
+        f"stats: {st.total_documents} docs, index {st.index_size_mb:.3f} MB, "
+        f"payload {st.video_file_size_mb:.3f} MB, "
+        f"redundancy {st.redundancy_percentage:.0f}%, "
+        f"last batch {bs.total_chunks} chunks in {bs.encoding_time}s"
+    )
+
     # tabular rendering ≙ the reference's %%as_table notebook magic
     # (ext.py:531) — engine-side the equivalent is one createDataFrame
     # + show(): search results are plain rows, so any Spark sink or
