@@ -55,13 +55,21 @@ def first_match_col(
     single-field typed schema returns NULL when the stored value is
     missing, null, or not of the declared type — so the coalesce walk
     IS the reference's skip-None + skip-wrong-type scan, evaluated
-    JVM-side per row with no Python. ``dtype`` plays expected_type
-    ('string' extracts the raw JSON scalar text, the permissive
-    dialect); a non-None ``default`` terminates the coalesce."""
+    JVM-side per row with no Python. ``dtype`` plays expected_type:
+    the 'string' walk masks values that strictly parse as JSON
+    numbers or booleans (same strictness as the typed filter dialect,
+    minus its non-finite-literal special case — a key storing the
+    STRING "NaN" is masked here), so a declared-string walk never
+    returns a stored numeric, exactly as ``isinstance(v, str)`` skips
+    it driver-side (property-fuzzed against the Python helper). A
+    non-None ``default`` terminates the coalesce."""
     cols = []
     for key in keys:
         if dtype == "string":
-            cols.append(F.get_json_object(metadata_json, f"$.{key}"))
+            raw = F.get_json_object(metadata_json, f"$.{key}")
+            num = F.from_json(metadata_json, f"`{key}` double")[key]
+            is_bool = F.from_json(metadata_json, f"`{key}` boolean")[key].isNotNull()
+            cols.append(F.when(num.isNull() & ~is_bool, raw))
         else:
             cols.append(F.from_json(metadata_json, f"`{key}` {dtype}")[key])
     if default is not None:

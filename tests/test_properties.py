@@ -804,3 +804,56 @@ def test_containment_and_knn_graph_match_python(spark_handle, docs):
         want = sorted(nbrs, key=lambda x: (-x[0], x[1]))[:2]
         got = [(j, n) for _, n, j in sorted(got_g.get(d, []))]
         assert got == want, (d, got, want)
+
+
+@given(
+    metas=st.lists(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.one_of(
+                st.none(),
+                st.text(alphabet="xyz", min_size=1, max_size=4),
+                st.floats(
+                    min_value=-100, max_value=100,
+                    allow_nan=False, allow_infinity=False,
+                ).map(lambda v: round(v, 3) + 0.5),
+            ),
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    keys=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=3, unique=True),
+)
+@SET
+def test_first_match_col_matches_python_reference(spark_handle, metas, keys):
+    """The Catalyst first_match_col walk == the reference-faithful
+    Python get_on_first_match on the same dicts, for the string and
+    double walks (values constrained to JSON-faithful types: the
+    Python helper's isinstance distinguishes int/float where JSON
+    cannot, so ints stay out of the property)."""
+    import json
+
+    from langchain_memvid_spark.functions.metadata import (
+        first_match_col,
+        get_on_first_match,
+    )
+
+    spark = spark_handle
+    df = spark.createDataFrame(
+        [(i, json.dumps(m)) for i, m in enumerate(metas)], "id long, mj string"
+    )
+    rows = {
+        r["id"]: (r["s"], r["d"])
+        for r in df.select(
+            "id",
+            first_match_col(F.col("mj"), keys).alias("s"),
+            first_match_col(F.col("mj"), keys, dtype="double", default=-7.5).alias("d"),
+        ).collect()
+    }
+    for i, m in enumerate(metas):
+        want_s = get_on_first_match(m, *keys, expected_type=str)
+        want_d = get_on_first_match(m, *keys, default=-7.5)  # type from default: float
+        got_s, got_d = rows[i]
+        assert got_s == want_s
+        assert got_d == (want_d if want_d is not None else -7.5)
