@@ -469,6 +469,26 @@ def extract_video_frames(media: DataFrame) -> DataFrame:
     re-parse each extracted frame's PNG header — the reference's
     decode_video generator (video/default.py:244-286) as a distributed
     scan: frames of different videos decode on different partitions."""
+    return sample_video_frames(media, every_n=1)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """Strided frame sampling over the AVI containers: keep every
+    ``every_n``-th frame (and at most ``max_frames`` per video), the
+    standard decimation step of a video training pipeline — a model
+    sees 1 frame/second, not 30.
+
+    The scale property is WHERE the skipping happens: unsampled frames
+    cost one 8-byte chunk-header read (the walk seeks past them by the
+    size field) and are never PNG-parsed, so sampling 1-in-30 does
+    ~1/30th of the decode work instead of decoding everything and
+    filtering rows afterward. Same Arrow-batched mapInPandas shape as
+    the full extraction (extract_video_frames delegates here with
+    every_n=1); zero shuffle."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -479,6 +499,7 @@ def extract_video_frames(media: DataFrame) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
                 fno = 0
+                taken = 0
                 stack = [(12, len(blob))]
                 while stack:
                     pos, end = stack.pop()
@@ -490,16 +511,29 @@ def extract_video_frames(media: DataFrame) -> DataFrame:
                             pos, end = pos + 12, pos + 8 + size
                             continue
                         if cid == b"00dc":
-                            frame = blob[pos + 8 : pos + 8 + size]
-                            ihdr = parse_png_info(frame)
-                            rows["media_id"].append(int(mid))
-                            rows["frame_no"].append(fno)
-                            rows["frame_bytes"].append(size)
-                            rows["frame_width"].append(ihdr["width"])
-                            rows["frame_height"].append(ihdr["height"])
+                            sampled = fno % every_n == 0 and (
+                                max_frames is None or taken < max_frames
+                            )
+                            if sampled:
+                                frame = blob[pos + 8 : pos + 8 + size]
+                                ihdr = parse_png_info(frame)
+                                rows["media_id"].append(int(mid))
+                                rows["frame_no"].append(fno)
+                                rows["frame_bytes"].append(size)
+                                rows["frame_width"].append(ihdr["width"])
+                                rows["frame_height"].append(ihdr["height"])
+                                taken += 1
                             fno += 1
                         pos += 8 + size + (size & 1)
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "frame_no": pd.array(rows["frame_no"], dtype="int32"),
+                    "frame_bytes": pd.array(rows["frame_bytes"], dtype="int64"),
+                    "frame_width": pd.array(rows["frame_width"], dtype="int32"),
+                    "frame_height": pd.array(rows["frame_height"], dtype="int32"),
+                }
+            )
 
     return media.mapInPandas(
         explode,

@@ -2267,6 +2267,34 @@ def q_video_frames(spark, sf_dir):
 
 
 @_reg(
+    "video_frame_sample",
+    """
+WITH v AS (
+  SELECT doc_id, 16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+         1 + doc_id % 4 AS n,
+         68 + (8 + doc_id % 5) * (16 + doc_id % 8 + 1) AS png
+  FROM documents)
+SELECT doc_id AS media_id, fno::INT AS frame_no, png::BIGINT AS frame_bytes,
+  w::INT AS frame_width, h::INT AS frame_height
+FROM v, LATERAL (SELECT unnest(range(0, n)) AS fno) f
+WHERE fno % 2 = 0
+""",
+)
+def q_video_frame_sample(spark, sf_dir):
+    """Strided frame sampling (every 2nd frame) — the decimation step
+    of a video training pipeline. Unsampled frames are SKIPPED by the
+    chunk walk's size-field seek (never PNG-parsed), not extracted
+    then filtered; the oracle's closed-form stride over the known
+    per-video frame counts proves the sampled set is exactly the
+    stride, with real parsed headers on the kept frames
+    (multimodal/binary.py sample_video_frames)."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    media = mm.synthesize_video_media(_t(spark, sf_dir, "documents"))
+    return mm.sample_video_frames(media, every_n=2)
+
+
+@_reg(
     "image_resize_stats",
     """
 SELECT doc_id AS media_id, 'image' AS media_type,

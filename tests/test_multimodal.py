@@ -196,3 +196,26 @@ def test_video_info_dataclass_from_row(spark, sf_dir):
         assert vi.width == r["width"] and vi.height == r["height"]
         assert vi.duration_seconds == pytest.approx(vi.frame_count / vi.fps)
         assert vi.file_size_mb == pytest.approx(r["content_bytes"] / (1024 * 1024))
+
+
+def test_sample_video_frames_stride_and_cap(spark, sf_dir):
+    """sample_video_frames keeps exactly the stride (and honors
+    max_frames), with every_n=1 identical to the full extraction."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 12)
+    vids = mm.synthesize_video_media(docs)
+    full = mm.extract_video_frames(vids).collect()
+    sampled = mm.sample_video_frames(vids, every_n=2).collect()
+    want = {(r["media_id"], r["frame_no"]) for r in full if r["frame_no"] % 2 == 0}
+    assert {(r["media_id"], r["frame_no"]) for r in sampled} == want
+    # sampled rows carry the same parsed headers as the full extraction
+    by_key = {(r["media_id"], r["frame_no"]): r for r in full}
+    for r in sampled:
+        f = by_key[(r["media_id"], r["frame_no"])]
+        assert (r["frame_bytes"], r["frame_width"], r["frame_height"]) == (
+            f["frame_bytes"], f["frame_width"], f["frame_height"],
+        )
+    capped = mm.sample_video_frames(vids, every_n=1, max_frames=1).collect()
+    assert len(capped) == 12  # one frame per video
+    assert all(r["frame_no"] == 0 for r in capped)
+    with pytest.raises(ValueError, match="every_n"):
+        mm.sample_video_frames(vids, every_n=0)
