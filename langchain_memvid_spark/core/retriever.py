@@ -195,9 +195,14 @@ class SparkRetriever:
                         metadata={
                             "source": d["metadata"].get("source"),
                             "category": d["metadata"].get("category"),
-                            # the reference's exact score-with-fallback
-                            # read (vectorstore.py:678-684): first of
-                            # similarity/distance that is a float
+                            "metadata_type": "essential",
+                            **d["metadata"],
+                            # AFTER the spread so the fallback read is
+                            # authoritative (later keys win): the
+                            # reference's exact score-with-fallback
+                            # (vectorstore.py:678-684) — first of
+                            # similarity/distance that IS a float,
+                            # 0.0 otherwise
                             "similarity": get_on_first_match(
                                 d["metadata"],
                                 "similarity",
@@ -205,8 +210,6 @@ class SparkRetriever:
                                 expected_type=float,
                                 default=0.0,
                             ),
-                            "metadata_type": "essential",
-                            **d["metadata"],
                         },
                     )
                     for d, _ in scored

@@ -180,7 +180,14 @@ class StorageStats:
         return FrameMappingStats(
             total_documents=self.document_count,
             mapped_documents=self.frame_mapping_count,
-            mapping_coverage=100.0 if self.document_count else 0.0,
+            # derived, not asserted: the public constructor could be
+            # built with diverging counts, and the dataclass must not
+            # self-contradict
+            mapping_coverage=(
+                self.frame_mapping_count / self.document_count * 100.0
+                if self.document_count
+                else 0.0
+            ),
             mapping_efficiency={
                 "strategy": "identity (doc_id is the physical order key)",
                 "dict_entries": 0,
@@ -268,7 +275,7 @@ def metadata_predicate(
     return cond
 
 
-def _typed_json_col(key: str, dtype: str) -> F.Column:
+def _typed_json_col(key: str, dtype: str, mj: F.Column | None = None) -> F.Column:
     """STRICT per-key extraction: from_json with a single-field typed
     schema returns NULL when the stored JSON value is not of the
     declared type (verified: '\"2\"' under double -> NULL, 'true'
@@ -289,7 +296,8 @@ def _typed_json_col(key: str, dtype: str) -> F.Column:
     another value cannot fake it (only a same-named key inside a
     NESTED object value could — nested keys are outside this flat
     dialect's contract)."""
-    mj = F.col("metadata_json")
+    if mj is None:
+        mj = F.col("metadata_json")
     # re.escape: keys are data, not patterns — an unescaped '(' or '.'
     # would throw PatternSyntaxException / silently over-match
     quoted = mj.rlike('[{,]\\s*"' + re.escape(key) + '"\\s*:\\s*"')
@@ -623,24 +631,27 @@ class SparkVectorStore:
             self._doc_index = self._doc_index.unionByName(new_index).cache()
         self._payload = self._payload.unionByName(new_payload).cache()
         self._count = self._doc_index.count()
-        self._payload.count()
+        # ONE job materializes the payload cache AND measures the
+        # batch: new rows are exactly doc_id >= start_count (ids are
+        # contiguous 0..n-1 and appends come after any renumbering)
+        prow = self._payload.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("doc_id") >= start_count, F.length("payload_json"))
+            ).alias("batch_b"),
+        ).collect()[0]
+        batch_payload_bytes = int(prow["batch_b"] or 0)
         # the new tables are materialized — release the superseded
         # cache entries so repeated ingests don't pin storage forever
         old_index.unpersist()
         old_payload.unpersist()
         self._maybe_truncate_lineage()
         self._maybe_build_ivf()
-        # the payload table was just materialized (cached), so the byte
-        # aggregate is an in-memory scan, not a recompute of the lineage
-        payload_bytes = int(
-            self._payload.select(F.sum(F.length("payload_json")).alias("b")).collect()[0]["b"]
-            or 0
-        )
         from langchain_memvid_spark.types import BuildStats
 
         self.last_build_stats = BuildStats(
             total_chunks=self._count - start_count,
-            video_size_mb=payload_bytes / (1024.0 * 1024.0),
+            video_size_mb=batch_payload_bytes / (1024.0 * 1024.0),
             encoding_time=round(time.time() - t0, 3),
             index_path=self._ivf.path if self._ivf is not None else None,
             video_path=None,  # the payload tier is in-session until save()
@@ -868,6 +879,7 @@ class SparkVectorStore:
         self._payload = self.spark.createDataFrame([], PAYLOAD_SCHEMA)
         self._count = 0
         self._ivf = None  # retrains once the corpus re-passes the gate
+        self.last_build_stats = None  # stale stats describe dropped data
 
     # ------------------------------------------------------------------ search
 

@@ -51,27 +51,54 @@ def first_match_col(
     default: Any | None = None,
 ) -> Column:
     """Catalyst ``get_on_first_match`` over a JSON metadata column:
-    COALESCE of strict per-key typed extractions. ``from_json`` with a
-    single-field typed schema returns NULL when the stored value is
-    missing, null, or not of the declared type — so the coalesce walk
-    IS the reference's skip-None + skip-wrong-type scan, evaluated
-    JVM-side per row with no Python. ``dtype`` plays expected_type:
-    the 'string' walk masks values that strictly parse as JSON
-    numbers or booleans (same strictness as the typed filter dialect,
-    minus its non-finite-literal special case — a key storing the
-    STRING "NaN" is masked here), so a declared-string walk never
-    returns a stored numeric, exactly as ``isinstance(v, str)`` skips
-    it driver-side (property-fuzzed against the Python helper). A
-    non-None ``default`` terminates the coalesce."""
+    COALESCE of strict per-key typed extractions — the SAME
+    `_typed_json_col` machinery the store's typed filter dialect uses
+    (core/store.py: strict from_json typing, quoted-literal handling
+    of "NaN"/"Infinity", regex-escaped raw-text anchor), so the two
+    surfaces cannot drift. ``dtype`` plays expected_type over JSON's
+    type system: 'string' walks skip numbers, booleans, AND nested
+    objects/arrays (a stored string that merely LOOKS like a
+    container is kept — the quoted-text anchor distinguishes them);
+    'double' walks skip everything that is not a genuine JSON number.
+    Property-fuzzed against the Python helper across strings, floats,
+    booleans, nested containers, and the special float literals. The
+    one inherent divergence: JSON has no int/float split, so a stored
+    3 is a number (double walk takes it as 3.0) while the driver-side
+    ``isinstance(3, float)`` skips the Python int — documented, not
+    hidden. A non-None ``default`` terminates the coalesce; an empty
+    key list yields NULL (or the default), like the Python helper
+    with no keys."""
+    import re as _re
+
+    from langchain_memvid_spark.core.store import _typed_json_col
+
+    for key in keys:
+        if not _re.match(r"^[A-Za-z_][A-Za-z0-9_\-]*$", key):
+            raise ValueError(
+                f"first_match_col key {key!r} is not a plain identifier; "
+                "nested/quoted JSON keys are not addressable"
+            )
     cols = []
     for key in keys:
+        base = _typed_json_col(key, dtype, mj=metadata_json)
         if dtype == "string":
+            # additionally skip genuine containers: the raw extraction
+            # of an object/array is its JSON text (starts with { or [),
+            # but a stored STRING with that shape is quoted in the raw
+            # document — keep those, mask the real containers
             raw = F.get_json_object(metadata_json, f"$.{key}")
-            num = F.from_json(metadata_json, f"`{key}` double")[key]
-            is_bool = F.from_json(metadata_json, f"`{key}` boolean")[key].isNotNull()
-            cols.append(F.when(num.isNull() & ~is_bool, raw))
-        else:
-            cols.append(F.from_json(metadata_json, f"`{key}` {dtype}")[key])
+            quoted = metadata_json.rlike(
+                '[{,]\\s*"' + _re.escape(key) + '"\\s*:\\s*"'
+            )
+            is_container = (
+                raw.isNotNull()
+                & (raw.startswith("{") | raw.startswith("["))
+                & ~quoted
+            )
+            base = F.when(~is_container, base)
+        cols.append(base)
     if default is not None:
         cols.append(F.lit(default).cast(dtype))
+    if not cols:
+        return F.lit(None).cast(dtype)
     return F.coalesce(*cols)

@@ -62,9 +62,11 @@ class VideoInfo:
 @dataclass
 class BuildStats:
     """≙ types.py:45-52 — one ingest batch's build record (the
-    reference returns this from Encoder.build_video; here
+    reference returns this from Encoder.build_video, whose written
+    video holds ONLY the batch — so ``video_size_mb`` here is the
+    BATCH's payload bytes, not the cumulative table;
     SparkVectorStore._ingest records it per add_texts/add_dataframe
-    batch as ``last_build_stats``)."""
+    batch as ``last_build_stats``, and clear() resets it)."""
 
     total_chunks: int
     video_size_mb: float

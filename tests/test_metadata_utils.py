@@ -75,3 +75,18 @@ def test_first_match_col_semantics(spark):
     assert got[1] == ("y", 3.0)  # null 'a' skipped both times
     assert got[2] == ("only-b", -1.0)  # 'n' is a string: type-skipped -> default
     assert got[3] == (None, -1.0)  # nothing present; string walk has no default
+
+
+def test_first_match_col_no_keys_and_bad_key(spark):
+    """Zero keys yields NULL (or the default), like the Python helper
+    with no keys; non-identifier keys raise loudly."""
+    df = spark.createDataFrame([(0, '{"a": 1}')], "id long, mj string")
+    row = df.select(
+        first_match_col(F.col("mj"), []).alias("s"),
+        first_match_col(F.col("mj"), [], dtype="double", default=-1.0).alias("d"),
+    ).collect()[0]
+    assert row["s"] is None and row["d"] == -1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="identifier"):
+        first_match_col(F.col("mj"), ["bad(key)"])

@@ -817,6 +817,14 @@ def test_containment_and_knn_graph_match_python(spark_handle, docs):
                     min_value=-100, max_value=100,
                     allow_nan=False, allow_infinity=False,
                 ).map(lambda v: round(v, 3) + 0.5),
+                st.booleans(),
+                # the divergence classes the first property run missed:
+                # special float literals stored as STRINGS, a string
+                # that merely LOOKS like a container, and genuine
+                # nested containers
+                st.sampled_from(["NaN", "Infinity", "-INF", '{"x": 1}', "[1, 2]"]),
+                st.just({"q": 1}),
+                st.just([1, "two"]),
             ),
             max_size=4,
         ),
@@ -829,9 +837,11 @@ def test_containment_and_knn_graph_match_python(spark_handle, docs):
 def test_first_match_col_matches_python_reference(spark_handle, metas, keys):
     """The Catalyst first_match_col walk == the reference-faithful
     Python get_on_first_match on the same dicts, for the string and
-    double walks (values constrained to JSON-faithful types: the
-    Python helper's isinstance distinguishes int/float where JSON
-    cannot, so ints stay out of the property)."""
+    double walks — across plain strings, floats, booleans, nested
+    objects/arrays, container-shaped STRINGS, and the special float
+    literals. The one inherent exclusion is Python ints: JSON has no
+    int/float split, so the driver-side isinstance(3, float) skip is
+    unrepresentable in the JSON walk (documented on first_match_col)."""
     import json
 
     from langchain_memvid_spark.functions.metadata import (
