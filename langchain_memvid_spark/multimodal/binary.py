@@ -226,11 +226,19 @@ def synthesize_real_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media_info(media: DataFrame) -> DataFrame:
+def decode_media_info(media: DataFrame, salvage: bool = False) -> DataFrame:
     """Parse every blob's real header — the Spark analog of the
     reference's get_video_info (video/default.py:448-486): dimensions
     for images, rate/channels/samples for audio, total byte size for
-    both.  Arrow-batched mapInPandas; the parsers above do the work."""
+    both.  Arrow-batched mapInPandas; the parsers above do the work.
+
+    ``salvage=True`` is the 100 TB-scrape mode: a corrupt blob must
+    quarantine its OWN row, never fail the scan (one bad file in a
+    billion would otherwise kill the job after task retries).  Parse
+    errors become an ``error`` column (NULL for good rows) with every
+    info field NULL; good rows decode identically to the strict path.
+    Same single Arrow-batched scan, zero shuffle, no added cost on the
+    happy path."""
 
     cols = [
         "width", "height", "bit_depth", "color_type",
@@ -242,9 +250,19 @@ def decode_media_info(media: DataFrame) -> DataFrame:
             rows: dict[str, list] = {"media_id": [], "media_type": [], "content_bytes": []}
             for c in cols:
                 rows[c] = []
+            if salvage:
+                rows["error"] = []
             for mid, mtype, content in zip(pdf["media_id"], pdf["media_type"], pdf["content"]):
                 blob = bytes(content)
-                info = parse_png_info(blob) if mtype == "image" else parse_wav_info(blob)
+                if salvage:
+                    try:
+                        info = parse_png_info(blob) if mtype == "image" else parse_wav_info(blob)
+                        err = None
+                    except Exception as e:  # noqa: BLE001 — quarantine, never fail the scan
+                        info, err = {}, (str(e) or type(e).__name__)
+                    rows["error"].append(err)
+                else:
+                    info = parse_png_info(blob) if mtype == "image" else parse_wav_info(blob)
                 rows["media_id"].append(int(mid))
                 rows["media_type"].append(mtype)
                 rows["content_bytes"].append(len(blob))
@@ -257,7 +275,31 @@ def decode_media_info(media: DataFrame) -> DataFrame:
         "width int, height int, bit_depth int, color_type int, "
         "sample_rate int, n_channels int, bits_per_sample int, n_samples long"
     )
+    if salvage:
+        schema += ", error string"
     return media.mapInPandas(decode, schema)
+
+
+def corrupt_media_prefix(
+    media: DataFrame, modulus: int, remainder: int = 0, n_bytes: int = 8
+) -> DataFrame:
+    """Deterministically corrupt a known subset of blobs (media_id %
+    modulus == remainder) by zeroing the first ``n_bytes`` — the magic/
+    RIFF header every codec here validates first, so the resulting
+    parse error is a STABLE string per media_type and the salvage scan
+    is fully hash-oracle-able.  Pure Catalyst (binary substring +
+    concat): no Python, no shuffle — test scaffolding that runs at any
+    scale."""
+    if modulus < 1:
+        raise ValueError(f"modulus must be >= 1, got {modulus}")
+    zeros = F.lit(bytes(n_bytes))
+    rest = F.expr(f"substring(content, {n_bytes + 1}, 2147483647)")
+    return media.withColumn(
+        "content",
+        F.when(
+            F.col("media_id") % modulus == remainder, F.concat(zeros, rest)
+        ).otherwise(F.col("content")),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -439,8 +481,13 @@ def synthesize_video_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_video_info(media: DataFrame) -> DataFrame:
-    """Parse every AVI blob's container structure (Arrow-batched)."""
+def decode_video_info(media: DataFrame, salvage: bool = False) -> DataFrame:
+    """Parse every AVI blob's container structure (Arrow-batched).
+
+    ``salvage=True`` quarantines corrupt containers into an ``error``
+    column instead of failing the scan — see decode_media_info."""
+
+    keys = ("width", "height", "n_frames", "fps", "frame_bytes", "first_frame_bytes")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -448,20 +495,32 @@ def decode_video_info(media: DataFrame) -> DataFrame:
                 "media_id": [], "content_bytes": [], "width": [], "height": [],
                 "n_frames": [], "fps": [], "frame_bytes": [], "first_frame_bytes": [],
             }
+            if salvage:
+                rows["error"] = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
-                info = parse_avi_info(blob)
+                if salvage:
+                    try:
+                        info = parse_avi_info(blob)
+                        err = None
+                    except Exception as e:  # noqa: BLE001 — quarantine, never fail the scan
+                        info, err = {}, (str(e) or type(e).__name__)
+                    rows["error"].append(err)
+                else:
+                    info = parse_avi_info(blob)
                 rows["media_id"].append(int(mid))
                 rows["content_bytes"].append(len(blob))
-                for k in ("width", "height", "n_frames", "fps", "frame_bytes", "first_frame_bytes"):
-                    rows[k].append(info[k])
+                for k in keys:
+                    rows[k].append(info.get(k))
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(
-        decode,
+    schema = (
         "media_id long, content_bytes long, width int, height int, "
-        "n_frames int, fps int, frame_bytes long, first_frame_bytes long",
+        "n_frames int, fps int, frame_bytes long, first_frame_bytes long"
     )
+    if salvage:
+        schema += ", error string"
+    return media.mapInPandas(decode, schema)
 
 
 def extract_video_frames(media: DataFrame) -> DataFrame:
@@ -572,7 +631,9 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return (v / n).tolist()
 
 
-def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+def extract_features(
+    media: DataFrame, decoder: str = "fake", salvage: bool = False
+) -> DataFrame:
     """Decode + feature-extract each blob via mapInPandas (Arrow
     batches; one python worker per partition — at scale this is where
     GPU inference batches would run).
@@ -581,30 +642,47 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     emits header + byte-statistic features (requires blobs from
     synthesize_real_media or any spec-valid PNG/WAV); decoder='fake'
     emits sha256-seeded vectors for arbitrary blobs (stands in for a
-    vision/audio tower)."""
+    vision/audio tower).
+
+    ``salvage=True`` (real decoder): a blob the decoder rejects yields
+    features=NULL + an ``error`` column instead of failing the scan —
+    the feature stage is exactly where corrupt scraped media would
+    otherwise kill a 100 TB job."""
+
+    def one_real(c: bytes, t: str) -> tuple[list[float] | None, str | None]:
+        if not salvage:
+            return _real_features(c, t), None
+        try:
+            return _real_features(c, t), None
+        except Exception as e:  # noqa: BLE001 — quarantine, never fail the scan
+            return None, (str(e) or type(e).__name__)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                feats = [
-                    _real_features(bytes(c), t)
+                pairs = [
+                    one_real(bytes(c), t)
                     for c, t in zip(pdf["content"], pdf["media_type"])
                 ]
+                feats = [p[0] for p in pairs]
+                errs = [p[1] for p in pairs]
             else:
                 feats = [_fake_features(bytes(c)) for c in pdf["content"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "features": feats,
-                    "content_bytes": [len(bytes(c)) for c in pdf["content"]],
-                }
-            )
+                errs = [None] * len(feats)
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "features": feats,
+                "content_bytes": [len(bytes(c)) for c in pdf["content"]],
+            }
+            if salvage:
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(
-        extract,
-        "media_id long, media_type string, features array<float>, content_bytes long",
-    )
+    schema = "media_id long, media_type string, features array<float>, content_bytes long"
+    if salvage:
+        schema += ", error string"
+    return media.mapInPandas(extract, schema)
 
 
 def resize_images(media: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:

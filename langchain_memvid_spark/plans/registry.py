@@ -2212,6 +2212,48 @@ def q_media_headers(spark, sf_dir):
 
 
 @_reg(
+    "media_salvage_scan",
+    """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+  CASE WHEN doc_id % 2 = 0
+       THEN 57 + (8 + doc_id % 5) * (16 + doc_id % 8 + 1) + 11
+       ELSE 44 + (100 + doc_id % 50) * (1 + doc_id % 2) * 2
+  END::BIGINT AS content_bytes,
+  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 0 THEN 16 + doc_id % 8 END::INT AS width,
+  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 0 THEN 8 + doc_id % 5 END::INT AS height,
+  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 0 THEN 8 END::INT AS bit_depth,
+  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 0 THEN 0 END::INT AS color_type,
+  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1 THEN 8000 + 1000 * (doc_id % 4) END::INT AS sample_rate,
+  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1 THEN 1 + doc_id % 2 END::INT AS n_channels,
+  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1 THEN 16 END::INT AS bits_per_sample,
+  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1 THEN 100 + doc_id % 50 END::BIGINT AS n_samples,
+  CASE WHEN doc_id % 5 = 0 THEN
+    CASE WHEN doc_id % 2 = 0 THEN 'not a PNG: bad magic'
+         ELSE 'not a WAV: bad RIFF header' END
+  END AS error
+FROM documents
+""",
+)
+def q_media_salvage(spark, sf_dir):
+    """Corrupt-tolerant media scan — the mode a 100 TB web scrape needs:
+    one bad blob in a billion must quarantine its OWN row, not kill the
+    job.  Deterministically corrupts every 5th blob (magic/RIFF header
+    zeroed, pure-Catalyst binary substring+concat, so the parse error
+    string is closed-form per media_type), then decodes in salvage
+    mode: good rows parse identically to media_header_info, corrupt
+    rows get NULL info fields + the error column.  The oracle predicts
+    EVERY field including the exact error string — agreement proves
+    the quarantine path classifies real parse failures, not synthetic
+    flags.  ≙ reference get_video_info error paths
+    (video/default.py:448-486) generalized to per-row isolation."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    media = mm.synthesize_real_media(_t(spark, sf_dir, "documents"))
+    return mm.decode_media_info(mm.corrupt_media_prefix(media, 5), salvage=True)
+
+
+@_reg(
     "video_header_info",
     """
 WITH v AS (

@@ -219,3 +219,85 @@ def test_sample_video_frames_stride_and_cap(spark, sf_dir):
     assert all(r["frame_no"] == 0 for r in capped)
     with pytest.raises(ValueError, match="every_n"):
         mm.sample_video_frames(vids, every_n=0)
+
+
+def test_salvage_decode_quarantines_corrupt_rows(spark, sf_dir):
+    """salvage=True isolates corrupt blobs into their own rows (error
+    set, info NULL) while good rows decode byte-identically to the
+    strict path — one bad file must never kill a 100 TB scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = mm.synthesize_real_media(docs)
+    corrupted = mm.corrupt_media_prefix(media, 5)
+    rows = {r["media_id"]: r for r in mm.decode_media_info(corrupted, salvage=True).collect()}
+    strict = {r["media_id"]: r for r in mm.decode_media_info(media).collect()}
+    assert len(rows) == 40
+    info_cols = [
+        "width", "height", "bit_depth", "color_type",
+        "sample_rate", "n_channels", "bits_per_sample", "n_samples",
+    ]
+    for mid, r in rows.items():
+        if mid % 5 == 0:
+            want = "not a PNG: bad magic" if mid % 2 == 0 else "not a WAV: bad RIFF header"
+            assert r["error"] == want
+            assert all(r[c] is None for c in info_cols)
+            assert r["content_bytes"] == strict[mid]["content_bytes"]  # length preserved
+        else:
+            assert r["error"] is None
+            assert all(r[c] == strict[mid][c] for c in info_cols)
+    # the strict path fails loudly on the same input
+    with pytest.raises(Exception, match="bad magic|bad RIFF"):
+        mm.decode_media_info(corrupted).collect()
+
+
+def test_salvage_decode_handles_truncation(spark, sf_dir):
+    """Truncated blobs (the other common scrape corruption) also
+    quarantine rather than crash — whatever the parser raises."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = mm.synthesize_real_media(docs)
+    truncated = media.withColumn(
+        "content",
+        F.when(
+            F.col("media_id") % 3 == 0, F.expr("substring(content, 1, 20)")
+        ).otherwise(F.col("content")),
+    )
+    rows = mm.decode_media_info(truncated, salvage=True).collect()
+    assert all((r["error"] is not None) == (r["media_id"] % 3 == 0) for r in rows)
+
+
+def test_salvage_video_decode(spark, sf_dir):
+    """decode_video_info(salvage=True): corrupt containers quarantine,
+    good ones parse identically to the strict path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    vids = mm.synthesize_video_media(docs)
+    corrupted = mm.corrupt_media_prefix(vids, 4)
+    rows = {r["media_id"]: r for r in mm.decode_video_info(corrupted, salvage=True).collect()}
+    strict = {r["media_id"]: r for r in mm.decode_video_info(vids).collect()}
+    keys = ["width", "height", "n_frames", "fps", "frame_bytes", "first_frame_bytes"]
+    for mid, r in rows.items():
+        if mid % 4 == 0:
+            assert r["error"] == "not an AVI: bad RIFF header"
+            assert all(r[k] is None for k in keys)
+        else:
+            assert r["error"] is None
+            assert all(r[k] == strict[mid][k] for k in keys)
+    with pytest.raises(Exception, match="bad RIFF"):
+        mm.decode_video_info(corrupted).collect()
+
+
+def test_salvage_feature_extraction(spark, sf_dir):
+    """extract_features(decoder='real', salvage=True): corrupt blobs get
+    features=NULL + error; good blobs match the strict path exactly."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    media = mm.synthesize_real_media(docs)
+    corrupted = mm.corrupt_media_prefix(media, 5)
+    rows = {r["media_id"]: r for r in
+            mm.extract_features(corrupted, decoder="real", salvage=True).collect()}
+    strict = {r["media_id"]: r for r in
+              mm.extract_features(media, decoder="real").collect()}
+    for mid, r in rows.items():
+        if mid % 5 == 0:
+            assert r["features"] is None and r["error"] is not None
+        else:
+            assert r["error"] is None and r["features"] == strict[mid]["features"]
+    with pytest.raises(Exception, match="bad magic|bad RIFF|not a"):
+        mm.extract_features(corrupted, decoder="real").collect()
