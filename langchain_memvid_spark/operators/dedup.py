@@ -426,6 +426,111 @@ def minhash_band_pairs(
     )
 
 
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus: DataFrame | None = None,
+    *,
+    corpus_sig: DataFrame | None = None,
+    k: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    n_new: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the production
+    shape (every ingest batch vs 100 TB of already-kept documents),
+    where a corpus×corpus self-join would redo quadratic work for a
+    linear question.
+
+    Returns one row per new doc: (doc_id, is_dup, dup_of, jaccard_max)
+    — dup_of is the smallest corpus doc whose estimated Jaccard ≥
+    threshold, NULL when the doc is novel; callers ingest
+    ``filter(~is_dup)``.
+
+    The 100 TB plan: both band tables CARRY their signature columns, so
+    with the batch under `_PAIR_BROADCAST_ROW_LIMIT` band rows (exact
+    count, same pick as simhash_near_pairs) the band join AND the
+    scoring are map-side against the broadcast batch — the corpus is
+    ONE embarrassingly-parallel scan with ZERO shuffle; the only
+    exchange is the final groupBy over the batch's own doc ids.
+    Duplicate band hits need no distinct: min/max aggregation is
+    idempotent per pair. Pass ``corpus_sig`` (persisted
+    minhash_signatures output, signed once at ingest) to skip
+    re-signing the corpus text every batch — signatures are 8 longs
+    per doc, ~0.8 % of a 8 KB document corpus. Oversized batches fall
+    back to the only always-safe shape, a sort-merge band join."""
+    if (corpus is None) == (corpus_sig is None):
+        raise ValueError("pass exactly one of corpus / corpus_sig")
+    if corpus_sig is None:
+        corpus_sig = minhash_signatures(corpus, k, text_col)
+    sig_new = minhash_signatures(new_docs, k, text_col).localCheckpoint()
+    n = len(MINHASH_PERMS)
+    n_bands = n // rows_per_band
+
+    def banded(sig: DataFrame, prefix: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{band * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for band in range(n_bands)
+        ]
+        return sig.select(
+            F.col("doc_id").alias(f"{prefix}_id"),
+            *[F.col(f"mh{j}").alias(f"{prefix}mh{j}") for j in range(n)],
+            F.explode(F.array(*structs)).alias("bb"),
+        ).select(
+            f"{prefix}_id",
+            *[f"{prefix}mh{j}" for j in range(n)],
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    if n_new is None:
+        n_new = new_docs.count()
+    new_banded = banded(sig_new, "new")
+    right = (
+        F.broadcast(new_banded)
+        if n_new * n_bands <= _PAIR_BROADCAST_ROW_LIMIT
+        else new_banded.hint("merge")
+    )
+    eq = None
+    for j in range(n):
+        term = F.when(F.col(f"cmh{j}") == F.col(f"newmh{j}"), 1).otherwise(0)
+        eq = term if eq is None else eq + term
+    scored = (
+        banded(corpus_sig, "c")
+        .join(right, ["band", "bucket"])
+        .filter(F.col("c_id") != F.col("new_id"))
+        .select("new_id", "c_id", (eq.cast("double") / F.lit(float(n))).alias("est"))
+        .filter(F.col("est") >= threshold)
+    )
+    matches = scored.groupBy("new_id").agg(
+        F.min("c_id").alias("dup_of"),
+        F.round(F.max("est"), 4).alias("jaccard_max"),
+    )
+    # matches ≤ one row per batch doc — always broadcastable when the
+    # band pick above chose broadcast; the batch side then never shuffles
+    if n_new * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
+        matches = F.broadcast(matches)
+    return (
+        new_docs.select("doc_id")
+        .join(matches, new_docs["doc_id"] == matches["new_id"], "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "jaccard_max",
+        )
+    )
+
+
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """SIMHASH_BITS-bit SimHash over distinct word-token hashes: bit b
     is set when the sum of ±1 votes from each token's bit b is positive.

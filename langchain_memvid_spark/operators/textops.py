@@ -201,6 +201,55 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[A-Za-z0-9./_-]+"
 
 
+# HTML boilerplate removal (the CCNet/trafilatura-shaped scrape-clean
+# stage). Patterns restricted to the Java-regex ∩ RE2 subset (no
+# backreferences, no lookahead) so the DuckDB oracle runs the SAME
+# chain; non-greedy block strips + inline (?is) flags work in both.
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"<[^>]+>"
+HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST
+)
+
+
+def html_text_col(html):  # -> Column
+    """Extract visible text from an HTML column, pure Catalyst: strip
+    script/style blocks (content and all — a '>' inside JS must not
+    end the strip early), comments, then remaining tags; decode the
+    common entities (&amp; last, per spec); collapse whitespace."""
+    out = F.regexp_replace(html, HTML_SCRIPT_RE, " ")
+    out = F.regexp_replace(out, HTML_STYLE_RE, " ")
+    out = F.regexp_replace(out, HTML_COMMENT_RE, " ")
+    out = F.regexp_replace(out, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_extract(documents: DataFrame, html_col: str = "html") -> DataFrame:
+    """Scrape cleaning: visible text + density stats from raw HTML —
+    the first stage of every web-crawl training pipeline (CCNet-style).
+    Pure Catalyst regexp chain: codegen, scan-bound, zero shuffle — at
+    100 TB this runs at parquet-read speed. text_ratio (visible/raw
+    bytes) is the standard boilerplate-density gate."""
+    h = F.col(html_col)
+    text = html_text_col(h)
+    return documents.select(
+        "doc_id",
+        text.alias("text"),
+        F.length(h).cast("long").alias("html_len"),
+        F.length(text).cast("long").alias("text_len"),
+        F.round(
+            F.length(text).cast("double")
+            / F.greatest(F.length(h), F.lit(1)).cast("double"),
+            4,
+        ).alias("text_ratio"),
+    )
+
+
 def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """PII/URL scrubbing: count and redact email addresses and URLs —
     pure Catalyst regexp (codegen, scan-bound at 100 TB). The testdata

@@ -1078,6 +1078,63 @@ def q_pii(spark, sf_dir):
     return textops.pii_scrub(_t(spark, sf_dir, "documents"))
 
 
+def _html_extract_sql() -> str:
+    # the SAME page template the Spark query builds (script body with
+    # embedded '>', styled head, comment, entity-laden trailer), then
+    # the SAME strip/decode chain textops.html_text_col runs
+    page = (
+        "'<html><head><title>Doc ' || doc_id::VARCHAR || "
+        "'</title><style type=\"text/css\">body{color:#333}</style>"
+        "<script type=\"text/javascript\">var x=' || doc_id::VARCHAR || "
+        "'; if (x>1) { x = x*2; }</script></head><body><!-- generated ' "
+        "|| doc_id::VARCHAR || ' --><h1>Doc ' || doc_id::VARCHAR || "
+        "'</h1><p>' || text || '</p><p>Q&amp;A &lt;sec ' || doc_id::VARCHAR "
+        "|| '&gt; &quot;quoted&quot;&nbsp;tail</p></body></html>'"
+    )
+    strip = f"regexp_replace(h, '{textops.HTML_SCRIPT_RE}', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '{textops.HTML_STYLE_RE}', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '{textops.HTML_COMMENT_RE}', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '{textops.HTML_TAG_RE}', ' ', 'g')"
+    for ent, ch in textops.HTML_ENTITIES:
+        lit = "chr(39)" if ch == "'" else f"'{ch}'"
+        strip = f"replace({strip}, '{ent}', {lit})"
+    text = f"trim(regexp_replace({strip}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH pages AS (SELECT doc_id, {page} AS h FROM documents),
+ex AS (SELECT doc_id, h, {text} AS t FROM pages)
+SELECT doc_id, t AS text, len(h)::BIGINT AS html_len, len(t)::BIGINT AS text_len,
+  round(len(t)::DOUBLE / greatest(len(h), 1)::DOUBLE, 4) AS text_ratio
+FROM ex
+"""
+
+
+@_reg("html_extract", _html_extract_sql())
+def q_html_extract(spark, sf_dir):
+    """Web-scrape cleaning: deterministic HTML pages are built around
+    each document (script block with an embedded '>', styled head,
+    comment, entity-laden trailer), then textops.html_extract strips
+    boilerplate and decodes entities — the CCNet-shaped first stage of
+    a crawl pipeline.  The oracle builds the SAME pages and runs the
+    SAME Java-regex∩RE2 chain, so the hash proves real extraction:
+    tags gone, script/style content gone, 'Q&A <sec n> \"quoted\" tail'
+    decoded byte-for-byte.  Pure Catalyst; scan-bound at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit('</title><style type="text/css">body{color:#333}</style>'
+              '<script type="text/javascript">var x='), sid,
+        F.lit("; if (x>1) { x = x*2; }</script></head><body><!-- generated "), sid,
+        F.lit(" --><h1>Doc "), sid,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>Q&amp;A &lt;sec "), sid,
+        F.lit("&gt; &quot;quoted&quot;&nbsp;tail</p></body></html>"),
+    )
+    return textops.html_extract(
+        docs.select("doc_id", page.alias("html")), html_col="html"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector-store parity ops (reference operator semantics on testdata)
 # ---------------------------------------------------------------------------
@@ -1473,6 +1530,64 @@ FROM cand c JOIN sig a ON a.doc_id = c.a_id JOIN sig b ON b.doc_id = c.b_id
 @_reg("minhash_jaccard_estimates", _minhash_est_sql())
 def q_minhash_est(spark, sf_dir):
     return dedup.minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
+
+
+def _incremental_dedup_sql() -> str:
+    n = len(MINHASH_PERMS)
+    sig_cols = ",".join(
+        _mh_perm_sql(j, a, b, m) for j, (a, b, m) in enumerate(MINHASH_PERMS)
+    )
+    def bands(src: str) -> str:
+        return "\n    UNION ALL ".join(
+            f"SELECT doc_id, {band} AS band, mh{2*band}::VARCHAR || '_' || mh{2*band+1}::VARCHAR AS bucket FROM {src}"
+            for band in range(n // 2)
+        )
+    eq = " + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(n))
+    return f"""
+WITH {SHINGLE_CTE},
+h AS (SELECT doc_id, {H64.format(x='sh')} AS h FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+newb AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+corp AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+nbands AS (
+    {bands('newb')}
+),
+cbands AS (
+    {bands('corp')}
+),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS c_id
+  FROM nbands nb JOIN cbands cb ON nb.band = cb.band AND nb.bucket = cb.bucket
+),
+scored AS (
+  SELECT c.new_id, c.c_id, ({eq})::DOUBLE / {n}.0 AS est
+  FROM cand c JOIN newb a ON a.doc_id = c.new_id JOIN corp b ON b.doc_id = c.c_id
+),
+m AS (
+  SELECT new_id, min(c_id) AS dup_of, round(max(est), 4) AS jaccard_max
+  FROM scored WHERE est >= 0.5 GROUP BY new_id
+)
+SELECT d.doc_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of, m.jaccard_max
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN m ON m.new_id = d.doc_id
+"""
+
+
+@_reg("incremental_dedup", _incremental_dedup_sql())
+def q_incremental_dedup(spark, sf_dir):
+    """Batch-vs-corpus near-dedup — the production ingest shape: every
+    10th document plays the NEW batch, the rest the existing corpus.
+    With the batch bounded, the band join AND scoring run map-side
+    against the broadcast batch (band tables carry their signature
+    columns): the 100 TB corpus is ONE scan with ZERO corpus-side
+    shuffle — cost is linear in corpus size, independent of corpus
+    pair count. ≙ the reference's add_texts dedup stage
+    (index.py:247-259, exact-hash only) generalized to near-dup."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_near_dup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        corpus=docs.filter(F.col("doc_id") % 10 != 0),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1214,3 +1214,82 @@ def test_semantic_dedup_empty_and_singleton(spark):
     assert dedup.semantic_dedup_pairs(empty).count() == 0
     one = spark.createDataFrame([(0, [1.0] * 8)], "vec_id long, embedding array<float>")
     assert dedup.semantic_dedup_pairs(one).count() == 0
+
+
+def test_incremental_near_dup_flags_corpus_duplicates(spark):
+    """A batch doc that near-duplicates a corpus doc is flagged with
+    the smallest matching corpus id; novel docs pass through."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated corpus material here today"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (101, "entirely novel text with no corpus overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup.incremental_near_dup(new, corpus).collect()}
+    assert rows[100]["is_dup"] and rows[100]["dup_of"] == 1
+    assert rows[100]["jaccard_max"] == 1.0
+    assert not rows[101]["is_dup"] and rows[101]["dup_of"] is None
+
+
+def test_incremental_near_dup_sig_reuse_and_merge_fallback(spark, sf_dir):
+    """The persisted-signature path (sign once at ingest) and the
+    oversized-batch SMJ fallback both produce identical results to the
+    default broadcast path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    base = sorted(map(tuple, dedup.incremental_near_dup(new, corpus).collect()))
+    sig = dedup.minhash_signatures(corpus).localCheckpoint()
+    via_sig = sorted(map(tuple, dedup.incremental_near_dup(new, corpus_sig=sig).collect()))
+    assert via_sig == base
+    forced_merge = sorted(map(tuple,
+        dedup.incremental_near_dup(new, corpus, n_new=10**9).collect()))
+    assert forced_merge == base
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.incremental_near_dup(new)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.incremental_near_dup(new, corpus, corpus_sig=sig)
+
+
+def test_incremental_near_dup_corpus_side_never_shuffles_full(spark, sf_dir):
+    """Bounded batch ⇒ band join and scoring are broadcast (map-side on
+    the corpus scan); no SortMergeJoin anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup.incremental_near_dup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_html_extract_strips_blocks_and_decodes_entities(spark):
+    """Script/style CONTENT is removed (including a '>' inside JS that
+    must not end the block strip early), comments and tags go, entities
+    decode in spec order (&amp; last), whitespace collapses."""
+    html = (
+        '<html><head><style>p { color: red; }</style>'
+        '<script>if (a > b && c < d) { alert("x"); }</script></head>'
+        "<body><!-- hidden --><h1>Title</h1>\n\n"
+        "<p>Q&amp;A &lt;tag&gt; &quot;q&quot; it&#39;s&nbsp;here</p>"
+        "<div >spaced</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = textops.html_extract(df).collect()[0]
+    assert r["text"] == 'Title Q&A <tag> "q" it\'s here spaced'
+    assert r["html_len"] == len(html)
+    assert r["text_len"] == len(r["text"])
+    # double-decode must NOT happen: &amp;lt; decodes to the LITERAL '&lt;'
+    df2 = spark.createDataFrame([(1, "<p>&amp;lt;</p>")], "doc_id long, html string")
+    assert textops.html_extract(df2).collect()[0]["text"] == "&lt;"
