@@ -458,7 +458,12 @@ def incremental_near_dup(
     minhash_signatures output, signed once at ingest) to skip
     re-signing the corpus text every batch — signatures are 8 longs
     per doc, ~0.8 % of a 8 KB document corpus. Oversized batches fall
-    back to the only always-safe shape, a sort-merge band join."""
+    back to the only always-safe shape, a sort-merge band join.
+
+    Like simhash_near_pairs, the strategy count is EAGER at
+    plan-build time (a count of the BATCH, not the corpus — cheap by
+    construction); pass ``n_new`` when composing plans without
+    executing them or when the batch frame has heavy lineage."""
     if (corpus is None) == (corpus_sig is None):
         raise ValueError("pass exactly one of corpus / corpus_sig")
     if corpus_sig is None:
@@ -582,6 +587,44 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return narrow.mapInPandas(sign, "doc_id long, simhash long")
 
 
+def _rhp_sig_table(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(vid, sig[, vec]) random-hyperplane signatures — ONE vectorized
+    mapInPandas scan, all dot products in a single int64 GEMM per Arrow
+    batch; integer quantization floor(x*1000) keeps the sign exact in
+    both engines (shared by embedding_lsh_candidates and
+    incremental_embedding_dedup so batch and corpus cannot diverge).
+    ``carry_vec`` keeps the float vector on the row so downstream
+    map-side scoring needs no join back to the source."""
+    import numpy as np
+    import pandas as pd
+
+    wt = np.array(rhp_weights(n_planes, dim), dtype=np.int64).T  # (dim, n_planes)
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]) * 1000.0
+            ).astype(np.int64)
+            bits = (m @ wt >= 0).astype(np.int64)
+            out = {"vid": pdf[id_col], "sig": (bits << shifts).sum(axis=1)}
+            if carry_vec:
+                out["vec"] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    schema = "vid long, sig long" + (", vec array<float>" if carry_vec else "")
+    return embeddings.select(id_col, vec_col).mapInPandas(sign, schema)
+
+
 def embedding_lsh_candidates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -612,25 +655,9 @@ def embedding_lsh_candidates(
 
     Output: (a_id, b_id) with a_id < b_id, distinct.
     """
-    import numpy as np
-    import pandas as pd
-
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
-    wt = np.array(rhp_weights(n_planes, dim), dtype=np.int64).T  # (dim, n_planes)
-    shifts = np.arange(n_planes, dtype=np.int64)
-
-    def sign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.floor(
-                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]) * 1000.0
-            ).astype(np.int64)
-            bits = (m @ wt >= 0).astype(np.int64)
-            yield pd.DataFrame({"vid": pdf[id_col], "sig": (bits << shifts).sum(axis=1)})
-
-    sig_df = embeddings.select(id_col, vec_col).mapInPandas(sign, "vid long, sig long")
+    sig_df = _rhp_sig_table(embeddings, id_col, vec_col, n_planes, dim)
     bands = sig_df.select(
         "vid",
         F.explode(
@@ -655,6 +682,97 @@ def embedding_lsh_candidates(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+    )
+
+
+def incremental_embedding_dedup(
+    new_vecs: DataFrame,
+    corpus_vecs: DataFrame,
+    *,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = RHP_PLANES,
+    band_bits: int = RHP_BAND_BITS,
+    dim: int = 64,
+    n_new: int | None = None,
+) -> DataFrame:
+    """Semantic near-dup of a NEW embedding batch against an EXISTING
+    corpus — incremental_near_dup's plan shape on the embedding side:
+    RHP-LSH bands gate candidates, exact cosine scores them, and both
+    the band join and scoring run map-side against the broadcast batch
+    (the band tables carry their vectors), so the corpus is ONE scan
+    with zero corpus-side shuffle; the only exchange is the
+    batch-sized groupBy. min/max aggregation absorbs duplicate band
+    hits without a distinct. Oversized batches fall back to SMJ via
+    the same exact-count pick (the count is EAGER at plan-build; pass
+    ``n_new`` to skip it).
+
+    Returns one row per new vector: (vec_id, is_dup, dup_of, cos_max)
+    — dup_of = smallest corpus id with cosine ≥ threshold."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(sig: DataFrame, prefix: str) -> DataFrame:
+        return sig.select(
+            F.col("vid").alias(f"{prefix}_id"),
+            F.col("vec").alias(f"{prefix}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("sig", b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bv"),
+        ).select(
+            f"{prefix}_id", f"{prefix}_vec",
+            F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+        )
+
+    if n_new is None:
+        n_new = new_vecs.count()
+    new_banded = banded(
+        _rhp_sig_table(new_vecs, id_col, vec_col, n_planes, dim, carry_vec=True)
+        .localCheckpoint(),
+        "new",
+    )
+    right = (
+        F.broadcast(new_banded)
+        if n_new * n_bands <= _PAIR_BROADCAST_ROW_LIMIT
+        else new_banded.hint("merge")
+    )
+    sim = cosine_sim(F.col("c_vec"), F.col("new_vec"))
+    scored = (
+        banded(
+            _rhp_sig_table(corpus_vecs, id_col, vec_col, n_planes, dim, carry_vec=True),
+            "c",
+        )
+        .join(right, ["band", "val"])
+        .filter(F.col("c_id") != F.col("new_id"))
+        .select("new_id", "c_id", sim.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    matches = scored.groupBy("new_id").agg(
+        F.min("c_id").alias("dup_of"),
+        F.round(F.max("cos"), 4).alias("cos_max"),
+    )
+    if n_new * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
+        matches = F.broadcast(matches)
+    return (
+        new_vecs.select(F.col(id_col).alias("vec_id"))
+        .join(matches, F.col("vec_id") == matches["new_id"], "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "cos_max",
+        )
     )
 
 

@@ -670,6 +670,67 @@ def q_embcand(spark, sf_dir):
     )
 
 
+def _incremental_embedding_sql() -> str:
+    from langchain_memvid_spark.operators.dedup import RHP_BAND_BITS, RHP_PLANES
+
+    n_bands = RHP_PLANES // RHP_BAND_BITS
+    mask = (1 << RHP_BAND_BITS) - 1
+    cos = COS.format(a="en.embedding", b="ec.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS ei
+  FROM embeddings),
+wd AS (
+  SELECT h, d, ((h*2654435761 + d*40503 + 12345) % 19) - 9 AS w
+  FROM (SELECT unnest(range(0,{RHP_PLANES})) AS h) hs,
+       (SELECT unnest(range(0,64)) AS d) ds),
+dots AS (
+  SELECT q.vec_id, wd.h, sum(q.ei[wd.d + 1] * wd.w) AS dotp
+  FROM q, wd GROUP BY 1, 2),
+sigs AS (
+  SELECT vec_id,
+    sum(CASE WHEN dotp >= 0 THEN (1::BIGINT << h) ELSE 0 END) AS sig
+  FROM dots GROUP BY 1),
+bands AS (
+  SELECT vec_id, bs.b AS band, (sig >> (bs.b*{RHP_BAND_BITS})) & {mask} AS val
+  FROM sigs, (SELECT unnest(range(0,{n_bands})) AS b) bs),
+cand AS (
+  SELECT DISTINCT nb.vec_id AS new_id, cb.vec_id AS c_id
+  FROM (SELECT * FROM bands WHERE vec_id % 10 = 0) nb
+  JOIN (SELECT * FROM bands WHERE vec_id % 10 <> 0) cb
+    ON nb.band = cb.band AND nb.val = cb.val),
+scored AS (
+  SELECT c.new_id, c.c_id, {cos} AS cos
+  FROM cand c
+  JOIN embeddings en ON en.vec_id = c.new_id
+  JOIN embeddings ec ON ec.vec_id = c.c_id
+  WHERE {cos} >= 0.4),
+m AS (
+  SELECT new_id, min(c_id) AS dup_of, round(max(cos), 4) AS cos_max
+  FROM scored GROUP BY new_id)
+SELECT e.vec_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of, m.cos_max
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) e
+LEFT JOIN m ON m.new_id = e.vec_id
+"""
+
+
+@_reg("incremental_embedding_dedup", _incremental_embedding_sql())
+def q_incremental_embedding(spark, sf_dir):
+    """Batch-vs-corpus SEMANTIC dedup: every 10th vector plays the new
+    batch. RHP-LSH bands gate candidates and exact cosine scores them,
+    both map-side against the broadcast batch (band tables carry their
+    vectors) — one corpus scan, zero corpus-side shuffle; the
+    embedding-space counterpart of incremental_dedup's MinHash plan.
+    ≙ the reference's dedup-before-embed stage (index.py:247-259)
+    lifted to semantic near-dup at ingest time."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.incremental_embedding_dedup(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+    )
+
+
 @_reg(
     "semantic_dedup",
     f"""
@@ -3034,6 +3095,36 @@ def q_stream_near_dedup(spark, sf_dir):
     dedup_stream = _sd.near_dedup_stream(d1.unionByName(d2))
     name = f"reg_sneardedup_{next(_STREAM_SEQ)}"
     return _ev.run_to_memory(dedup_stream, name, mode="append", state_partitions=8)
+
+
+@_reg(
+    "stream_dedup_vs_corpus",
+    f"""
+WITH sims AS ({_simhash_sql()})
+SELECT DISTINCT simhash FROM sims
+WHERE simhash NOT IN (SELECT simhash FROM sims WHERE doc_id % 3 = 0)
+""",
+)
+def q_stream_dedup_vs_corpus(spark, sf_dir):
+    """The full production ingest gate, streaming: docs already
+    near-present in the EXISTING corpus (every 3rd doc's persisted
+    SimHash signature) are suppressed by a stateless stream-static
+    anti join, and the survivors dedup within the stream's watermark
+    (the doubled stream proves both layers at once). Oracle: the batch
+    signature set minus the corpus signature set. The static side is
+    the persisted signature table — one long per corpus doc — so no
+    microbatch ever re-signs the corpus."""
+    from langchain_memvid_spark.streaming import documents as _sd
+    from langchain_memvid_spark.streaming import events as _ev
+
+    corpus_sigs = dedup.simhash(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    ).select("simhash")
+    d1 = _sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    d2 = _sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    gated = _sd.near_dedup_stream_vs_corpus(d1.unionByName(d2), corpus_sigs)
+    name = f"reg_scorpusdedup_{next(_STREAM_SEQ)}"
+    return _ev.run_to_memory(gated, name, mode="append", state_partitions=8)
 
 
 @_reg(

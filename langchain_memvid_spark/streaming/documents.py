@@ -210,3 +210,36 @@ def near_dedup_stream(documents: DataFrame, watermark: str = "2 hours") -> DataF
         .dropDuplicatesWithinWatermark(["simhash"])
         .select("simhash")
     )
+
+
+def near_dedup_stream_vs_corpus(
+    documents: DataFrame, corpus_sigs: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming near-dup suppression against an EXISTING corpus, then
+    within the stream — the full production ingest gate: a doc already
+    near-present in the 100 TB store must not re-enter, and neither
+    must its second arrival in the stream.
+
+    Arriving docs are signed per-row (SimHash, stateless Arrow map),
+    anti-joined against the corpus signature set (a stream-static
+    join: STATELESS, evaluated per microbatch, the static side is the
+    broadcast build side), and survivors dedup within the watermark.
+    ``corpus_sigs`` should be the PERSISTED signature table (one long
+    per corpus doc, written at batch ingest — the streaming analog of
+    incremental_near_dup's corpus_sig): re-signing 100 TB of corpus
+    text every microbatch would be absurd, and a signature table of
+    ≤2^32 distinct longs broadcasts trivially."""
+    signed = simhash(documents).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(INGEST_EPOCH) + F.pmod(F.col("doc_id"), F.lit(INGEST_SPAN_SECONDS))
+        ),
+    )
+    novel = signed.join(
+        F.broadcast(corpus_sigs.select("simhash").distinct()), "simhash", "left_anti"
+    )
+    return (
+        novel.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+        .select("simhash")
+    )

@@ -1293,3 +1293,28 @@ def test_html_extract_strips_blocks_and_decodes_entities(spark):
     # double-decode must NOT happen: &amp;lt; decodes to the LITERAL '&lt;'
     df2 = spark.createDataFrame([(1, "<p>&amp;lt;</p>")], "doc_id long, html string")
     assert textops.html_extract(df2).collect()[0]["text"] == "&lt;"
+
+
+def test_incremental_embedding_dedup_semantics_and_plan(spark, sf_dir):
+    """A batch vector identical to a corpus vector is flagged (cos 1.0,
+    smallest matching id); the bounded batch keeps the whole plan
+    broadcast (no SortMergeJoin); the SMJ fallback agrees."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    df = dedup.incremental_embedding_dedup(new, corpus)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    rows = {r["vec_id"]: r for r in df.collect()}
+    assert len(rows) == new.count()
+    # seed an exact duplicate: corpus vec 1's embedding under a new id
+    dup = corpus.filter(F.col("vec_id") == 1).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    flagged = {r["vec_id"]: r for r in
+               dedup.incremental_embedding_dedup(dup, corpus).collect()}
+    assert flagged[100000]["is_dup"] and flagged[100000]["dup_of"] == 1
+    assert flagged[100000]["cos_max"] == 1.0
+    forced = sorted(map(tuple,
+        dedup.incremental_embedding_dedup(new, corpus, n_new=10**9).collect()))
+    assert forced == sorted(map(tuple, df.collect()))

@@ -305,3 +305,28 @@ def test_attach_store_over_streamed_ivf_table(spark, sf_dir, tmp_path_factory):
     store.config.index.nprobe = 1
     res1 = store.similarity_search(qtext, k=1)
     assert res1[0]["page_content"] == qtext
+
+
+def test_stream_dedup_vs_corpus_suppresses_known_signatures(spark, sf_dir):
+    """Stream-static anti join gate: signatures already in the corpus
+    set never reach the output; the survivors are exactly the batch
+    signature set minus the corpus set (in-stream dedup still holds on
+    the doubled stream)."""
+    from langchain_memvid_spark.operators.dedup import simhash
+    from langchain_memvid_spark.streaming import documents as sd
+
+    corpus_sigs = simhash(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    ).select("simhash")
+    d1 = sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    d2 = sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    got = ev.run_to_memory(
+        sd.near_dedup_stream_vs_corpus(d1.unionByName(d2), corpus_sigs),
+        "t_corpusdedup", mode="append", state_partitions=8,
+    )
+    batch_all = simhash(load_table(spark, sf_dir, "documents")).select("simhash").distinct()
+    want = sorted(
+        set(r["simhash"] for r in batch_all.collect())
+        - set(r["simhash"] for r in corpus_sigs.collect())
+    )
+    assert sorted(r["simhash"] for r in got.collect()) == want
