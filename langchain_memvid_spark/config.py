@@ -44,6 +44,16 @@ class IndexConfig:
     # scan is already cheaper than two passes. (FAISS SQ8+refine analog;
     # the reference scans flat float32, index.py:144-148.)
     rerank_candidates: int = 4096
+    # Opt-in NEAR-dup ingest gate (the reference dedups exact text
+    # only, index.py:202-218): in addition to the exact anti-join,
+    # drop batch docs whose MinHash-estimated Jaccard vs any EXISTING
+    # corpus doc is >= near_dedup_threshold. Signatures persist as
+    # mh0..mh7 columns on doc_index at ingest (like the int8 codes),
+    # so no batch ever re-signs the corpus. Within-batch near-dups are
+    # NOT gated (only exact first-occurrence applies there) — run
+    # operators/dedup batch-side if that matters upstream.
+    near_dedup: bool = False
+    near_dedup_threshold: float = 0.5
 
     def __post_init__(self) -> None:
         if self.metric not in _VALID_METRICS:
@@ -54,6 +64,10 @@ class IndexConfig:
             raise ConfigError("nlist and nprobe must be positive")
         if self.rerank_candidates < 0:
             raise ConfigError("rerank_candidates must be >= 0")
+        if not 0.0 < self.near_dedup_threshold <= 1.0:
+            raise ConfigError(
+                f"near_dedup_threshold must be in (0, 1], got {self.near_dedup_threshold}"
+            )
 
 
 @dataclass

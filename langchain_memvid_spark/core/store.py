@@ -98,8 +98,16 @@ INDEX_SCHEMA = StructType(
         # query (VERDICT r6 item 6).
         StructField("pscale", DoubleType()),
         StructField("pvec", ArrayType(ByteType())),
+        # MinHash signature (8 longs/doc), persisted at ingest like the
+        # quantized codes: the near-dup ingest gate
+        # (IndexConfig.near_dedup) anti-joins arriving batches against
+        # THESE columns, so no batch ever re-signs the existing corpus
+        # (operators/dedup.incremental_near_dup's corpus_sig path).
+        *[StructField(f"mh{j}", LongType()) for j in range(8)],
     ]
 )
+
+_MH_COLS = [f"mh{j}" for j in range(8)]
 
 PAYLOAD_SCHEMA = StructType(
     [
@@ -557,6 +565,42 @@ class SparkVectorStore:
         staged = staged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
         # anti-join vs existing corpus (index.py:202-210)
         staged = staged.join(self._doc_index.select("text"), "text", "left_anti")
+        # sign the surviving batch ONCE: the signatures both feed the
+        # near-dup gate (when enabled) and persist as mh0..mh7 columns
+        # so FUTURE batches gate against stored longs, never corpus text
+        from langchain_memvid_spark.operators.dedup import (
+            incremental_near_dup,
+            minhash_signatures,
+        )
+
+        batch_ids = staged.select(F.col("__pos").alias("doc_id"), "text")
+        sig_new = minhash_signatures(batch_ids).localCheckpoint()
+        if self.config.index.near_dedup and self._count > 0:
+            # corpus rows from pre-signature files (legacy layouts) read
+            # mh as NULL — they simply don't participate in the gate
+            corpus_sig = self._doc_index.select("doc_id", *_MH_COLS).filter(
+                F.col("mh0").isNotNull()
+            )
+            dups = (
+                incremental_near_dup(
+                    # the checkpointed signatures stand in for the batch
+                    # (only doc_id is read) so the verdict plan never
+                    # re-executes the staged lineage above
+                    sig_new.select("doc_id"),
+                    corpus_sig=corpus_sig,
+                    threshold=self.config.index.near_dedup_threshold,
+                    new_sig=sig_new,
+                    # count the CHECKPOINTED signatures, not batch_ids —
+                    # whose lineage would re-run the anti-join above
+                    n_new=sig_new.count(),
+                )
+                .filter(F.col("is_dup"))
+                .select(F.col("doc_id").alias("__pos"))
+            )
+            staged = staged.join(dups, "__pos", "left_anti")
+        staged = staged.join(
+            sig_new.select(F.col("doc_id").alias("__pos"), *_MH_COLS), "__pos", "left"
+        )
         # Scale-safe id assignment: range-partition on the batch position
         # (ascending ranges -> ascending partition ids), then the two-phase
         # offset pattern (core/ids.py). Ids follow __pos globally with NO
@@ -594,7 +638,7 @@ class SparkVectorStore:
 
         new_index = enriched.select(
             "doc_id", "text", "source", "category", "metadata_json", "metadata_hash",
-            "embedding", "qscale", "qvec", "pscale", "pvec",
+            "embedding", "qscale", "qvec", "pscale", "pvec", *_MH_COLS,
         )
         new_payload = enriched.select(
             "doc_id",
@@ -1409,6 +1453,7 @@ class SparkVectorStore:
         idx_cols = [
             "doc_id", "text", "source", "category", "metadata_json",
             "metadata_hash", "embedding", "qscale", "qvec", "pscale", "pvec",
+            *_MH_COLS,
         ]
         if self._ivf is not None:
             idx_cols.append("cluster_id")  # assignments survive deletes
@@ -1705,6 +1750,16 @@ class SparkVectorStore:
                 # pre-r7 save: backfill the packed int4 tier the same way
                 pscale, pvec = quantize4_cols(F.col("embedding"))
                 idx = idx.withColumn("pscale", pscale).withColumn("pvec", pvec)
+            if "mh0" not in idx.columns:
+                # pre-signature save: sign the corpus ONCE at load (a
+                # mapInPandas + join, not a column expression — the one
+                # legacy backfill that costs a shuffle) so the near-dup
+                # ingest gate has stored signatures to anti-join
+                from langchain_memvid_spark.operators.dedup import minhash_signatures
+
+                idx = idx.join(
+                    minhash_signatures(idx.select("doc_id", "text")), "doc_id", "left"
+                )
             cents_path = os.path.join(path, "ivf_centroids")
             cents_rows = None
             if "cluster_id" in idx.columns:
@@ -1799,6 +1854,13 @@ class SparkVectorStore:
         if "pvec" not in idx.columns:
             pscale, pvec = quantize4_cols(F.col("embedding"))
             idx = idx.withColumn("pscale", pscale).withColumn("pvec", pvec)
+        if "mh0" not in idx.columns:
+            # attached tables carry no signatures: sign once (see load)
+            from langchain_memvid_spark.operators.dedup import minhash_signatures
+
+            idx = idx.join(
+                minhash_signatures(idx.select("doc_id", "text")), "doc_id", "left"
+            )
         keep = [f.name for f in INDEX_SCHEMA.fields]
         if "cluster_id" in idx.columns and centroids is not None:
             from langchain_memvid_spark.core.ivf import IVFIndex

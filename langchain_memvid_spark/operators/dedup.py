@@ -436,6 +436,7 @@ def incremental_near_dup(
     threshold: float = 0.5,
     text_col: str = "text",
     n_new: int | None = None,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the production
     shape (every ingest batch vs 100 TB of already-kept documents),
@@ -457,8 +458,13 @@ def incremental_near_dup(
     idempotent per pair. Pass ``corpus_sig`` (persisted
     minhash_signatures output, signed once at ingest) to skip
     re-signing the corpus text every batch — signatures are 8 longs
-    per doc, ~0.8 % of a 8 KB document corpus. Oversized batches fall
-    back to the only always-safe shape, a sort-merge band join.
+    per doc, ~0.8 % of a 8 KB document corpus. A passed ``corpus_sig``
+    must have been signed with the SAME ``k``/``text_col`` the batch
+    signs with here (the signature table fixes its shingle width —
+    same caveat as minhash_band_pairs' ``sig``); a mismatch silently
+    yields that other configuration's near-dup verdicts. Oversized
+    batches fall back to the only always-safe shape, a sort-merge band
+    join.
 
     Like simhash_near_pairs, the strategy count is EAGER at
     plan-build time (a count of the BATCH, not the corpus — cheap by
@@ -468,7 +474,14 @@ def incremental_near_dup(
         raise ValueError("pass exactly one of corpus / corpus_sig")
     if corpus_sig is None:
         corpus_sig = minhash_signatures(corpus, k, text_col)
-    sig_new = minhash_signatures(new_docs, k, text_col).localCheckpoint()
+    # new_sig: precomputed batch signatures (minhash_signatures output,
+    # already materialized) — callers that also PERSIST the batch's
+    # signatures (e.g. the store ingest gate) sign once and share
+    sig_new = (
+        new_sig
+        if new_sig is not None
+        else minhash_signatures(new_docs, k, text_col).localCheckpoint()
+    )
     n = len(MINHASH_PERMS)
     n_bands = n // rows_per_band
 
@@ -509,10 +522,13 @@ def incremental_near_dup(
     for j in range(n):
         term = F.when(F.col(f"cmh{j}") == F.col(f"newmh{j}"), 1).otherwise(0)
         eq = term if eq is None else eq + term
+    # NOTE: no id-equality guard — batch and corpus ids are SEPARATE
+    # namespaces (a store batch's positions start at 0 just like corpus
+    # doc ids); filtering c_id != new_id here silently exempted the
+    # colliding ids from the gate (caught by the store round-trip test)
     scored = (
         banded(corpus_sig, "c")
         .join(right, ["band", "bucket"])
-        .filter(F.col("c_id") != F.col("new_id"))
         .select("new_id", "c_id", (eq.cast("double") / F.lit(float(n))).alias("est"))
         .filter(F.col("est") >= threshold)
     )
@@ -748,13 +764,14 @@ def incremental_embedding_dedup(
         else new_banded.hint("merge")
     )
     sim = cosine_sim(F.col("c_vec"), F.col("new_vec"))
+    # no id-equality guard: batch and corpus ids are separate namespaces
+    # (see incremental_near_dup)
     scored = (
         banded(
             _rhp_sig_table(corpus_vecs, id_col, vec_col, n_planes, dim, carry_vec=True),
             "c",
         )
         .join(right, ["band", "val"])
-        .filter(F.col("c_id") != F.col("new_id"))
         .select("new_id", "c_id", sim.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

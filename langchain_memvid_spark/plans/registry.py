@@ -1634,6 +1634,80 @@ LEFT JOIN m ON m.new_id = d.doc_id
 """
 
 
+def _vs_near_dedup_sql() -> str:
+    sig_cols = ",".join(
+        _mh_perm_sql(j, a, b, m) for j, (a, b, m) in enumerate(MINHASH_PERMS)
+    )
+    def bands(src: str) -> str:
+        return "\n    UNION ALL ".join(
+            f"SELECT doc_id, {band} AS band, mh{2*band}::VARCHAR || '_' || mh{2*band+1}::VARCHAR AS bucket FROM {src}"
+            for band in range(len(MINHASH_PERMS) // 2)
+        )
+    eq = " + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(len(MINHASH_PERMS)))
+    return f"""
+WITH {SHINGLE_CTE},
+h AS (SELECT doc_id, {H64.format(x='sh')} AS h FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+corp_texts AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0),
+bx AS (
+  SELECT min(doc_id) AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+    AND text NOT IN (SELECT text FROM corp_texts)
+  GROUP BY text),
+newb AS (SELECT s.* FROM sig s JOIN bx ON bx.doc_id = s.doc_id),
+corp AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+nbands AS (
+    {bands('newb')}
+),
+cbands AS (
+    {bands('corp')}
+),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS c_id
+  FROM nbands nb JOIN cbands cb ON nb.band = cb.band AND nb.bucket = cb.bucket
+),
+dup_ids AS (
+  SELECT DISTINCT c.new_id
+  FROM cand c JOIN sig a ON a.doc_id = c.new_id JOIN sig b ON b.doc_id = c.c_id
+  WHERE ({eq})::DOUBLE / 8.0 >= 0.5
+)
+SELECT sha256(text) AS fp, len(text)::BIGINT AS text_len
+FROM bx WHERE doc_id NOT IN (SELECT new_id FROM dup_ids)
+"""
+
+
+@_reg("vs_near_dedup_ingest", _vs_near_dedup_sql())
+def q_vs_near_dedup(spark, sf_dir):
+    """The near-dup ingest gate ON THE STORE: a near_dedup=True store
+    ingests the corpus (every doc_id % 10 != 0) then a new batch (the
+    rest) through add_dataframe; the result is the fingerprint set of
+    texts the BATCH actually added — distinct batch texts minus exact
+    corpus matches (the reference's anti-join, index.py:202-210) minus
+    MinHash near-dups (est ≥ 0.5 vs the signatures PERSISTED at corpus
+    ingest — no re-signing). The oracle recomputes the whole gate in
+    SQL, so a regression anywhere in the staged lineage (first-
+    occurrence window, anti-join, signature persistence, gate
+    threshold) breaks the hash."""
+    from langchain_memvid_spark.config import EngineConfig, IndexConfig
+    from langchain_memvid_spark.core.store import SparkVectorStore
+
+    store = SparkVectorStore(
+        spark, config=EngineConfig(index=IndexConfig(near_dedup=True))
+    )
+    docs = _t(spark, sf_dir, "documents")
+    n0 = store.add_dataframe(
+        docs.filter(F.col("doc_id") % 10 != 0), order_col="doc_id"
+    )
+    store.add_dataframe(docs.filter(F.col("doc_id") % 10 == 0), order_col="doc_id")
+    return (
+        store._doc_index.filter(F.col("doc_id") >= n0)
+        .select(
+            F.sha2(F.col("text"), 256).alias("fp"),
+            F.length("text").cast("long").alias("text_len"),
+        )
+    )
+
+
 @_reg("incremental_dedup", _incremental_dedup_sql())
 def q_incremental_dedup(spark, sf_dir):
     """Batch-vs-corpus near-dedup — the production ingest shape: every

@@ -1263,3 +1263,75 @@ def test_similarity_search_thread_safety(spark):
             res = fut.result(timeout=120)
             assert len(res) == 3
             assert res[0][0]["page_content"] == f"tdoc {i}"
+
+
+def test_near_dedup_ingest_gate(spark):
+    """IndexConfig(near_dedup=True): a batch doc whose MinHash-estimated
+    Jaccard vs an existing corpus doc clears the threshold is dropped at
+    ingest (on top of the exact anti-join); novel docs ingest; the
+    signatures persist as mh0..mh7 columns so the NEXT batch gates
+    against stored longs."""
+    cfg = EngineConfig(index=IndexConfig(near_dedup=True, near_dedup_threshold=0.5))
+    store = SparkVectorStore(spark, config=cfg)
+    corpus = [
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different corpus material about spark engines",
+    ]
+    store.add_texts(corpus)
+    assert store.get_document_count() == 2
+    idx = store._doc_index
+    assert "mh0" in idx.columns
+    assert idx.filter(idx["mh0"].isNull()).count() == 0
+    batch = [
+        corpus[0],                                                  # exact dup
+        "the quick brown fox jumps over the lazy dog yesterday",    # near dup
+        "entirely novel text with no overlap whatsoever anywhere",  # novel
+    ]
+    store.add_texts(batch)
+    texts = {r["text"] for r in store._doc_index.select("text").collect()}
+    assert store.get_document_count() == 3
+    assert batch[2] in texts and batch[1] not in texts
+    # second batch gates against the PERSISTED signatures of batch 1's
+    # survivor too, not only the original corpus
+    store.add_texts(["entirely novel text with no overlap whatsoever anytime"])
+    assert store.get_document_count() == 3
+
+
+def test_near_dedup_off_keeps_near_duplicates(spark):
+    """Default config: only exact dedup applies — the near-dup pair both
+    ingest, and the signature columns still persist (engine columns,
+    like the int8 codes)."""
+    store = SparkVectorStore(spark)
+    store.add_texts([
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog yesterday",
+    ])
+    assert store.get_document_count() == 2
+    assert "mh0" in store._doc_index.columns
+
+
+def test_near_dedup_survives_save_load_and_legacy_backfill(spark, tmp_path):
+    """Round trip keeps the stored signatures; a legacy save WITHOUT
+    mh columns backfills by signing once at load, and the gate works
+    on the loaded store."""
+    cfg = EngineConfig(index=IndexConfig(near_dedup=True))
+    store = SparkVectorStore(spark, config=cfg)
+    store.add_texts([
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different corpus material about spark engines",
+    ])
+    p = str(tmp_path / "nd_store")
+    store.save(p)
+    loaded = SparkVectorStore.load(p, spark, config=cfg)
+    assert "mh0" in loaded._doc_index.columns
+    loaded.add_texts(["the quick brown fox jumps over the lazy dog yesterday"])
+    assert loaded.get_document_count() == 2  # near dup gated after round trip
+    # legacy save: strip the signature columns and re-save
+    legacy = str(tmp_path / "legacy_store")
+    stripped = store._doc_index.drop(*[f"mh{j}" for j in range(8)])
+    stripped.write.parquet(legacy + "/doc_index")
+    store._payload.write.parquet(legacy + "/payload")
+    from_legacy = SparkVectorStore.load(legacy, spark, config=cfg)
+    assert from_legacy._doc_index.filter("mh0 IS NULL").count() == 0
+    from_legacy.add_texts(["the quick brown fox jumps over the lazy dog yesterday"])
+    assert from_legacy.get_document_count() == 2
