@@ -440,6 +440,95 @@ def stratified_sample_exact(
     )
 
 
+def token_budget_select(
+    documents: DataFrame, budget: int = 8000, text_col: str = "text"
+) -> DataFrame:
+    """Quality-ranked corpus selection under a GLOBAL token budget —
+    "take the best documents up to N tokens", the curation step that
+    turns a scored corpus into a fixed-size training mixture.
+
+    Priority order is (composite quality score DESC, doc_id ASC); the
+    score is the engine-portable 4-decimal composite from
+    functions.text.quality_score_cols, so ties are well-defined across
+    engines.  A document is kept while the running token total stays
+    ≤ ``budget`` (the first document that would cross the budget is
+    excluded, as are all after it).
+
+    The running total is a GLOBAL prefix sum over the priority order —
+    naively an unpartitioned window (Exchange SinglePartition, fatal at
+    100 TB).  Instead it runs as sequence_packing's two-phase pattern
+    widened to two aggregates in ONE pass: range-partition on the
+    priority key, per-partition window sum AND row_number, then a
+    broadcast O(#partitions) offset table carrying both the token and
+    row-count offsets.
+
+    Output: (doc_id, n_tokens, quality_score, sel_rank, cum_tokens)
+    for selected documents only."""
+    from langchain_memvid_spark.functions.text import quality_score_cols
+    from langchain_memvid_spark.operators.scale_windows import _num_range_partitions
+
+    cols = quality_score_cols(F.col(text_col))
+    scored = documents.select(
+        "doc_id",
+        cols["n_tokens"].cast("long").alias("n_tokens"),
+        cols["quality_score"].alias("quality_score"),
+    )
+    key = [F.col("quality_score").desc(), F.col("doc_id").asc()]
+    ranged = scored.repartitionByRange(_num_range_partitions(scored), *key)
+    # pin the physical partitioning so the offset aggregation and the
+    # ordinal windows cannot diverge under recomputation (same
+    # rationale as scale_windows._two_phase_offsets)
+    pinned = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    agged = pinned.groupBy("__pid").agg(
+        F.sum("n_tokens").alias("__t"), F.count("*").alias("__c")
+    )
+    totals = {r["__pid"]: (r["__t"] or 0, r["__c"]) for r in agged.collect()}
+    offs, t_acc, c_acc = [], 0, 0
+    for pid in sorted(totals):
+        offs.append((pid, t_acc, c_acc))
+        t_acc += totals[pid][0]
+        c_acc += totals[pid][1]
+    offsets_df = documents.sparkSession.createDataFrame(
+        offs or [(0, 0, 0)], "__pid INT, __toff LONG, __coff LONG"
+    )
+    w = Window.partitionBy("__pid").orderBy(*key)
+    return (
+        pinned.withColumn("__lt", F.sum("n_tokens").over(w))
+        .withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(offsets_df), "__pid")
+        .withColumn("cum_tokens", (F.col("__toff") + F.col("__lt")).cast("long"))
+        .withColumn("sel_rank", (F.col("__coff") + F.col("__lr")).cast("int"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "quality_score", "sel_rank", "cum_tokens")
+    )
+
+
+def seeded_shuffle(documents: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    stable position = its rank under a seeded engine-portable hash of
+    doc_id — the "shuffle the corpus before sharding" step of a
+    training-data export, reproducible across runs, engines, and
+    corpus re-partitions (no RNG state, no Spark-version-dependent
+    rand()).
+
+    The global rank runs through scale_windows.global_row_number —
+    range partition on the hash key, per-partition row_number,
+    broadcast offsets — NOT an unpartitioned window, so the plan has
+    no SinglePartition exchange and the sort is the standard
+    range-partitioned total sort at any corpus size.
+
+    Output: (pos, doc_id, shuffle_key), pos 1-based."""
+    from langchain_memvid_spark.functions.hashing import stable_hash64
+    from langchain_memvid_spark.operators.scale_windows import global_row_number
+
+    key = stable_hash64(F.col("doc_id"), salt=f"shuffle{seed}:")
+    df = documents.select("doc_id", key.alias("shuffle_key"))
+    out, _n = global_row_number(
+        df, [F.col("shuffle_key").asc(), F.col("doc_id").asc()], out_col="pos"
+    )
+    return out.select(F.col("pos").cast("long").alias("pos"), "doc_id", "shuffle_key")
+
+
 # Vocabulary tables at or below this many terms broadcast to the
 # scoring join (a unigram vocab is ~50 B/term -> tens of MB); above it
 # the join stays a shuffle equi-join on the term. Same exact-count

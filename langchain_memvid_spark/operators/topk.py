@@ -333,6 +333,301 @@ def mmr_topk(
     )
 
 
+def topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_left: int | None = None,
+    block_size: int = 2048,
+) -> DataFrame:
+    """EXACT cross-table top-k similarity join: for every LEFT vector,
+    the ``k`` most cosine-similar RIGHT vectors — the relational shape
+    behind "link every document to its nearest curated exemplars"
+    (retrieval-augmented dataset building; the cross-corpus analog of
+    knn_batch, whose query side is a handful of ids rather than a
+    table).
+
+    Strategy is picked from an EXACT left count (the same protocol as
+    the simhash band join, dedup.py — the count runs eagerly at
+    plan-build unless ``n_left`` is passed):
+
+    - left fits the broadcast bound: broadcast-left crossJoin + Catalyst
+      cosine + per-left window top-k.  The rank filter gets the
+      map-side WindowGroupLimit, so the shuffle carries ~n_left·k rows
+      per partition, not the N·M scored pairs; scoring arithmetic is
+      the same sequential-fold `functions.vector.cosine_sim` the
+      DuckDB oracle reproduces bit-for-bit.
+    - both sides large: block-GEMM with MAP-SIDE PARTIAL TOP-K — both
+      tables are range-blocked on id, every (left-block × right-block)
+      pair is one BLAS task that emits only its per-left top-k, so the
+      final window sees n_left·k·n_right_blocks rows instead of N·M.
+      Exact work is inherently N·M — the approximate scale path is
+      :func:`topk_join_lsh`.
+
+    Output: (left_id, right_id, sim, rank), rank 1-based per left id,
+    ties broken by right_id.
+    """
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+    if n_left is None:
+        n_left = left.count()
+    if n_left <= _PAIR_BROADCAST_ROW_LIMIT:
+        l = left.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lv"))
+        scored = (
+            right.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("__rv"))
+            .crossJoin(F.broadcast(l))
+            .withColumn("__s", cosine_sim(F.col("__rv"), F.col("__lv")))
+        )
+        w = Window.partitionBy("left_id").orderBy(
+            F.col("__s").desc(), F.col("right_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("left_id", "right_id", F.round("__s", 4).alias("sim"), "rank")
+        )
+    return _topk_join_gemm(left, right, k, id_col, vec_col, block_size)
+
+
+def _topk_join_gemm(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    block_size: int,
+) -> DataFrame:
+    """Both-sides-large exact kernel for :func:`topk_join`: the
+    embedding_cosine_pairs block-GEMM (dedup.py) generalized to two
+    tables, plus per-left partial top-k INSIDE each block task (the
+    map-side-combine idea applied to top-k) so the window shuffle is
+    linear in n_left·k·n_right_blocks."""
+    import numpy as np
+    import pandas as pd
+
+    def blocks(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select(
+                (F.col(id_col) / F.lit(block_size)).cast("int").alias(f"{prefix}blk"),
+                F.struct(
+                    F.col(id_col).cast("long").alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                ).alias("item"),
+            )
+            .groupBy(f"{prefix}blk")
+            .agg(F.collect_list("item").alias(f"{prefix}items"))
+        )
+
+    pairs = blocks(left, "l").crossJoin(blocks(right, "r")).repartition("lblk", "rblk")
+
+    def score(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                li = np.fromiter((it["id"] for it in row["litems"]), dtype=np.int64)
+                lv = np.array([it["v"] for it in row["litems"]], dtype=np.float64)
+                ri = np.fromiter((it["id"] for it in row["ritems"]), dtype=np.int64)
+                rv = np.array([it["v"] for it in row["ritems"]], dtype=np.float64)
+                ln = lv / np.maximum(np.linalg.norm(lv, axis=1, keepdims=True), 1e-30)
+                rn = rv / np.maximum(np.linalg.norm(rv, axis=1, keepdims=True), 1e-30)
+                sims = ln @ rn.T  # (n_l, n_r)
+                kk = min(k, sims.shape[1])
+                # per-left top-k by (-sim, right_id): lexsort's LAST key
+                # is primary
+                order = np.lexsort(
+                    (np.broadcast_to(ri, sims.shape), -sims), axis=1
+                )[:, :kk]
+                rows_ix = np.repeat(np.arange(sims.shape[0]), kk)
+                cols_ix = order.ravel()
+                yield pd.DataFrame(
+                    {
+                        "left_id": li[rows_ix],
+                        "right_id": ri[cols_ix],
+                        "__s": sims[rows_ix, cols_ix],
+                    }
+                )
+
+    part = pairs.mapInPandas(score, "left_id long, right_id long, __s double")
+    w = Window.partitionBy("left_id").orderBy(F.col("__s").desc(), F.col("right_id").asc())
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "right_id", F.round("__s", 4).alias("sim"), "rank")
+    )
+
+
+def topk_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    n_left: int | None = None,
+) -> DataFrame:
+    """APPROXIMATE cross-table top-k join — the 100 TB path for
+    :func:`topk_join` when both sides are large: RHP-LSH bands gate
+    candidates (an equi-join on (band, value), never all-pairs), exact
+    cosine scores only the candidates map-side (the band tables carry
+    their vectors, same trick as incremental_embedding_dedup), and a
+    per-left window keeps the top k.
+
+    Narrower bands (lower ``band_bits``) raise recall at the cost of
+    more candidates — the default 4-bit bands give 4 chances to agree
+    on 4 bits.  Band-LSH recall tracks how SIMILAR the true neighbors
+    are (P[bit agrees] = 1 − θ/π): strong for near-dup-grade neighbors
+    (cos ≥ 0.8), weak when the top-k are only mildly similar — on this
+    repo's near-iid synthetic vectors (top-3 sims ≈ 0.3–0.5) it
+    measures 0.5–0.7 where :func:`topk_join_ivf`'s cluster gate
+    measures 0.76+; pick by neighbor regime.  The band join picks
+    broadcast vs SMJ from an EXACT left count (eager at plan-build
+    unless ``n_left`` is given); the per-pair dedupe is a groupBy max
+    over (l_id, r_id, sim) triples only — vectors never shuffle.
+
+    Output: (left_id, right_id, sim, rank) — same shape as topk_join,
+    so a recall witness can compare the two directly.
+    """
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        _rhp_sig_table,
+    )
+
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        sig = _rhp_sig_table(df, id_col, vec_col, n_planes, dim, carry_vec=True)
+        return sig.select(
+            F.col("vid").alias(f"{prefix}_id"),
+            F.col("vec").alias(f"{prefix}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("sig", b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bv"),
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            F.col("bv.band").alias("band"),
+            F.col("bv.val").alias("val"),
+        )
+
+    if n_left is None:
+        n_left = left.count()
+    lb = banded(left, "l")
+    lb = (
+        F.broadcast(lb)
+        if n_left * n_bands <= _PAIR_BROADCAST_ROW_LIMIT
+        else lb.hint("merge")
+    )
+    cand = (
+        banded(right, "r")
+        .join(lb, ["band", "val"])
+        .select(
+            "l_id", "r_id", cosine_sim(F.col("r_vec"), F.col("l_vec")).alias("__s")
+        )
+        # one pair can agree on several bands; max() absorbs the dups
+        # with a map-side partial agg (sim is identical per pair)
+        .groupBy("l_id", "r_id")
+        .agg(F.max("__s").alias("__s"))
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("__s").desc(), F.col("r_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("l_id").alias("left_id"),
+            F.col("r_id").alias("right_id"),
+            F.round("__s", 4).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def topk_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    *,
+    nlist: int = 16,
+    probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_right: int | None = None,
+) -> DataFrame:
+    """IVF-gated cross-table top-k join — the 100 TB path for
+    :func:`topk_join` when both sides are large AND the neighbors are
+    only weakly similar (this corpus's cross-table top-3 sims have
+    median ~0.35, where band-LSH recall collapses: measured 0.2–0.7
+    across band knobs vs 0.85+ here — cluster geometry gates weak
+    neighbors far better than bit agreement).
+
+    Centroids train once on the RIGHT corpus (train_centroids'
+    deterministic capped sample, core/ivf.py); each right vector gets
+    its argmax cluster, each LEFT vector probes its top-``probes``
+    clusters (multi-probe recall repair, same as semantic dedup), and
+    candidates come from the cluster_id EQUI-join — never all-pairs.
+    Exact cosine scores candidates; a per-left window keeps the top k.
+
+    Candidate count ≈ n_left·probes·(n_right/nlist): grow ``nlist``
+    with the corpus (nlist ∝ N keeps per-probe work constant — the
+    documented SemDeDup sizing rule) and on a partitionBy(cluster_id)
+    layout the equi-join becomes file-level partition pruning.
+
+    Output: (left_id, right_id, sim, rank) — same shape as topk_join,
+    so a recall witness can compare the two directly.
+    """
+    from langchain_memvid_spark.core.ivf import (
+        nearest_centroid_col,
+        top_clusters_col,
+        train_centroids,
+    )
+
+    if n_right is None:
+        n_right = right.count()
+    cents = train_centroids(right, nlist, n=n_right, vec_col=vec_col, id_col=id_col)
+    r = right.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("__rv"),
+        nearest_centroid_col(F.col(vec_col), cents).alias("cluster_id"),
+    )
+    l = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("__lv"),
+        F.explode(top_clusters_col(F.col(vec_col), cents, probes)).alias("cluster_id"),
+    )
+    # both sides are corpus-sized: same never-broadcast guard as the
+    # semantic-dedup candidate join
+    cand = (
+        r.hint("merge")
+        .join(l, "cluster_id")
+        .select("left_id", "right_id", cosine_sim(F.col("__rv"), F.col("__lv")).alias("__s"))
+        # multi-probe can land one pair in several probed clusters;
+        # max() absorbs the dups map-side (sim is identical per pair)
+        .groupBy("left_id", "right_id")
+        .agg(F.max("__s").alias("__s"))
+    )
+    w = Window.partitionBy("left_id").orderBy(F.col("__s").desc(), F.col("right_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "right_id", F.round("__s", 4).alias("sim"), "rank")
+    )
+
+
 def self_check_recall(
     results: DataFrame,
     exact_topk: DataFrame,

@@ -732,6 +732,62 @@ def q_incremental_embedding(spark, sf_dir):
 
 
 @_reg(
+    "embedding_topk_join",
+    f"""
+WITH l AS (SELECT vec_id AS left_id, embedding AS lv FROM embeddings WHERE vec_id % 10 = 0),
+r AS (SELECT vec_id AS right_id, embedding AS rv FROM embeddings WHERE vec_id % 10 <> 0),
+ranked AS (
+  SELECT l.left_id, r.right_id,
+    round({COS.format(a='r.rv', b='l.lv')},4) AS sim,
+    (row_number() OVER (PARTITION BY l.left_id
+       ORDER BY {COS.format(a='r.rv', b='l.lv')} DESC, r.right_id))::INT AS rank
+  FROM l CROSS JOIN r)
+SELECT 'exact' AS part, left_id, right_id, sim, rank FROM ranked WHERE rank <= 3
+UNION ALL
+SELECT 'witness', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 0.6::DOUBLE, 0
+""",
+)
+def q_embedding_topk_join(spark, sf_dir):
+    """Cross-table top-k similarity join (every 10th vector plays the
+    probe table, the rest the reference corpus) — "link each document
+    to its k nearest curated exemplars", the corpus-scale cousin of
+    knn_batch whose query side is a TABLE, not a handful of ids.
+
+    Two driver-hashed halves (the vs_ivf_search protocol): part='exact'
+    is topk_join's result, value-hashed against the brute-force window
+    SQL; part='witness' is a constant row that exists iff topk_join_ivf
+    (the both-sides-large 100 TB path: cluster-gated candidates via the
+    cluster_id equi-join, multi-probe left side, exact map-side
+    scoring, per-left window top-k) recovered >= 0.6 of the exact
+    top-3 pairs (measured 0.76-0.84 at nlist=8/probes=4 across
+    sf0.001/0.01/0.1 on these near-iid synthetic vectors; clustered
+    real corpora gate far better) — a gating-recall regression erases
+    the row and flips the driver hash red."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 10 == 0)
+    right = emb.filter(F.col("vec_id") % 10 != 0)
+    # feeds BOTH the output and the witness denominator — run once
+    exact = topk.topk_join(left, right, k=3).localCheckpoint(eager=True)
+    approx = topk.topk_join_ivf(left, right, k=3, nlist=8, probes=4)
+    hits = approx.select("left_id", "right_id").join(
+        exact.select("left_id", "right_id"), ["left_id", "right_id"], "left_semi"
+    )
+    cov = hits.agg(F.count("*").alias("n_hit")).crossJoin(
+        exact.agg(F.count("*").alias("n_exact"))
+    )
+    witness = cov.filter(F.col("n_hit") >= 0.6 * F.col("n_exact")).select(
+        F.lit("witness").alias("part"),
+        F.lit(-1).cast("long").alias("left_id"),
+        F.lit(-1).cast("long").alias("right_id"),
+        F.lit(0.6).alias("sim"),
+        F.lit(0).cast("int").alias("rank"),
+    )
+    return exact.select(
+        F.lit("exact").alias("part"), "left_id", "right_id", "sim", "rank"
+    ).unionByName(witness)
+
+
+@_reg(
     "semantic_dedup",
     f"""
 SELECT 'pair' AS part, a.vec_id AS a_id, b.vec_id AS b_id,
@@ -926,11 +982,13 @@ def q_domain_sample(spark, sf_dir):
     return textops.domain_weighted_sample(_t(spark, sf_dir, "documents"))
 
 
-def _quality_sql() -> str:
+def _quality_base_cte() -> str:
+    """``base(doc_id, n_tok, n_chr, sw, ar)`` — the quality-signal CTE
+    shared by text_quality and token_budget_select so the two oracles
+    cannot drift from one composite-score definition."""
     sw_list = ",".join(f"'{w}'" for w in STOPWORDS_EN)
     toks_lower = "string_split_regex(trim(lower(text)),'\\s+')"
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id,
     len({TOKS})::INT AS n_tok,
     length(text)::INT AS n_chr,
@@ -938,14 +996,25 @@ WITH base AS (
       / greatest(len({toks_lower}),1)::DOUBLE AS sw,
     length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE
       / greatest(length(text),1)::DOUBLE AS ar
-  FROM documents)
+  FROM documents)"""
+
+
+QUALITY_SCORE_SQL = (
+    "round(least(n_tok::DOUBLE / 20.0, 1.0) * 0.4 + ar * 0.3 "
+    "+ least(sw * 5.0, 1.0) * 0.3, 4)"
+)
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH {_quality_base_cte()}
 SELECT doc_id,
   n_tok AS n_tokens,
   n_chr AS n_chars_calc,
   round(n_chr::DOUBLE / greatest(n_tok,1)::DOUBLE, 4) AS avg_token_len,
   round(sw, 4) AS stopword_ratio,
   round(ar, 4) AS alpha_ratio,
-  round(least(n_tok::DOUBLE / 20.0, 1.0) * 0.4 + ar * 0.3 + least(sw * 5.0, 1.0) * 0.3, 4) AS quality_score
+  {QUALITY_SCORE_SQL} AS quality_score
 FROM base
 """
 
@@ -953,6 +1022,55 @@ FROM base
 @_reg("text_quality", _quality_sql())
 def q_quality(spark, sf_dir):
     return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "token_budget_select",
+    f"""
+WITH {_quality_base_cte()},
+scored AS (
+  SELECT doc_id, n_tok::BIGINT AS n_tokens,
+    {QUALITY_SCORE_SQL} AS quality_score
+  FROM base),
+ord AS (
+  SELECT doc_id, n_tokens, quality_score,
+    (sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id))::BIGINT AS cum_tokens,
+    (row_number() OVER (ORDER BY quality_score DESC, doc_id))::INT AS sel_rank
+  FROM scored)
+SELECT doc_id, n_tokens, quality_score, sel_rank, cum_tokens
+FROM ord WHERE cum_tokens <= 8000
+""",
+)
+def q_token_budget_select(spark, sf_dir):
+    """Quality-ranked selection under a global 8000-token budget: the
+    prefix sum over (quality DESC, doc_id) runs as the two-phase
+    range-partition pattern — NO SinglePartition exchange — while the
+    oracle states it as the plain global window it is semantically."""
+    return textops.token_budget_select(_t(spark, sf_dir, "documents"), budget=8000)
+
+
+def _shuffle_key_sql() -> str:
+    from langchain_memvid_spark.functions.hashing import stable_hash64_sql
+
+    return stable_hash64_sql("doc_id", salt="shuffle42:")
+
+
+@_reg(
+    "corpus_shuffle",
+    f"""
+SELECT
+  (row_number() OVER (ORDER BY {_shuffle_key_sql()}, doc_id))::BIGINT AS pos,
+  doc_id,
+  {_shuffle_key_sql()} AS shuffle_key
+FROM documents
+""",
+)
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic seeded global shuffle for training export —
+    position = rank under an engine-portable seeded hash, computed
+    with scale_windows.global_row_number (range partition +
+    per-partition window + broadcast offsets; no SinglePartition)."""
+    return textops.seeded_shuffle(_t(spark, sf_dir, "documents"), seed=42)
 
 
 def _lang_sql() -> str:

@@ -1318,3 +1318,122 @@ def test_incremental_embedding_dedup_semantics_and_plan(spark, sf_dir):
     forced = sorted(map(tuple,
         dedup.incremental_embedding_dedup(new, corpus, n_new=10**9).collect()))
     assert forced == sorted(map(tuple, df.collect()))
+
+
+def test_topk_join_exact_matches_per_left_python(spark, sf_dir):
+    """topk_join (broadcast path) == per-left brute force on the real
+    table, including the (-sim, right_id) tie-break."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 10 == 0)
+    right = emb.filter(F.col("vec_id") % 10 != 0)
+    got = {
+        (r["left_id"], r["rank"]): (r["right_id"], r["sim"])
+        for r in topk.topk_join(left, right, k=3).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    lrows = left.collect()
+    rrows = right.collect()
+    for lr in lrows[:10]:  # spot-check 10 left rows
+        scored = sorted(
+            ((-cos(lr["embedding"], rr["embedding"]), rr["vec_id"]) for rr in rrows)
+        )[:3]
+        for rank, (negs, rid) in enumerate(scored, start=1):
+            grid, gsim = got[(lr["vec_id"], rank)]
+            assert grid == rid
+            assert abs(gsim - round(-negs, 4)) < 1e-9
+
+
+def test_topk_join_gemm_parity_with_broadcast_path(spark, sf_dir):
+    """The both-sides-large block-GEMM kernel returns the same
+    (left_id, rank) -> right_id assignment as the Catalyst broadcast
+    path (block partial top-k loses nothing)."""
+    from langchain_memvid_spark.operators.topk import _topk_join_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 10 == 0)
+    right = emb.filter(F.col("vec_id") % 10 != 0)
+    a = {
+        (r["left_id"], r["rank"]): r["right_id"]
+        for r in topk.topk_join(left, right, k=3).collect()
+    }
+    # small block size forces MANY block pairs (real partial-top-k merge)
+    b = {
+        (r["left_id"], r["rank"]): r["right_id"]
+        for r in _topk_join_gemm(left, right, 3, "vec_id", "embedding", 64).collect()
+    }
+    assert a == b
+
+
+def test_topk_join_approx_shapes_and_subset(spark, sf_dir):
+    """Approximate paths (LSH bands / IVF clusters) return <= k ranked
+    rows per left id whose sims match the exact pair cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 10 == 0)
+    right = emb.filter(F.col("vec_id") % 10 != 0)
+    exact_sims = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in dedup.embedding_cosine_pairs(emb, threshold=-1.0, exact=True).collect()
+    }
+
+    def pair_sim(lid, rid):
+        return exact_sims.get((min(lid, rid), max(lid, rid)))
+
+    for approx in (
+        topk.topk_join_lsh(left, right, k=3),
+        topk.topk_join_ivf(left, right, k=3, nlist=8, probes=4),
+    ):
+        rows = approx.collect()
+        per_left = {}
+        for r in rows:
+            per_left.setdefault(r["left_id"], []).append(r)
+            assert abs(r["sim"] - pair_sim(r["left_id"], r["right_id"])) < 2e-4
+        for lid, rs in per_left.items():
+            ranks = sorted(x["rank"] for x in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            assert len(rs) <= 3
+
+
+def test_token_budget_select_matches_python(spark, sf_dir):
+    """Selection == the plain greedy over (quality desc, doc_id) with a
+    running-total cutoff; plan has no SinglePartition exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.token_budget_select(docs, budget=8000)
+    assert "SinglePartition" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["doc_id"]: (r["sel_rank"], r["cum_tokens"]) for r in out.collect()}
+
+    scored = [
+        (r["quality_score"], r["doc_id"], r["n_tokens"])
+        for r in textops.quality_scores(docs)
+        .select("doc_id", "n_tokens", "quality_score")
+        .collect()
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want, cum = {}, 0
+    for rank, (q, did, nt) in enumerate(scored, start=1):
+        cum += nt
+        if cum > 8000:
+            break
+        want[did] = (rank, cum)
+    assert got == want
+
+
+def test_seeded_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = textops.seeded_shuffle(docs, seed=42)
+    assert "SinglePartition" not in a._jdf.queryExecution().executedPlan().toString()
+    rows = a.collect()
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    b = {r["doc_id"]: r["pos"] for r in textops.seeded_shuffle(docs, seed=7).collect()}
+    amap = {r["doc_id"]: r["pos"] for r in rows}
+    assert amap != b  # different seed, different permutation
+    again = {r["doc_id"]: r["pos"] for r in textops.seeded_shuffle(docs, seed=42).collect()}
+    assert amap == again  # same seed, identical permutation
