@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 
 from langchain_memvid_spark.functions.vector import cosine_sim, dot
 
+# topk_join's exact-kernel pick: at or below this many scored pairs the
+# Catalyst broadcast-crossJoin path wins (oracle-bit-compatible, no
+# Python workers); above it the block-GEMM kernel does — per-pair HOF
+# scoring measured ~40× slower than BLAS (embedding_cosine_pairs).
+_TOPK_CATALYST_PAIR_LIMIT = 5_000_000
+
 
 def knn_topk(
     embeddings: DataFrame,
@@ -341,6 +347,7 @@ def topk_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_left: int | None = None,
+    n_right: int | None = None,
     block_size: int = 2048,
 ) -> DataFrame:
     """EXACT cross-table top-k similarity join: for every LEFT vector,
@@ -350,22 +357,26 @@ def topk_join(
     knn_batch, whose query side is a handful of ids rather than a
     table).
 
-    Strategy is picked from an EXACT left count (the same protocol as
-    the simhash band join, dedup.py — the count runs eagerly at
-    plan-build unless ``n_left`` is passed):
+    Strategy is picked from EXACT side counts (the same protocol as
+    the simhash band join, dedup.py — the counts run eagerly at
+    plan-build unless ``n_left``/``n_right`` are passed):
 
-    - left fits the broadcast bound: broadcast-left crossJoin + Catalyst
-      cosine + per-left window top-k.  The rank filter gets the
-      map-side WindowGroupLimit, so the shuffle carries ~n_left·k rows
-      per partition, not the N·M scored pairs; scoring arithmetic is
-      the same sequential-fold `functions.vector.cosine_sim` the
+    - modest pair space (n_left·n_right ≤ _TOPK_CATALYST_PAIR_LIMIT
+      and left fits the broadcast bound): broadcast-left crossJoin +
+      Catalyst cosine + per-left window top-k.  The rank filter gets
+      the map-side WindowGroupLimit, so the shuffle carries ~n_left·k
+      rows per partition, not the N·M scored pairs; scoring arithmetic
+      is the same sequential-fold `functions.vector.cosine_sim` the
       DuckDB oracle reproduces bit-for-bit.
-    - both sides large: block-GEMM with MAP-SIDE PARTIAL TOP-K — both
+    - large pair space: block-GEMM with MAP-SIDE PARTIAL TOP-K — both
       tables are range-blocked on id, every (left-block × right-block)
       pair is one BLAS task that emits only its per-left top-k, so the
       final window sees n_left·k·n_right_blocks rows instead of N·M.
-      Exact work is inherently N·M — the approximate scale path is
-      :func:`topk_join_lsh`.
+      Per-pair Catalyst HOF scoring is ~40× slower than BLAS (the
+      embedding_cosine_pairs measurement), so the pair-count bound —
+      not broadcastability — is what picks the kernel.  Exact work is
+      inherently N·M — the approximate scale paths are
+      :func:`topk_join_ivf` / :func:`topk_join_lsh`.
 
     Output: (left_id, right_id, sim, rank), rank 1-based per left id,
     ties broken by right_id.
@@ -374,7 +385,12 @@ def topk_join(
 
     if n_left is None:
         n_left = left.count()
-    if n_left <= _PAIR_BROADCAST_ROW_LIMIT:
+    if n_right is None:
+        n_right = right.count()
+    if (
+        n_left <= _PAIR_BROADCAST_ROW_LIMIT
+        and n_left * n_right <= _TOPK_CATALYST_PAIR_LIMIT
+    ):
         l = left.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lv"))
         scored = (
             right.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("__rv"))

@@ -759,10 +759,10 @@ def q_embedding_topk_join(spark, sf_dir):
     (the both-sides-large 100 TB path: cluster-gated candidates via the
     cluster_id equi-join, multi-probe left side, exact map-side
     scoring, per-left window top-k) recovered >= 0.6 of the exact
-    top-3 pairs (measured 0.76-0.84 at nlist=8/probes=4 across
-    sf0.001/0.01/0.1 on these near-iid synthetic vectors; clustered
-    real corpora gate far better) — a gating-recall regression erases
-    the row and flips the driver hash red."""
+    top-3 pairs (measured 0.84/0.76/0.79/0.79 at nlist=8/probes=4
+    across sf0.001/0.01/0.1/sf1 on these near-iid synthetic vectors;
+    clustered real corpora gate far better) — a gating-recall
+    regression erases the row and flips the driver hash red."""
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") % 10 == 0)
     right = emb.filter(F.col("vec_id") % 10 != 0)
