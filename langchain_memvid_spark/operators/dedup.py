@@ -317,6 +317,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    str_col: str = "name",
+    max_d: int = 2,
+    q: int = 2,
+    min_len: int | None = None,
+) -> DataFrame:
+    """String-similarity join: pairs with Levenshtein distance ≤
+    ``max_d`` — typo-grade fuzzy dedup (product names, titles, author
+    strings), the string-edit counterpart of the MinHash/SimHash gates.
+
+    Blocking is positional q-grams with a PROVABLE zero-false-negative
+    bound (the q-gram count filter, Gravano et al. 2001 / PassJoin's
+    pigeonhole): a string of length L has L−q+1 positional q-grams and
+    one edit operation destroys at most q of them, so two strings
+    within distance d share at least (L_min−q+1) − q·d grams — and when
+    that bound is positive, sharing ≥1 gram is a NECESSARY condition.
+    This function therefore RAISES unless min_len − q + 1 > q·max_d
+    (shrink q or max_d), rather than silently missing pairs.  Matching
+    grams in a true pair are also positionally aligned within d, so the
+    gram equi-join carries a |pos_a − pos_b| ≤ d band filter; a length
+    band ||a|−|b|| ≤ d prunes further.  Only candidates that share a
+    gram are exact-verified with one JVM-side levenshtein() each —
+    never all-pairs.
+
+    Scale shape: one gram-keyed self-equi-join (merge-hinted — the gram
+    table is corpus-sized, same never-broadcast guard as the shingle
+    joins) + a distinct over candidate pairs + two id-joins for the
+    verify.  Gram buckets concentrate at N/|alphabet|^q per position
+    band; frequent-gram skew behaves like the shingle max_df problem —
+    at web scale, raise q (finer buckets) before reaching for frequency
+    caps, because dropping frequent grams breaks the zero-FN bound.
+
+    Output: (a_id, b_id, a_str, b_str, edit_distance), a_id < b_id.
+    """
+    if min_len is None:
+        row = df.select(F.min(F.length(F.col(str_col)))).head()
+        min_len = row[0] if row and row[0] is not None else 0
+    if min_len - q + 1 <= q * max_d:
+        raise ValueError(
+            f"edit_distance_pairs: zero-false-negative bound violated — "
+            f"shortest string ({min_len} chars) has {max(min_len - q + 1, 0)} "
+            f"{q}-grams but {max_d} edits can destroy up to {q * max_d}. "
+            f"Lower q or max_d (need min_len - q + 1 > q*max_d)."
+        )
+    s = df.select(
+        F.col(id_col).alias("sid"),
+        F.col(str_col).alias("s"),
+        F.length(F.col(str_col)).alias("slen"),
+    )
+    grams = s.select(
+        "sid",
+        "slen",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, char_length(s) - {q} + 1), i -> substring(s, i, {q}))")
+        ).alias("pos", "gram"),
+    )
+    a = grams.select(
+        F.col("sid").alias("a_id"), F.col("slen").alias("a_len"),
+        F.col("pos").alias("a_pos"), "gram",
+    )
+    b = grams.select(
+        F.col("sid").alias("b_id"), F.col("slen").alias("b_len"),
+        F.col("pos").alias("b_pos"), "gram",
+    )
+    cand = (
+        a.hint("merge")
+        .join(b, "gram")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= max_d)
+            & (F.abs(F.col("a_pos") - F.col("b_pos")) <= max_d)
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = s.select(F.col("sid").alias("a_id"), F.col("s").alias("a_str"))
+    sb = s.select(F.col("sid").alias("b_id"), F.col("s").alias("b_str"))
+    dist = F.levenshtein(F.col("a_str"), F.col("b_str"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("edit_distance", dist.cast("int"))
+        .filter(F.col("edit_distance") <= max_d)
+        .select("a_id", "b_id", "a_str", "b_str", "edit_distance")
+    )
+
+
 def minhash_signatures(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """MinHash signatures (doc_id, mh0..mh7): min over shingles of each
     permuted 60-bit shingle hash.

@@ -788,6 +788,32 @@ def q_embedding_topk_join(spark, sf_dir):
 
 
 @_reg(
+    "edit_distance_pairs",
+    """
+WITH n AS (SELECT doc_id, substring(trim(text),1,20) AS s FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.s AS a_str, b.s AS b_str,
+  levenshtein(a.s, b.s)::INT AS edit_distance
+FROM n a JOIN n b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 4
+""",
+)
+def q_edit_distance_pairs(spark, sf_dir):
+    """Typo-grade fuzzy string join over 20-char document title keys:
+    positional q-gram blocking with the PROVABLE zero-false-negative
+    count bound (q=3, d=4: 18 grams per title, 4 edits destroy ≤ 12 —
+    sharing a position-aligned gram is NECESSARY), exact levenshtein
+    verify on candidates only.  The oracle is the brute-force all-pairs
+    filter, so a blocked-join false negative hash-mismatches — the
+    zero-FN claim is driver-checked, not argued."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, 20).alias("title")
+    )
+    return dedup.edit_distance_pairs(
+        docs, id_col="doc_id", str_col="title", max_d=4, q=3
+    )
+
+
+@_reg(
     "semantic_dedup",
     f"""
 SELECT 'pair' AS part, a.vec_id AS a_id, b.vec_id AS b_id,

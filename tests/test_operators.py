@@ -1437,3 +1437,29 @@ def test_seeded_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
     assert amap != b  # different seed, different permutation
     again = {r["doc_id"]: r["pos"] for r in textops.seeded_shuffle(docs, seed=42).collect()}
     assert amap == again  # same seed, identical permutation
+
+
+def test_edit_distance_pairs_finds_typos_and_guards_bound(spark):
+    rows = [
+        (1, "hello world"),
+        (2, "hello w0rld"),   # 1 substitution from 1
+        (3, "hello wrld"),    # 1 deletion from 1
+        (4, "completely diff"),
+        (5, "hello world"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, name STRING")
+    got = {
+        (r["a_id"], r["b_id"]): r["edit_distance"]
+        for r in dedup.edit_distance_pairs(
+            df, id_col="doc_id", str_col="name", max_d=2, q=2
+        ).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    assert got[(1, 5)] == 0
+    assert got[(2, 3)] == 1  # "w0rld" -> "wrld" is one deletion
+    assert not any(4 in p for p in got)
+    # zero-FN bound: 2-grams of an 11-char string = 10; 5 edits can
+    # destroy 10 -> must raise rather than silently miss pairs
+    with pytest.raises(ValueError, match="zero-false-negative"):
+        dedup.edit_distance_pairs(df, id_col="doc_id", str_col="name", max_d=5, q=2)
