@@ -317,58 +317,16 @@ def ngram_jaccard_pairs(
     )
 
 
-def edit_distance_pairs(
-    df: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    str_col: str = "name",
-    max_d: int = 2,
-    q: int = 2,
-    min_len: int | None = None,
-) -> DataFrame:
-    """String-similarity join: pairs with Levenshtein distance ≤
-    ``max_d`` — typo-grade fuzzy dedup (product names, titles, author
-    strings), the string-edit counterpart of the MinHash/SimHash gates.
+def _edp_gram_candidates(s: DataFrame, max_d: int, q: int, min_len: int) -> DataFrame:
+    """q-gram candidate pairs for edit_distance_pairs (a_id < b_id).
 
-    Blocking is positional q-grams with a PROVABLE zero-false-negative
-    bound (the q-gram count filter, Gravano et al. 2001 / PassJoin's
-    pigeonhole): a string of length L has L−q+1 positional q-grams and
-    one edit operation destroys at most q of them, so two strings
-    within distance d share at least (L_min−q+1) − q·d grams — and when
-    that bound is positive, sharing ≥1 gram is a NECESSARY condition.
-    This function therefore RAISES unless min_len − q + 1 > q·max_d
-    (shrink q or max_d), rather than silently missing pairs.  Matching
-    grams in a true pair are also positionally aligned within d, so the
-    gram equi-join carries a |pos_a − pos_b| ≤ d band filter; a length
-    band ||a|−|b|| ≤ d prunes further.  Only candidates that share a
-    gram are exact-verified with one JVM-side levenshtein() each —
-    never all-pairs.
-
-    Scale shape: one gram-keyed self-equi-join (merge-hinted — the gram
-    table is corpus-sized, same never-broadcast guard as the shingle
-    joins) + a distinct over candidate pairs + two id-joins for the
-    verify.  Gram buckets concentrate at N/|alphabet|^q per position
-    band; frequent-gram skew behaves like the shingle max_df problem —
-    at web scale, raise q (finer buckets) before reaching for frequency
-    caps, because dropping frequent grams breaks the zero-FN bound.
-
-    Output: (a_id, b_id, a_str, b_str, edit_distance), a_id < b_id.
-    """
-    if min_len is None:
-        row = df.select(F.min(F.length(F.col(str_col)))).head()
-        min_len = row[0] if row and row[0] is not None else 0
-    if min_len - q + 1 <= q * max_d:
-        raise ValueError(
-            f"edit_distance_pairs: zero-false-negative bound violated — "
-            f"shortest string ({min_len} chars) has {max(min_len - q + 1, 0)} "
-            f"{q}-grams but {max_d} edits can destroy up to {q * max_d}. "
-            f"Lower q or max_d (need min_len - q + 1 > q*max_d)."
-        )
-    s = df.select(
-        F.col(id_col).alias("sid"),
-        F.col(str_col).alias("s"),
-        F.length(F.col(str_col)).alias("slen"),
-    )
+    Positional q-grams + the count filter (Gravano et al. 2001): a true
+    pair shares >= (min_len-q+1) - q*max_d position-aligned grams, so
+    requiring that many matches is still zero-FN (the global min-length
+    bound under-states every pair's own guarantee) and far more
+    selective than sharing >= 1 gram.  groupBy-count has the same
+    shuffle shape a naive distinct would (map-side partial agg over
+    pair keys); only the HAVING threshold differs."""
     grams = s.select(
         "sid",
         "slen",
@@ -384,7 +342,8 @@ def edit_distance_pairs(
         F.col("sid").alias("b_id"), F.col("slen").alias("b_len"),
         F.col("pos").alias("b_pos"), "gram",
     )
-    cand = (
+    t_min = max(1, (min_len - q + 1) - q * max_d)
+    return (
         a.hint("merge")
         .join(b, "gram")
         .filter(
@@ -392,9 +351,168 @@ def edit_distance_pairs(
             & (F.abs(F.col("a_len") - F.col("b_len")) <= max_d)
             & (F.abs(F.col("a_pos") - F.col("b_pos")) <= max_d)
         )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("__shared"))
+        .filter(F.col("__shared") >= t_min)
         .select("a_id", "b_id")
+    )
+
+
+def _edp_segment_candidates(s: DataFrame, max_d: int) -> DataFrame:
+    """PassJoin segment candidates for edit_distance_pairs (Li, Deng &
+    Feng 2011), a_id < b_id.
+
+    Pigeonhole: split a string into d+1 contiguous segments; d edits
+    can touch at most d of them, so for ed(a,b) <= d at least one
+    segment of `a` occurs in `b` VERBATIM, shifted by at most d.  The
+    blocking key is therefore (segment index, partner length, exact
+    segment text) — segments are ~L/(d+1) chars, so buckets are keyed
+    by long exact substrings instead of short shared grams: on
+    low-entropy keys this is orders of magnitude more selective (the
+    sf1 measurement that forced this default: 3-gram buckets degraded
+    toward quadratic because correlated text shares most short grams).
+
+    Every string emits d+1 INDEX keys (its own even-partition segments)
+    and, for each partner length within +-d of its own, the candidate
+    substrings at each segment position within +-d shift — a bounded
+    (d+1)·(2d+1)^2 PROBE keys per string, all generated in one Catalyst
+    projection (no Python).  The equi-join of index vs probe keys is
+    merge-hinted (both corpus-sized)."""
+    dd = max_d + 1
+
+    def seg_len(ic, L):
+        base = F.floor(L / dd).cast("int")
+        rem = (L % dd).cast("int")
+        return base + F.when(ic >= (F.lit(dd) - rem), 1).otherwise(0)
+
+    def seg_start(ic, L):  # 0-based
+        base = F.floor(L / dd).cast("int")
+        rem = (L % dd).cast("int")
+        return (ic * base + F.greatest(F.lit(0), ic - (F.lit(dd) - rem))).cast("int")
+
+    # enumerate the bounded (partner-length delta, segment, shift)
+    # space ONCE as a literal array and explode it, so the per-row
+    # expression tree stays small (the inline-unrolled formulation
+    # compiled a ~2000-node projection whose codegen dominated driver-SF
+    # runtime).  Tight shift window: a shift of σ needs ≥|σ| indels
+    # BEFORE the segment and ≥|Δ−σ| after (Δ = −delta), sharing the d
+    # budget — PassJoin's length-aware pruning (Lemma 1).
+    combos = [
+        (delta, i, shift)
+        for delta in range(-max_d, max_d + 1)
+        for i in range(dd)
+        for shift in range(-max_d, max_d + 1)
+        if abs(shift) + abs(shift + delta) <= max_d
+    ]
+    combo_arr = F.array(
+        *[
+            F.struct(
+                F.lit(delta).alias("delta"), F.lit(i).alias("i"), F.lit(shift).alias("shift")
+            )
+            for delta, i, shift in combos
+        ]
+    )
+    L = F.col("slen")
+    ic = F.col("c.i")
+    idx = (
+        s.select(
+            F.col("sid").alias("a_id"),
+            "s",
+            "slen",
+            F.explode(F.array(*[F.lit(i) for i in range(dd)])).alias("i"),
+        )
+        .select(
+            "a_id",
+            F.col("i").alias("segi"),
+            L.cast("int").alias("plen"),
+            F.col("s").substr(seg_start(F.col("i"), L) + 1, seg_len(F.col("i"), L)).alias("segtxt"),
+        )
+    )
+    L2 = (L + F.col("c.delta")).cast("int")
+    st0 = seg_start(ic, L2)
+    ln0 = seg_len(ic, L2)
+    p0 = st0 + F.col("c.shift")
+    prb = (
+        s.select(F.col("sid").alias("b_id"), "s", "slen", F.explode(combo_arr).alias("c"))
+        .filter((L2 >= dd) & (p0 >= 0) & ((p0 + ln0) <= L) & (ln0 >= 1))
+        .select(
+            "b_id",
+            ic.alias("segi"),
+            L2.alias("plen"),
+            F.col("s").substr(p0 + 1, ln0).alias("segtxt"),
+        )
+    )
+    # index side carries a's OWN length as plen; probe side enumerated
+    # partner lengths — the equi-join pins b's assumption to a's truth
+    return (
+        idx.hint("merge")
+        .join(prb, ["segi", "plen", "segtxt"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
         .distinct()
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    str_col: str = "name",
+    max_d: int = 2,
+    q: int = 2,
+    min_len: int | None = None,
+    blocking: str = "segments",
+) -> DataFrame:
+    """String-similarity join: pairs with Levenshtein distance ≤
+    ``max_d`` — typo-grade fuzzy dedup (product names, titles, author
+    strings), the string-edit counterpart of the MinHash/SimHash gates.
+
+    Two zero-false-negative blocking schemes gate the exact
+    levenshtein() verify (never all-pairs):
+
+    - ``blocking="segments"`` (default): PassJoin pigeonhole — d+1
+      even segments per string; a true pair must contain one of the
+      partner's segments verbatim within shift d, so the blocking key
+      is a ~L/(d+1)-char EXACT substring.  The scalable scheme: long
+      keys keep buckets tiny even on low-entropy text (measured: the
+      gram scheme degraded toward quadratic on this repo's correlated
+      synthetic titles; segments collapse the candidate space).
+    - ``blocking="grams"``: positional q-grams + the q-gram count
+      filter (a true pair shares ≥ (min_len−q+1) − q·d aligned grams).
+      Requires min_len − q + 1 > q·max_d — RAISES otherwise, rather
+      than silently missing pairs.  Simpler; fine on high-entropy keys.
+
+    Output: (a_id, b_id, a_str, b_str, edit_distance), a_id < b_id.
+    """
+    if min_len is None:
+        row = df.select(F.min(F.length(F.col(str_col)))).head()
+        min_len = row[0] if row and row[0] is not None else 0
+    s = df.select(
+        F.col(id_col).alias("sid"),
+        F.col(str_col).alias("s"),
+        F.length(F.col(str_col)).alias("slen"),
+    )
+    if blocking == "segments":
+        if min_len < max_d + 1:
+            raise ValueError(
+                f"edit_distance_pairs: segment blocking needs min_len >= "
+                f"max_d+1 ({max_d + 1}); shortest string has {min_len} chars."
+            )
+        cand = _edp_segment_candidates(s, max_d)
+    elif blocking == "grams":
+        if min_len - q + 1 <= q * max_d:
+            raise ValueError(
+                f"edit_distance_pairs: zero-false-negative bound violated — "
+                f"shortest string ({min_len} chars) has {max(min_len - q + 1, 0)} "
+                f"{q}-grams but {max_d} edits can destroy up to {q * max_d}. "
+                f"Lower q or max_d (need min_len - q + 1 > q*max_d)."
+            )
+        cand = _edp_gram_candidates(s, max_d, q, min_len)
+    else:
+        raise ValueError(f"unknown blocking {blocking!r}: use 'segments' or 'grams'")
     sa = s.select(F.col("sid").alias("a_id"), F.col("s").alias("a_str"))
     sb = s.select(F.col("sid").alias("b_id"), F.col("s").alias("b_str"))
     dist = F.levenshtein(F.col("a_str"), F.col("b_str"))

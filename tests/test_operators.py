@@ -1459,7 +1459,34 @@ def test_edit_distance_pairs_finds_typos_and_guards_bound(spark):
     assert got[(1, 5)] == 0
     assert got[(2, 3)] == 1  # "w0rld" -> "wrld" is one deletion
     assert not any(4 in p for p in got)
-    # zero-FN bound: 2-grams of an 11-char string = 10; 5 edits can
-    # destroy 10 -> must raise rather than silently miss pairs
+    # gram-blocking zero-FN bound: 2-grams of an 11-char string = 10;
+    # 5 edits can destroy 10 -> must raise rather than silently miss
     with pytest.raises(ValueError, match="zero-false-negative"):
-        dedup.edit_distance_pairs(df, id_col="doc_id", str_col="name", max_d=5, q=2)
+        dedup.edit_distance_pairs(
+            df, id_col="doc_id", str_col="name", max_d=5, q=2, blocking="grams"
+        )
+
+
+def test_edit_distance_blocking_parity_and_segment_guard(spark, sf_dir):
+    """Segment (PassJoin) and gram blocking find the SAME pair set —
+    both zero-FN by different pigeonholes; brute-force oracle equality
+    is additionally driver-checked in the registry."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, 20).alias("title")
+    )
+    seg = {
+        (r["a_id"], r["b_id"]): r["edit_distance"]
+        for r in dedup.edit_distance_pairs(
+            docs, id_col="doc_id", str_col="title", max_d=4, q=3, blocking="segments"
+        ).collect()
+    }
+    gr = {
+        (r["a_id"], r["b_id"]): r["edit_distance"]
+        for r in dedup.edit_distance_pairs(
+            docs, id_col="doc_id", str_col="title", max_d=4, q=3, blocking="grams"
+        ).collect()
+    }
+    assert seg == gr and len(seg) > 0
+    tiny = spark.createDataFrame([(1, "ab"), (2, "ac")], "doc_id LONG, name STRING")
+    with pytest.raises(ValueError, match="segment blocking"):
+        dedup.edit_distance_pairs(tiny, id_col="doc_id", str_col="name", max_d=2)
