@@ -1490,3 +1490,20 @@ def test_edit_distance_blocking_parity_and_segment_guard(spark, sf_dir):
     tiny = spark.createDataFrame([(1, "ab"), (2, "ac")], "doc_id LONG, name STRING")
     with pytest.raises(ValueError, match="segment blocking"):
         dedup.edit_distance_pairs(tiny, id_col="doc_id", str_col="name", max_d=2)
+
+
+def test_topk_join_map_side_window_group_limit(spark, sf_dir):
+    """topk_join's per-left top-k keeps the map-side WindowGroupLimit
+    (Partial) before the left_id exchange — the shuffle carries
+    ~n_left*k rows per partition, never the N*M scored pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 10 == 0)
+    right = emb.filter(F.col("vec_id") % 10 != 0)
+    plan = (
+        topk.topk_join(left, right, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan

@@ -867,3 +867,55 @@ def test_first_match_col_matches_python_reference(spark_handle, metas, keys):
         got_s, got_d = rows[i]
         assert got_s == want_s
         assert got_d == (want_d if want_d is not None else -7.5)
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=4, max_size=9), min_size=2, max_size=14
+    ),
+    max_d=st.integers(1, 2),
+)
+@settings(max_examples=6, deadline=None, derandomize=True)
+def test_edit_distance_pairs_matches_dp_reference(spark_handle, texts, max_d):
+    """Both blocking schemes (PassJoin segments, q-grams where the
+    bound allows) recover EXACTLY the DP all-pairs truth on random
+    low-alphabet strings — the zero-FN fuzz. Tiny alphabet forces
+    heavy gram/segment collisions; lengths straddle the band filter."""
+    spark = spark_handle
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, name STRING"
+    )
+    want = {
+        (i, j): _py_levenshtein(a, b)
+        for i, a in enumerate(texts)
+        for j, b in enumerate(texts)
+        if i < j and _py_levenshtein(a, b) <= max_d
+    }
+    min_len = min(len(t) for t in texts)
+    if min_len >= max_d + 1:
+        got_seg = {
+            (r["a_id"], r["b_id"]): r["edit_distance"]
+            for r in dedup.edit_distance_pairs(
+                df, id_col="doc_id", str_col="name", max_d=max_d, blocking="segments"
+            ).collect()
+        }
+        assert got_seg == want
+    q = 2
+    if min_len - q + 1 > q * max_d:
+        got_gr = {
+            (r["a_id"], r["b_id"]): r["edit_distance"]
+            for r in dedup.edit_distance_pairs(
+                df, id_col="doc_id", str_col="name", max_d=max_d, q=q, blocking="grams"
+            ).collect()
+        }
+        assert got_gr == want
