@@ -1207,6 +1207,115 @@ class SparkVectorStore:
             .select("query_id", "query", "doc_id", "text", "similarity", "rank")
         )
 
+    def similarity_join(
+        self,
+        queries: DataFrame,
+        k: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        n_queries: int | None = None,
+    ) -> DataFrame:
+        """Corpus-scale batch ANN over a QUERY TABLE: every row of
+        ``queries`` gets its top-k most similar stored documents —
+        batch_search without the driver-side collect, for query sets
+        that are themselves tables (dedup a new corpus against the
+        store, link every incoming doc to its exemplars).
+
+        With a live IVF layout each query row is assigned its
+        top-nprobe clusters JVM-side via the store's OWN centroids
+        (literal-inlined top-p argmax, core/ivf.py — no retrain, no
+        collect of the query table); the distinct probed set (≤ nlist
+        ints, one tiny aggregate) prunes the corpus scan at the FILE
+        level, and the cluster_id equi-join bounds pair work to
+        ~nprobe/nlist of the corpus per query.  Docs carry ONE argmax
+        cluster, so a (query, doc) pair joins at most once — no
+        dedupe stage.  The join picks broadcast vs SMJ from an exact
+        query count (pass ``n_queries`` to skip the eager count).
+
+        Without a layout the unpruned crossJoin is allowed only for
+        broadcastable query tables; a corpus-sized query table against
+        an unclustered corpus RAISES (enable IndexConfig.ivf) rather
+        than silently launching the N·M scan.
+
+        Returns DataFrame(query_id, doc_id, text, similarity, rank) —
+        similarity in the store's metric (dot for cosine/ip over the
+        ingest-normalized corpus, squared L2 ascending for l2).
+        """
+        from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+        metric = self.config.index.metric
+        qv = F.col(query_vec_col).cast("array<double>")
+        if metric == "cosine":
+            qv = l2_normalize(qv)
+        if n_queries is None:
+            n_queries = queries.count()
+        corpus = self._doc_index
+        if self._ivf is not None:
+            from langchain_memvid_spark.core.ivf import top_clusters_col
+
+            nprobe = min(self.config.index.nprobe, len(self._ivf.centroids))
+            qdf = queries.select(
+                F.col(query_id_col).alias("query_id"),
+                qv.alias("__qv"),
+                top_clusters_col(
+                    qv, self._ivf.centroids, nprobe, metric=self._ivf_metric()
+                ).alias("__probes"),
+                # assignment feeds BOTH the probe-set aggregate and the
+                # join — materialize once
+            ).localCheckpoint()
+            probed = sorted(
+                r["c"]
+                for r in qdf.select(F.explode("__probes").alias("c")).distinct().collect()
+            )
+            corpus = corpus.filter(F.col("cluster_id").isin(probed))
+            qx = qdf.select("query_id", "__qv", F.explode("__probes").alias("cluster_id"))
+            right = (
+                F.broadcast(qx)
+                if n_queries * nprobe <= _PAIR_BROADCAST_ROW_LIMIT
+                else qx.hint("merge")
+            )
+            joined = corpus.select("doc_id", "embedding", "cluster_id").join(
+                right, "cluster_id"
+            )
+        else:
+            if n_queries > _PAIR_BROADCAST_ROW_LIMIT:
+                raise ValueError(
+                    f"similarity_join: {n_queries} query rows against an "
+                    "unclustered corpus would be an unpruned cross join. "
+                    "Enable the IVF layout (IndexConfig.ivf) so the probe "
+                    "assignment can bound the pair space, or batch the "
+                    "queries below the broadcast limit."
+                )
+            qdf = queries.select(F.col(query_id_col).alias("query_id"), qv.alias("__qv"))
+            joined = self._doc_index.select("doc_id", "embedding").crossJoin(
+                F.broadcast(qdf)
+            )
+        if metric == "l2":
+            scored = joined.withColumn(
+                "similarity", l2_sq(F.col("embedding"), F.col("__qv"))
+            )
+            order = [F.col("similarity").asc(), F.col("doc_id").asc()]
+        else:
+            scored = joined.withColumn("similarity", dot(F.col("embedding"), F.col("__qv")))
+            order = [F.col("similarity").desc(), F.col("doc_id").asc()]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        top = (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "similarity", "rank")
+        )
+        # text lookup from the PRUNED corpus frame (the top-k docs are
+        # within the probed set by construction) — joining against the
+        # full doc_index here would silently re-scan every file's
+        # doc_id/text columns, defeating the probe pruning
+        texts = corpus.select("doc_id", "text")
+        top_side = (
+            F.broadcast(top) if n_queries * k <= _PAIR_BROADCAST_ROW_LIMIT else top
+        )
+        return texts.join(top_side, "doc_id").select(
+            "query_id", "doc_id", "text", "similarity", "rank"
+        )
+
     def similarity_search_with_relevance_scores(
         self,
         query: str,

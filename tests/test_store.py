@@ -1335,3 +1335,60 @@ def test_near_dedup_survives_save_load_and_legacy_backfill(spark, tmp_path):
     assert from_legacy._doc_index.filter("mh0 IS NULL").count() == 0
     from_legacy.add_texts(["the quick brown fox jumps over the lazy dog yesterday"])
     assert from_legacy.get_document_count() == 2
+
+
+def test_similarity_join_full_probe_matches_batch_search(spark, ivf_store):
+    """similarity_join (query TABLE) at nprobe=nlist returns the same
+    per-query doc ranking batch_search (collected queries) returns —
+    the two batch surfaces cannot diverge."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 21])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_store.config.index.nprobe = 4  # = nlist -> exact
+    got = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in ivf_store.similarity_join(queries, k=5).collect()
+    }
+    want = {}
+    for qid in (0, 7, 21):
+        qvec = _qvec(spark, qid)
+        for r in ivf_store._topk(qvec, 5).collect():
+            want[(qid, len([k_ for k_ in want if k_[0] == qid]) + 1)] = r["doc_id"]
+    assert got == want
+
+
+def test_similarity_join_prunes_scan_and_guards_unclustered(spark, ivf_store):
+    """Partial-probe similarity_join must show a file-level
+    PartitionFilter on cluster_id (the probe union), and an unclustered
+    store must refuse an over-broadcast-limit query table instead of
+    cross-joining it."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_store.config.index.nprobe = 2
+    out = ivf_store.similarity_join(queries, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # EVERY layout scan in the plan must be pruned — including the text
+    # join-back (an unpruned doc_id/text scan would defeat the probing)
+    for line in pf_lines:
+        assert "cluster_id" in line.split("PartitionFilters")[1][:120], line
+    # every query still gets k ranked hits (probe union covers them)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+    flat = SparkVectorStore(
+        spark,
+        config=EngineConfig(index=IndexConfig(metric="ip", rerank_candidates=0)),
+    )
+    flat.add_texts(["alpha beta gamma delta epsilon zeta eta theta iota"])
+    with pytest.raises(ValueError, match="unclustered"):
+        flat.similarity_join(queries, k=3, n_queries=2_000_000)
