@@ -538,6 +538,62 @@ def seeded_shuffle(documents: DataFrame, seed: int = 42) -> DataFrame:
 _VOCAB_BROADCAST_ROW_LIMIT = 1_000_000
 
 
+def bigram_logprob_scores(
+    documents: DataFrame, text_col: str = "text", n_bigrams: int | None = None
+) -> DataFrame:
+    """Per-document mean conditional surprisal −avg(ln p(w₂|w₁)) under
+    the corpus's own bigram LM — the next signal up from
+    unigram_logprob_scores: repeated boilerplate scores LOW (its
+    transitions are predictable), incoherent token soup scores HIGH
+    even when its unigrams are common.  Like the unigram scorer, the
+    corpus scores itself, so every bigram is in-vocabulary and no
+    backoff fires — this is a curation signal, not held-out perplexity.
+
+    One pass extracts the bigram stream (pure Catalyst slice+zip, no
+    UDF), two aggregations build the LM (bigram counts and w₁ context
+    counts), and the scoring joins pick broadcast vs shuffle from an
+    EXACT distinct-bigram count (the unigram scorer's
+    _VOCAB_BROADCAST_ROW_LIMIT protocol — eager at plan-build unless
+    ``n_bigrams`` is passed): at or below the bound the token stream
+    never shuffles.  Documents with fewer than two tokens have no
+    bigrams and drop out (same in the SQL oracle)."""
+    from langchain_memvid_spark.functions.text import tokens as _tokens
+
+    toks = F.col("__toks")
+    bg = (
+        documents.select(
+            "doc_id", _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+                    F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))").alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    cx = bg.groupBy("w1").agg(F.count("*").alias("__cx"))
+    if n_bigrams is None:
+        c2 = c2.localCheckpoint(eager=True)
+        n_bigrams = c2.count()
+    if n_bigrams <= _VOCAB_BROADCAST_ROW_LIMIT:
+        c2, cx = F.broadcast(c2), F.broadcast(cx)
+    p = F.col("__c2").cast("double") / F.col("__cx").cast("double")
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(cx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("avg_cond_surprisal"),
+        )
+    )
+
+
 def unigram_logprob_scores(
     documents: DataFrame, text_col: str = "text", n_terms: int | None = None
 ) -> DataFrame:

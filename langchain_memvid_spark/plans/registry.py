@@ -4536,6 +4536,30 @@ def q_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+@_reg(
+    "bigram_logprob_scores",
+    f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+cx AS (SELECT w1, count(*) AS cc FROM bg GROUP BY 1)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+  round(avg(-ln(c2.c::DOUBLE / cx.cc::DOUBLE)), 4) AS avg_cond_surprisal
+FROM bg JOIN c2 USING (w1, w2) JOIN cx USING (w1)
+GROUP BY bg.doc_id
+""",
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Mean conditional bigram surprisal −avg(ln p(w2|w1)) under the
+    corpus's own bigram LM — the transition-aware step up from the
+    unigram scorer: boilerplate transitions score low, token soup
+    scores high even over common words. Bigram extraction is a pure
+    Catalyst slice+zip; the scoring joins broadcast under an exact
+    distinct-bigram count (the unigram broadcast-pick protocol)."""
+    return textops.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 # batch BM25: 3 queries, overlapping term sets — scored in ONE corpus
 # pass; the union term list below must stay the union of _BM25_QSETS
 _BM25_QSETS = {0: ("dup", "spark"), 1: ("join", "fast"), 2: ("dup", "value")}

@@ -1507,3 +1507,24 @@ def test_topk_join_map_side_window_group_limit(spark, sf_dir):
     )
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_bigram_logprob_orders_predictable_below_soup(spark):
+    """A document of repeated predictable transitions must score LOWER
+    mean conditional surprisal than one whose transitions are unique;
+    docs with fewer than two tokens drop out."""
+    rows = [
+        (1, "x y x y x y"),  # context x splits y/z across docs: p<1
+        (2, "x z x z x z"),  # same mixed context, other branch
+        (3, "p q p q p q"),  # fully deterministic transitions: p=1
+        (4, "solo"),         # no bigrams -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_cond_surprisal"])
+        for r in textops.bigram_logprob_scores(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert all(got[d][0] == 5 for d in (1, 2, 3))
+    assert got[3][1] == 0.0  # every transition is certain in-corpus
+    assert got[1][1] > 0.0 and got[1][1] == got[2][1]  # symmetric split
