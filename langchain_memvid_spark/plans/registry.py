@@ -5088,6 +5088,63 @@ def q_vs_similarity_join(spark, sf_dir):
 
 
 @_reg(
+    "stream_similarity_join",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+ranked AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+    round(list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS sim,
+    (row_number() OVER (PARTITION BY q.query_id
+       ORDER BY list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                e.vec_id))::INT AS rank
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, doc_id, sim, rank FROM ranked WHERE rank <= 3
+""",
+)
+def q_stream_similarity_join(spark, sf_dir):
+    """STREAMING retrieval: every 10th embedding arrives as a query
+    STREAM (filter_expr applied inside the streaming plan) and every
+    microbatch is answered with its top-3 stored docs through the
+    store's pruned IVF layout (similarity_join inside foreachBatch;
+    exactly-once via idempotent per-batch-partition overwrite).
+    nprobe=nlist makes every microbatch's probe union exact, so the
+    accumulated stream output hashes against the batch brute-force
+    window SQL — proving streamed retrieval returns byte-identical
+    results to a batch run over the same queries."""
+    import tempfile
+
+    from langchain_memvid_spark.config import EngineConfig, IndexConfig
+    from langchain_memvid_spark.core.store import SparkVectorStore
+    from langchain_memvid_spark.streaming import documents as _sd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=8, nprobe=8,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    store = SparkVectorStore(spark, config=cfg)
+    store.add_dataframe(
+        emb.withColumn("__t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="__t", order_col="vec_id", embedding_col="embedding",
+    )
+    base = tempfile.mkdtemp(prefix="stream_simjoin_")
+    out = _sd.stream_similarity_join(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        f"{base}/results",
+        f"{base}/ckpt",
+        store,
+        k=3,
+        filter_expr="vec_id % 10 = 0",
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("similarity", 4).alias("sim"), "rank"
+    )
+
+
+@_reg(
     "vs_score_threshold_search",
     f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

@@ -188,6 +188,58 @@ def stream_ingest_ivf(
     return spark.read.parquet(out_path)
 
 
+def stream_similarity_join(
+    spark: SparkSession,
+    emb_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    store,
+    k: int = 5,
+    max_files_per_trigger: int | None = None,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """STREAMING retrieval against the store: each microbatch of
+    arriving query vectors gets its top-k most similar stored
+    documents — `SparkVectorStore.similarity_join` applied per
+    microbatch via foreachBatch, so a live query feed (incoming docs
+    to near-dup-check, requests to answer) runs against a 100 TB
+    partition-pruned layout without ever collecting the stream.
+
+    A join + per-query window is not expressible in Spark's native
+    streaming sinks (no watermark key), so this uses the standard
+    idempotent-foreachBatch recipe for exactly-once effect: every
+    microbatch OVERWRITES its own Hive partition
+    ``out_path/batch_id=<id>``, so a replayed batch after a crash
+    rewrites identical bytes instead of duplicating.  The streaming
+    plan itself is stateless — all retrieval state lives in the
+    store's layout.
+
+    ``filter_expr`` (SQL predicate) restricts which arriving rows are
+    treated as queries — applied INSIDE the streaming plan, before
+    foreachBatch, so skipped rows never reach the join.
+
+    Returns a batch read of the accumulated results
+    (batch_id, query_id, doc_id, text, similarity, rank)."""
+    stream = read_embeddings_stream(spark, emb_path, max_files_per_trigger)
+    if filter_expr is not None:
+        stream = stream.filter(filter_expr)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = store.similarity_join(
+            batch_df.select(F.col("vec_id").alias("query_id"), "embedding"), k=k
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
 def near_dedup_stream(documents: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming near-dup suppression: sign each arriving doc (SimHash,
     one stateless Arrow map — no shuffle), then keep the first document

@@ -330,3 +330,50 @@ def test_stream_dedup_vs_corpus_suppresses_known_signatures(spark, sf_dir):
         - set(r["simhash"] for r in corpus_sigs.collect())
     )
     assert sorted(r["simhash"] for r in got.collect()) == want
+
+
+def test_stream_similarity_join_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streamed retrieval (foreachBatch similarity_join, idempotent
+    per-batch-partition sink) accumulates EXACTLY the batch
+    similarity_join result over the same queries, and the output is
+    Hive-partitioned by batch_id (the exactly-once unit)."""
+    import os
+
+    from langchain_memvid_spark.config import EngineConfig, IndexConfig
+    from langchain_memvid_spark.core.store import SparkVectorStore
+    from langchain_memvid_spark.streaming import documents as sd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    store = SparkVectorStore(spark, config=cfg)
+    store.add_dataframe(
+        emb.withColumn("__t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="__t", order_col="vec_id", embedding_col="embedding",
+    )
+    base = tmp_path_factory.mktemp("stream_simjoin")
+    out = sd.stream_similarity_join(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        f"{base}/results",
+        f"{base}/ckpt",
+        store,
+        k=3,
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in out.collect()
+    }
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    want = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in store.similarity_join(queries, k=3).collect()
+    }
+    assert got == want
+    assert any(
+        d.startswith("batch_id=") for d in os.listdir(f"{base}/results")
+    )
