@@ -176,9 +176,28 @@ def train_centroids(
 class IVFIndex:
     """KMeans-partitioned vector layout with centroid-pruned search."""
 
-    def __init__(self, centroids: list[tuple[int, list[float]]], path: str | None = None):
+    def __init__(
+        self,
+        centroids: list[tuple[int, list[float]]],
+        path: str | None = None,
+        metric: str = "cosine",
+    ):
+        if metric not in ("cosine", "ip", "l2"):
+            raise IndexError_(f"unsupported metric {metric!r} (cosine | ip | l2)")
         self.centroids = centroids
         self.path = path
+        # The metric the layout was ASSIGNED under.  search/search_batch
+        # probe and score with it — probing an l2-assigned layout by
+        # cosine sends queries to partitions their neighbors were never
+        # assigned to (ADVICE r7: the public search path used to default
+        # to cosine regardless of build metric).
+        self.metric = metric
+
+    def _probe_metric(self) -> str:
+        """Geometry used for assignment AND probing: l2 for l2, cosine
+        otherwise (ip layouts assign/probe by cosine too — same rule as
+        SparkVectorStore._ivf_metric, so store and index never drift)."""
+        return "l2" if self.metric == "l2" else "cosine"
 
     # ------------------------------------------------------------------ build
 
@@ -218,15 +237,17 @@ class IVFIndex:
         if n < min_points_factor * nlist:
             assigned = embeddings.withColumn("cluster_id", F.lit(0))
             dim = len(assigned.select(vec_col).head()[0])
-            return cls([(0, [0.0] * dim)]), assigned
+            return cls([(0, [0.0] * dim)], metric=metric), assigned
 
         cents = train_centroids(
             embeddings, nlist, n=n, vec_col=vec_col, id_col=id_col, seed=seed
         )
+        idx = cls(cents, metric=metric)
         assigned = embeddings.withColumn(
-            "cluster_id", nearest_centroid_col(F.col(vec_col), cents, metric=metric)
+            "cluster_id",
+            nearest_centroid_col(F.col(vec_col), cents, metric=idx._probe_metric()),
         )
-        return cls(cents), assigned
+        return idx, assigned
 
     def write_layout(self, assigned: DataFrame, path: str) -> "IVFIndex":
         """Persist the corpus partitioned by cluster_id (Hive layout →
@@ -238,11 +259,17 @@ class IVFIndex:
     # ----------------------------------------------------------------- search
 
     def probe_clusters(
-        self, qvec: list[float], nprobe: int, metric: str = "cosine"
+        self, qvec: list[float], nprobe: int, metric: str | None = None
     ) -> list[int]:
         """Rank centroids driver-side (nlist ≪ corpus) under the
         store's metric: cosine/ip descending by similarity, l2
-        ascending by squared distance. Ties break on cluster id."""
+        ascending by squared distance. Ties break on cluster id.
+        ``metric=None`` uses the layout's assignment geometry
+        (self._probe_metric()) — the only probing that preserves
+        recall; pass a metric explicitly only to probe a layout you
+        know was assigned under it."""
+        if metric is None:
+            metric = self._probe_metric()
 
         def cos(c: list[float]) -> float:
             d = sum(a * b for a, b in zip(c, qvec))
@@ -277,15 +304,31 @@ class IVFIndex:
         probed partitions an int8 first pass scans the stored 1-byte
         codes (ranked by qscore·qscale, debiased — see
         operators/quantize.py) and only the top `rerank_candidates`
-        rows touch the float32 column for the exact cosine re-rank.
+        rows touch the float32 column for the exact re-rank.
         `rerank_candidates=0` disables the second level (direct exact
         scan). Layouts written before the code columns existed are
-        backfilled in-plan."""
+        backfilled in-plan.
+
+        Probing and scoring run under the layout's build metric
+        (self.metric): cosine/ip rank descending by similarity, l2
+        ascending by squared distance (`sim` holds l2², mirroring the
+        store's `similarity` convention). The int8 first pass is a
+        dot-product surrogate, so l2 skips it and scans the probed
+        partitions exactly — same rule as SparkVectorStore._topk."""
         if self.path is None:
             raise IndexError_("IVF layout not written; call write_layout first")
         probes = self.probe_clusters(qvec, nprobe)
         corpus = spark.read.parquet(self.path).filter(F.col("cluster_id").isin(probes))
         q = F.array(*[F.lit(float(x)) for x in qvec])
+        if self.metric == "l2":
+            from langchain_memvid_spark.functions.vector import l2_sq
+
+            return (
+                corpus.withColumn("__s", l2_sq(F.col(vec_col), q))
+                .orderBy(F.col("__s").asc(), F.col(id_col).asc())
+                .limit(k)
+                .select(id_col, "cluster_id", F.round("__s", 4).alias("sim"))
+            )
         if rerank_candidates and rerank_candidates > 0:
             if "qvec" not in corpus.columns:
                 qs, qv = quantize_cols(F.col(vec_col))
@@ -302,12 +345,22 @@ class IVFIndex:
                 .select(id_col)
             )
             corpus = corpus.join(F.broadcast(cands), id_col)
+        score = self._score_expr(F.col(vec_col), q)
         return (
-            corpus.withColumn("__s", cosine_sim(F.col(vec_col), q))
+            corpus.withColumn("__s", score)
             .orderBy(F.col("__s").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, "cluster_id", F.round("__s", 4).alias("sim"))
         )
+
+    def _score_expr(self, vec: F.Column, q: F.Column) -> F.Column:
+        """Exact-pass scoring under the build metric (cosine/ip only —
+        l2 paths rank by l2_sq ascending before reaching here)."""
+        if self.metric == "ip":
+            from langchain_memvid_spark.functions.vector import dot
+
+            return dot(vec, q)
+        return cosine_sim(vec, q)
 
     def search_batch(
         self,
@@ -327,9 +380,15 @@ class IVFIndex:
         heavy per-(query, doc) pass runs on the stored int8 codes (the
         same debiased two-phase as single-query search); floats are
         read only for the per-query candidate re-rank. One shuffle (the
-        per-query top-k window), regardless of query count."""
+        per-query top-k window), regardless of query count.
+
+        Probing and scoring follow self.metric exactly as in search():
+        l2 probes under l2 geometry, ranks ascending by squared
+        distance, and skips the int8 surrogate pass."""
         if self.path is None:
             raise IndexError_("IVF layout not written; call write_layout first")
+        if self.metric == "l2":
+            rerank_candidates = 0
 
         probe_rows = [
             (qid, list(map(float, qvec)), query_codes(qvec), cid)
@@ -368,13 +427,20 @@ class IVFIndex:
                 corpus.select(id_col, "cluster_id", vec_col)
                 .join(F.broadcast(cands), id_col)
                 .join(F.broadcast(qdf.select("query_id", "__qv").dropDuplicates(["query_id"])), "query_id")
-                .withColumn("__s", cosine_sim(F.col(vec_col), F.col("__qv")))
+                .withColumn("__s", self._score_expr(F.col(vec_col), F.col("__qv")))
+            )
+        elif self.metric == "l2":
+            from langchain_memvid_spark.functions.vector import l2_sq
+
+            scored = corpus.join(F.broadcast(qdf), "cluster_id").withColumn(
+                "__s", l2_sq(F.col(vec_col), F.col("__qv"))
             )
         else:
             scored = corpus.join(F.broadcast(qdf), "cluster_id").withColumn(
-                "__s", cosine_sim(F.col(vec_col), F.col("__qv"))
+                "__s", self._score_expr(F.col(vec_col), F.col("__qv"))
             )
-        w = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        ordered = F.col("__s").asc() if self.metric == "l2" else F.col("__s").desc()
+        w = Window.partitionBy("query_id").orderBy(ordered, F.col(id_col).asc())
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

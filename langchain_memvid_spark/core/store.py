@@ -32,6 +32,7 @@ archive.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import re
@@ -422,7 +423,12 @@ class SparkVectorStore:
         numeric-looking string values). Unlisted keys keep the
         permissive dialect."""
         self.spark = spark
-        self.config = config or EngineConfig()
+        # Deep-copy: the store OWNS its config from here on.  rebuild_ivf
+        # writes the live nlist back into config.index, so two stores
+        # sharing one caller-held EngineConfig object would silently
+        # resize each other's quantizer (ADVICE r7); the caller's object
+        # stays a pure construction argument.
+        self.config = copy.deepcopy(config) if config is not None else EngineConfig()
         self.metadata_schema = metadata_schema
         if metadata_schema:
             # fail fast at the DECLARATION: a bad dtype or
@@ -446,6 +452,12 @@ class SparkVectorStore:
         # from Encoder.build_video, encoder.py:212-218) — None until
         # the first ingest
         self.last_build_stats = None
+        # True when the live IVF layout points at a directory the store
+        # does NOT own (a load()ed save snapshot): the first append
+        # copies the layout into the store's versioned root before
+        # writing, so the user's saved artifact stays immutable
+        # (ADVICE r7 — appends used to mutate the save path in place).
+        self._layout_foreign = False
         # True when the live IVF layout's parquet FILES are missing some
         # engine columns (attach() of a streamed table, load() of an
         # older save) and those columns exist only as in-plan
@@ -661,6 +673,16 @@ class SparkVectorStore:
                     F.col("embedding"), self._ivf.centroids, metric=self._ivf_metric()
                 ),
             )
+            if self._layout_foreign:
+                # copy-on-first-append: the live layout is a load()ed
+                # save snapshot — rewrite it into the store's own
+                # versioned root first, so the append lands in store-
+                # owned files and the saved artifact stays immutable
+                # (matches the flat store's copy-on-load semantics and
+                # the reference's immutable save; pure reads never pay
+                # this copy).
+                self._swap_layout(self._doc_index)
+                self._layout_foreign = False
             assigned.write.mode("append").partitionBy("cluster_id").parquet(self._ivf.path)
             idx = self.spark.read.schema(self._layout_schema()).parquet(self._ivf.path)
             if self._layout_derived:
@@ -768,8 +790,11 @@ class SparkVectorStore:
         self._ivf.path = path
         self._count = self._doc_index.count()
         # the rewrite materialized every engine column physically, so
-        # any attach/load-era in-plan derivations are now persisted
+        # any attach/load-era in-plan derivations are now persisted —
+        # and the layout now lives in the store's own versioned root,
+        # so any foreign (save-snapshot) origin no longer applies
         self._layout_derived = False
+        self._layout_foreign = False
         old.unpersist()
 
     _IVF_TRAIN_CAP = 100_000  # KMeans training-sample row bound
@@ -813,7 +838,7 @@ class SparkVectorStore:
             id_col="doc_id",
             cap=max(self._IVF_TRAIN_CAP, 256 * ic.nlist),
         )
-        self._ivf = IVFIndex(cents)
+        self._ivf = IVFIndex(cents, metric=self._ivf_metric())
         assigned = self._doc_index.withColumn(
             "cluster_id",
             nearest_centroid_col(F.col("embedding"), cents, metric=self._ivf_metric()),
@@ -974,7 +999,21 @@ class SparkVectorStore:
         PartitionFilter, so only nprobe/nlist of the corpus files are
         scanned; the int8 first pass then runs inside the probed
         partitions only. nprobe >= nlist probes everything (exact)."""
+        return self._plan_topk(qvec, k, filter=filter, nprobe=nprobe)[0]
+
+    def _plan_topk(
+        self,
+        qvec: list[float],
+        k: int,
+        filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
+    ) -> tuple[DataFrame, str, str]:
+        """_topk's body, returning (df, strategy, reason) so
+        explain_search reports the EXACT decision the search paths
+        execute — one decision site, no drifting duplicate planner."""
         base = self._doc_index
+        strategy = "brute_force"
+        why = []
         if self._ivf is not None:
             np_eff = min(
                 nprobe if nprobe is not None else self.config.index.nprobe,
@@ -982,8 +1021,16 @@ class SparkVectorStore:
             )
             probes = self._ivf.probe_clusters(qvec, np_eff, metric=self._ivf_metric())
             base = base.filter(F.col("cluster_id").isin(probes))
+            strategy = "ivf_pruned"
+            why.append(
+                f"IVF layout live: cluster_id IN {len(probes)} probes of "
+                f"nlist={len(self._ivf.centroids)} prunes the scan at the file level"
+            )
+        else:
+            why.append("no IVF layout (flat corpus): full scan")
         if filter:
             base = base.filter(self._metadata_predicate(filter))
+            why.append("metadata filter applied before scoring")
         asc = self.config.index.metric == "l2"
         order = [
             F.col("similarity").asc() if asc else F.col("similarity").desc(),
@@ -992,15 +1039,53 @@ class SparkVectorStore:
         q = F.array(*[F.lit(float(x)) for x in qvec])
         cand = self.config.index.rerank_candidates
         if self.config.index.metric != "l2" and 0 < cand < self._count:
+            why.append(
+                f"two-phase: int8 first pass keeps {max(cand, k)} candidates "
+                f"(corpus={self._count} > rerank_candidates={cand}), floats read "
+                "only for the exact re-rank"
+            )
             cands = self._phase1_candidates(qvec, max(cand, k), base=base)
             scored = base.join(F.broadcast(cands), "doc_id").withColumn(
                 "similarity", dot(F.col("embedding"), q)
             )
         elif self.config.index.metric == "l2":
+            why.append("l2 metric: direct exact scan (int8 pass is a dot surrogate)")
             scored = base.withColumn("similarity", l2_sq(F.col("embedding"), q))
         else:
+            why.append(
+                f"direct exact scan (corpus={self._count}, "
+                f"rerank_candidates={cand}: two passes would not pay)"
+            )
             scored = base.withColumn("similarity", dot(F.col("embedding"), q))
-        return scored.orderBy(*order).limit(k)
+        return scored.orderBy(*order).limit(k), strategy, "; ".join(why)
+
+    def explain_search(
+        self,
+        query: str | None = None,
+        *,
+        qvec: list[float] | None = None,
+        k: int = 4,
+        filter: dict[str, Any] | None = None,
+        nprobe: int | None = None,
+    ):
+        """The dispatch EXPLAINER (VERDICT r7 item 8): returns the
+        AnnPlan (strategy, reason, df) for exactly the physical search
+        similarity_search would run — so a 100 TB operator can see WHY
+        a query scanned what it scanned (which clusters pruned, whether
+        the int8 first pass engaged) without reverse-engineering
+        `df.explain` output.  `strategy` is "ivf_pruned" iff the plan
+        carries the file-level PartitionFilters prune; the df is the
+        live plan (call .explain()/.collect() on it as usual).
+
+        Pass a text ``query`` (embedded with the store's model) or a
+        raw ``qvec`` (normalized under the store's metric)."""
+        from langchain_memvid_spark.plans.ann_planner import AnnPlan
+
+        if (query is None) == (qvec is None):
+            raise ValueError("pass exactly one of query= or qvec=")
+        v = self._query_vec(query) if query is not None else self._normalize_query(qvec)
+        df, strategy, reason = self._plan_topk(v, k, filter=filter, nprobe=nprobe)
+        return AnnPlan(strategy, reason, df)
 
     def _query_vec(self, query: str) -> list[float]:
         """Embed a query and apply the metric's normalization — the ONE
@@ -1902,9 +1987,15 @@ class SparkVectorStore:
                     (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
                     for r in cents_rows
                 )
-                store._ivf = IVFIndex(cents, path=idx_path)
+                store._ivf = IVFIndex(
+                    cents, path=idx_path, metric=store._ivf_metric()
+                )
                 keep = [f.name for f in INDEX_SCHEMA.fields] + ["cluster_id"]
                 store._doc_index = idx.select(keep)
+                # reads serve straight off the snapshot (zero copy);
+                # the first APPEND copies the layout into the store's
+                # versioned root so the save stays immutable
+                store._layout_foreign = True
                 # appends re-read the directory with the explicit layout
                 # schema; columns backfilled in-plan above must be
                 # re-derived there (files read as NULL)
@@ -1977,6 +2068,7 @@ class SparkVectorStore:
             store._ivf = IVFIndex(
                 sorted((int(c), [float(x) for x in v]) for c, v in centroids),
                 path=table_path,
+                metric=store._ivf_metric(),
             )
             store._doc_index = idx.select(keep + ["cluster_id"])
             # remember which engine columns exist only as the in-plan

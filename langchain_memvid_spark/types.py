@@ -46,16 +46,22 @@ class VideoInfo:
         (multimodal/binary.py decode_video_info: media_id,
         content_bytes, width, height, n_frames, fps, ...) — the
         bridge from the distributed header scan to the reference's
-        per-file return shape."""
-        fps = float(row["fps"]) or 0.0
-        n = int(row["n_frames"])
+        per-file return shape.
+
+        Salvage-mode decode_video_info rows (error IS NOT NULL) carry
+        NULL info fields — they map to zeros here instead of the
+        float(None) TypeError the two features used to compose into
+        (ADVICE r7): a quarantined row still yields a well-formed
+        "empty" VideoInfo the caller can inspect."""
+        fps = float(row["fps"] or 0.0)
+        n = int(row["n_frames"] or 0)
         return cls(
             frame_count=n,
             fps=fps,
-            width=int(row["width"]),
-            height=int(row["height"]),
+            width=int(row["width"] or 0),
+            height=int(row["height"] or 0),
             duration_seconds=(n / fps) if fps else 0.0,
-            file_size_mb=int(row["content_bytes"]) / _MB,
+            file_size_mb=int(row["content_bytes"] or 0) / _MB,
         )
 
 

@@ -377,3 +377,61 @@ def test_stream_similarity_join_matches_batch(spark, sf_dir, tmp_path_factory):
     assert any(
         d.startswith("batch_id=") for d in os.listdir(f"{base}/results")
     )
+
+
+def test_stream_similarity_join_empty_source_returns_empty(spark, sf_dir, tmp_path_factory):
+    """A fully-filtered (or empty) query stream produces ZERO
+    microbatches, so no sink directory exists — the call must return
+    an empty DataFrame with the documented schema instead of raising
+    PATH_NOT_FOUND (ADVICE r7)."""
+    from langchain_memvid_spark.config import EngineConfig, IndexConfig
+    from langchain_memvid_spark.core.store import SparkVectorStore
+    from langchain_memvid_spark.streaming import documents as sd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = SparkVectorStore(spark, config=EngineConfig(index=IndexConfig(dim=64)))
+    store.add_dataframe(
+        emb.withColumn("__t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="__t", order_col="vec_id", embedding_col="embedding",
+    )
+    base = tmp_path_factory.mktemp("stream_simjoin_empty")
+    out = sd.stream_similarity_join(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        f"{base}/results",
+        f"{base}/ckpt",
+        store,
+        k=3,
+        filter_expr="vec_id < 0",  # matches nothing
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "batch_id", "query_id", "doc_id", "text", "similarity", "rank"
+    }
+
+
+def test_stream_dedup_vs_corpus_strategy_pick(spark, sf_dir, monkeypatch):
+    """The static side's broadcast is an exact-count PICK, not a
+    blanket hint (VERDICT r7 What's-wrong #1): under the bound the
+    analyzed plan carries the broadcast hint; above it (bound forced to
+    0) the join runs unhinted — Spark plans the big static side like
+    any other join input instead of pinning it into every executor."""
+    from langchain_memvid_spark.operators import dedup as dd
+    from langchain_memvid_spark.operators.dedup import simhash
+    from langchain_memvid_spark.streaming import documents as sd
+
+    corpus_sigs = simhash(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    ).select("simhash")
+    stream = sd.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    hinted = sd.near_dedup_stream_vs_corpus(stream, corpus_sigs)
+    assert "UnresolvedHint" in analyzed(hinted) or "ResolvedHint" in analyzed(hinted)
+
+    monkeypatch.setattr(dd, "_PAIR_BROADCAST_ROW_LIMIT", 0)
+    unhinted = sd.near_dedup_stream_vs_corpus(stream, corpus_sigs)
+    plan = analyzed(unhinted)
+    assert "UnresolvedHint" not in plan and "ResolvedHint" not in plan
