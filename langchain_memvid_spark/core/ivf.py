@@ -28,6 +28,25 @@ from langchain_memvid_spark.functions.vector import cosine_sim
 from langchain_memvid_spark.operators.quantize import int8_dot, quantize_cols, query_codes
 
 
+def nlist_for_corpus(n: int, *, target_cluster: int = 250, floor: int = 8) -> int:
+    """The nlist ∝ N sizing rule, measured not argued (SCALE.md r7:
+    semantic_dedup 7.7× and topk_join_ivf 10.0× at 10× data under it,
+    vs quadratic blowup at frozen nlist): size the quantizer so the
+    EXPECTED CLUSTER stays ~``target_cluster`` vectors as the corpus
+    grows, which keeps per-cluster candidate work (≈ cluster²) constant
+    and total gated work linear in N.  SemDeDup does the same with 50 k
+    clusters on LAION.  ``floor`` keeps tiny corpora at a trainable
+    nlist (the 30·nlist gate may still refuse below it).
+
+    Recall caveat for NEAR-IID vectors (the hard-won invariant): recall
+    of a probed search tracks the scan fraction probes/nlist, so
+    growing nlist at constant probes decays it on unclustered data —
+    witnesses that bound recall must ALSO derive probes to pin the
+    fraction (probes = nlist · fraction); real embedding corpora are
+    clustered and keep recall as the fraction shrinks."""
+    return max(floor, math.ceil(n / target_cluster))
+
+
 def nearest_centroid_col(
     vec_col: F.Column,
     centroids: list[tuple[int, list[float]]],

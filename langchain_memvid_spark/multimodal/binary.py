@@ -728,3 +728,160 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_no"),
     )
     return frames.filter(F.col("frame_no") % every_nth == 0)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (VERDICT r7 item 4): dHash over the
+# engine's own PNG codec, hamming-band LSH candidates, exact hamming
+# verify — the multimodal member of the dedup family.  Reference
+# anchor: frame → content fingerprinting is the same shape as the
+# reference's frame comparison path (video/default.py:288-322); the
+# hashing scheme itself is the classic difference hash.
+# ---------------------------------------------------------------------------
+
+# media_id offset for synthesize_image_corpus's engineered variants —
+# far above any testdata doc_id, so base and variant ids never collide.
+VARIANT_ID_OFFSET = 10_000_000
+
+
+def dhash_png(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash of one grayscale PNG: decode pixels (engine
+    codec, CRC-validated), nearest-neighbor resample to
+    (hash_w+1)×hash_h via the same numpy index maps as resize_png_nn,
+    then bit (r,c) = p[r,c] > p[r,c+1] packed row-major into a SIGNED
+    64-bit int (bit 63 set → negative long, matching Spark's LongType
+    so band arithmetic is identical in both engines).  Deterministic,
+    dependency-free, resolution-invariant (near-dups at different
+    sizes hash close)."""
+    w, h, pixels = decode_png_pixels(blob)
+    src = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+    rows = (np.arange(hash_h) * h) // hash_h
+    cols = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+    g = src[rows][:, cols].astype(np.int16)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
+    sig = 0
+    for i, b in enumerate(bits):
+        if b:
+            sig |= 1 << i
+    return int(np.int64(np.uint64(sig)))  # wrap to signed 64-bit
+
+
+def dhash_images(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, dhash) for every image row — one Arrow-batched scan
+    (the signer pattern shared with minhash/simhash/RHP: per-row Python
+    only inside vectorized batches, never a row-at-a-time UDF)."""
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "dhash": [dhash_png(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select(F.col(id_col), "content")
+        .mapInPandas(sign, "media_id long, dhash long")
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    n_media: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs by dHash hamming distance ≤ max_hamming —
+    exactly simhash_near_pairs' plan shape lifted to the 64-bit image
+    hash: the signature splits into 4 bands of 16 bits, candidates are
+    pairs agreeing on ≥1 band (equi-join on (band, val), never
+    all-pairs), and the exact bit_count(XOR) filter verifies
+    candidates only.  max_hamming=3 < 4 bands → pigeonhole: ZERO false
+    negatives, the output IS the hamming-≤3 pair set.
+
+    Join strategy is the exact-count pick (dedup.py
+    _PAIR_BROADCAST_ROW_LIMIT): the band table is exactly 4 rows per
+    image, so broadcast under the bound, merge-hinted SMJ (the only
+    always-safe corpus×corpus shape) above it.  Pass ``n_media`` to
+    skip the eager count.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id."""
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+    n_bands, band_bits = 4, 16
+    mask = (1 << band_bits) - 1
+    if n_media is None:
+        n_media = media.filter(F.col("media_type") == "image").count()
+    sig = dhash_images(media, id_col=id_col)
+    bands = sig.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("dhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "dhash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("media_id").alias("a_id"), F.col("dhash").alias("a_dh"), "band", "val"
+    )
+    b = bands.select(
+        F.col("media_id").alias("b_id"), F.col("dhash").alias("b_dh"), "band", "val"
+    )
+    if n_media * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = F.broadcast(a).join(b, ["band", "val"])
+    else:
+        joined = a.hint("merge").join(b, ["band", "val"])
+    return (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_dh").bitwiseXOR(F.col("b_dh"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def synthesize_image_corpus(documents: DataFrame, variant_every: int = 7) -> DataFrame:
+    """Deterministic image-dedup fixture: every document becomes ONE
+    unique PNG (pixel seed salted with doc_id, so duplicate TEXTS do
+    not make duplicate images and the true near-dup pair set stays
+    closed-form), and every ``variant_every``-th doc additionally
+    emits a NEAR-DUP variant at media_id = doc_id + VARIANT_ID_OFFSET:
+    the same pixels with the first pixel's high bit flipped.  One
+    flipped source pixel moves at most one resampled cell, which flips
+    at most TWO dHash bits (the two comparisons that cell feeds) —
+    guaranteed within any max_hamming ≥ 2, and guaranteed a band
+    match, so the expected pair set is EXACTLY
+    {(d, d+OFFSET) : d % variant_every == 0} — SQL-computable (the
+    media_salvage_scan closed-form protocol)."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                seed = f"{text}:{doc_id}".encode("utf-8")
+                pixels = bytearray(_stretch_bytes(seed, w * h))
+                out["media_id"].append(doc_id)
+                out["media_type"].append("image")
+                out["content"].append(encode_png(w, h, bytes(pixels)))
+                if doc_id % variant_every == 0:
+                    pixels[0] ^= 0x80
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("image")
+                    out["content"].append(encode_png(w, h, bytes(pixels)))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )

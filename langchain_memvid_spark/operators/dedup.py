@@ -61,6 +61,27 @@ _PAIR_BROADCAST_ROW_LIMIT = 1_000_000
 # ambiguity at the sign boundary.
 RHP_PLANES = 16
 RHP_BAND_BITS = 8  # 2 bands of 8 bits: P(candidate) = 1-(1-s^8)^2
+# Auto-sizing target for rhp_band_bits_for: expected band-bucket
+# occupancy ≈ N / 2^band_bits — held ~constant so per-bucket pair work
+# (≈ occupancy²/2) stays bounded as the corpus grows.
+RHP_TARGET_OCCUPANCY = 32
+
+
+def rhp_band_bits_for(n: int, n_planes: int = RHP_PLANES) -> int:
+    """Size-derived band width (VERDICT r7: the documented knob becomes
+    the default): band buckets number 2^band_bits, so iid occupancy is
+    N/2^band_bits and per-bucket pair work grows QUADRATICALLY in N at
+    frozen bits — the default 8-bit bands meant ~150 M candidates at
+    200 k vectors (SCALE.md).  Derive the smallest width that keeps
+    occupancy ≤ RHP_TARGET_OCCUPANCY, never below the classic default
+    (recall: per-band match probability is s^band_bits) and never above
+    the signature width.  MUST stay formula-identical to the DuckDB
+    oracle's `bb` CTE (registry _rhp_candidate_sql): GREATEST(default,
+    LEAST(n_planes, ceil(log2(n / target))))."""
+    import math as _math
+
+    derived = _math.ceil(_math.log2(max(1.0, n / RHP_TARGET_OCCUPANCY)))
+    return min(n_planes, max(RHP_BAND_BITS, derived))
 
 
 def _rhp_weight(h: int, d: int) -> int:
@@ -854,8 +875,9 @@ def embedding_lsh_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = RHP_PLANES,
-    band_bits: int = RHP_BAND_BITS,
+    band_bits: int | None = None,
     dim: int = 64,
+    n: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via random-hyperplane LSH — the scale
     gate in front of the exact cosine scorer.
@@ -874,11 +896,21 @@ def embedding_lsh_candidates(
     both engines, so the DuckDB oracle reproduces signatures
     bit-for-bit. Band split and the candidate self-equi-join stay
     JVM-side and shuffle only small int keys. Bucket sizes concentrate
-    at N/2^band_bits per band value; widen band_bits to shrink buckets
-    at corpus scale.
+    at N/2^band_bits per band value.
+
+    ``band_bits=None`` (the default) derives the width from the corpus
+    count via rhp_band_bits_for — one exact count (pass ``n`` to skip
+    it), constant target occupancy, so a 100 TB caller gets the
+    bounded-bucket plan without reading SCALE.md (VERDICT r7 item 3);
+    at ≤ ~8 k vectors the rule reproduces the classic 2×8-bit split.
+    Pass band_bits explicitly to pin the band structure.
 
     Output: (a_id, b_id) with a_id < b_id, distinct.
     """
+    if band_bits is None:
+        if n is None:
+            n = embeddings.count()
+        band_bits = rhp_band_bits_for(n, n_planes)
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     sig_df = _rhp_sig_table(embeddings, id_col, vec_col, n_planes, dim)
@@ -1101,12 +1133,16 @@ def embedding_cosine_pairs(
     return pairs.mapInPandas(score, "a_id long, b_id long, cos_sim double")
 
 
+SEMANTIC_TARGET_CLUSTER = 125  # nlist=None sizes nlist ≈ N/125 (floor 16)
+
+
 def semantic_cluster_candidates(
     embeddings: DataFrame,
-    nlist: int = 16,
+    nlist: int | None = None,
     probes: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style candidate generation (Abbas et al. 2023,
     arXiv:2303.09540): KMeans-cluster the corpus, then candidate pairs
@@ -1123,17 +1159,26 @@ def semantic_cluster_candidates(
     co-cluster far more tightly and p=1 is the standard setting).
 
     100 TB sizing: expected candidates ≈ N²·p²/nlist for balanced
-    clusters — grow ``nlist`` with the corpus (nlist ∝ N keeps
-    per-cluster pair work linear in N), exactly the knob the IVF
-    search layout already scales.  Training cost is bounded by
-    train_centroids' deterministic sample cap, never a full-corpus
-    iteration."""
-    from langchain_memvid_spark.core.ivf import top_clusters_col, train_centroids
+    clusters — ``nlist=None`` (the default) applies the measured
+    nlist ∝ N rule (core/ivf.py nlist_for_corpus: clusters stay
+    ~{SEMANTIC_TARGET_CLUSTER} vectors, 7.7× wall at 10× data,
+    SCALE.md), via one exact count (pass ``n`` to skip it); below
+    ~2 k vectors the rule reproduces the classic nlist=16.  Training
+    cost is bounded by train_centroids' deterministic sample cap,
+    never a full-corpus iteration."""
+    from langchain_memvid_spark.core.ivf import (
+        nlist_for_corpus,
+        top_clusters_col,
+        train_centroids,
+    )
 
-    n = embeddings.count()
+    if n is None:
+        n = embeddings.count()
     if n < 2:
         # no pairs to find; also keeps KMeans.fit off the empty corpus
         return embeddings.sparkSession.createDataFrame([], "a_id long, b_id long")
+    if nlist is None:
+        nlist = nlist_for_corpus(n, target_cluster=SEMANTIC_TARGET_CLUSTER, floor=16)
     cents = train_centroids(embeddings, nlist, n=n, vec_col=vec_col, id_col=id_col)
     asg = embeddings.select(
         F.col(id_col),
@@ -1154,25 +1199,28 @@ def semantic_cluster_candidates(
 
 def semantic_dedup_pairs(
     embeddings: DataFrame,
-    nlist: int = 16,
+    nlist: int | None = None,
     probes: int = 3,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) near-dup pairs at scale: cluster-gated
     candidates exact-scored with the shared cosine kernel — the
     composition SemDeDup runs over web-scale corpora.  Every returned
     pair is EXACT-verified (cos ≥ threshold); the clustering only
     bounds which pairs get scored, so results are a subset of the
-    all-pairs truth with the coverage the knobs above buy."""
+    all-pairs truth with the coverage the knobs above buy.
+    ``nlist=None`` applies the nlist ∝ N sizing rule (see
+    semantic_cluster_candidates)."""
     return embedding_cosine_pairs(
         embeddings,
         threshold=threshold,
         id_col=id_col,
         vec_col=vec_col,
         candidates=semantic_cluster_candidates(
-            embeddings, nlist=nlist, probes=probes, id_col=id_col, vec_col=vec_col
+            embeddings, nlist=nlist, probes=probes, id_col=id_col, vec_col=vec_col, n=n
         ),
     )
 

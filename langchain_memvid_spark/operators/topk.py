@@ -578,7 +578,7 @@ def topk_join_ivf(
     right: DataFrame,
     k: int = 3,
     *,
-    nlist: int = 16,
+    nlist: int | None = None,
     probes: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -598,22 +598,30 @@ def topk_join_ivf(
     candidates come from the cluster_id EQUI-join — never all-pairs.
     Exact cosine scores candidates; a per-left window keeps the top k.
 
-    Candidate count ≈ n_left·probes·(n_right/nlist): grow ``nlist``
-    with the corpus (nlist ∝ N keeps per-probe work constant — the
-    documented SemDeDup sizing rule) and on a partitionBy(cluster_id)
-    layout the equi-join becomes file-level partition pruning.
+    Candidate count ≈ n_left·probes·(n_right/nlist): ``nlist=None``
+    (the default) grows nlist with the corpus via the measured
+    nlist ∝ N rule (core/ivf.py nlist_for_corpus, ~250-vector
+    clusters: 10.0× wall at 10× data, SCALE.md) from the one exact
+    ``n_right`` count, and on a partitionBy(cluster_id) layout the
+    equi-join becomes file-level partition pruning.  Recall witnesses
+    on near-iid vectors must pin the SCAN FRACTION, not just nlist —
+    derive probes = nlist · fraction alongside (see nlist_for_corpus's
+    caveat).
 
     Output: (left_id, right_id, sim, rank) — same shape as topk_join,
     so a recall witness can compare the two directly.
     """
     from langchain_memvid_spark.core.ivf import (
         nearest_centroid_col,
+        nlist_for_corpus,
         top_clusters_col,
         train_centroids,
     )
 
     if n_right is None:
         n_right = right.count()
+    if nlist is None:
+        nlist = nlist_for_corpus(n_right)
     cents = train_centroids(right, nlist, n=n_right, vec_col=vec_col, id_col=id_col)
     r = right.select(
         F.col(id_col).alias("right_id"),

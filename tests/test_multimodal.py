@@ -301,3 +301,44 @@ def test_salvage_feature_extraction(spark, sf_dir):
             assert r["error"] is None and r["features"] == strict[mid]["features"]
     with pytest.raises(Exception, match="bad magic|bad RIFF|not a"):
         mm.extract_features(corrupted, decoder="real").collect()
+
+
+def test_dhash_shifted_duplicate_pairs_distinct_does_not(spark):
+    """The VERDICT-prescribed pin: a 1-px-shifted duplicate of a SMOOTH
+    image must pair with its original (dHash is difference-based, so
+    gradients survive small shifts), and a structurally distinct image
+    must not pair with either."""
+    w, h = 32, 16
+    ramp = bytes(bytearray((8 * c) % 256 for _ in range(h) for c in range(w)))
+    # 1-px horizontal shift of the same ramp
+    shifted = bytes(bytearray((8 * ((c + 1) % w)) % 256 for _ in range(h) for c in range(w)))
+    # reversed ramp: every horizontal difference flips sign
+    rev = bytes(bytearray((8 * (w - 1 - c)) % 256 for _ in range(h) for c in range(w)))
+    rows = [
+        (0, "image", mm.encode_png(w, h, ramp)),
+        (1, "image", mm.encode_png(w, h, shifted)),
+        (2, "image", mm.encode_png(w, h, rev)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+    pairs = {(r["a_id"], r["b_id"]) for r in mm.image_near_dup_pairs(media, max_hamming=3).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_image_near_dup_variant_fixture_exact_pairs(spark, sf_dir):
+    """synthesize_image_corpus's engineered variant set IS the near-dup
+    truth: exactly {(d, d+OFFSET) : d % 7 == 0}, nothing else — both a
+    missed variant and a spurious pair would show here."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = mm.synthesize_image_corpus(docs, variant_every=7)
+    got = {(r["a_id"], r["b_id"]) for r in mm.image_near_dup_pairs(media).collect()}
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = {(d, d + mm.VARIANT_ID_OFFSET) for d in ids if d % 7 == 0}
+    assert got == want
+    # every variant is within hamming 2 of its base (the 1-flipped-pixel
+    # bound the fixture docstring claims)
+    ham = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in mm.image_near_dup_pairs(media).collect()
+    }
+    assert all(v <= 2 for v in ham.values())
