@@ -866,11 +866,33 @@ def q_semantic_dedup(spark, sf_dir):
     oracle; part='witness' is a constant row that exists iff the
     cluster-gated pair set covered >= 0.8 of that truth (KMeans labels
     are not SQL-expressible, so the gating quality reduces to the
-    witness — measured 0.88-0.93 across sf0.001/0.01/0.1 with these
-    knobs; a coverage regression erases the row and flips the driver
-    hash red)."""
+    witness — a coverage regression erases the row and flips the
+    driver hash red).
+
+    Knobs derive from the measured rules, not constants (VERDICT r7
+    item 3): nlist = nlist_for_corpus (∝ N, ~125-vector clusters) and
+    probes pinned so the candidate RATE p²/nlist stays at the classic
+    16/3 setting's 9/16 — the coverage analog of the recall witnesses'
+    pinned scan fraction (hard-won invariant: on near-iid vectors
+    quality tracks the rate, and rule-nlist at frozen p=3 measured
+    0.387 at sf1 vs 0.95 with the pinned rate).  Driver SFs and sf0.1
+    reproduce the classic 16/3 exactly (coverage 0.88-0.93); sf1
+    derives 160/10 (coverage 0.95 measured).  The production DEFAULT
+    keeps p=3 frozen (linear candidates on clustered real corpora);
+    only the witness pays the pinned-rate quadratic, whose exact half
+    is quadratic anyway."""
+    import math as _math
+
+    from langchain_memvid_spark.core.ivf import nlist_for_corpus
+    from langchain_memvid_spark.operators.dedup import SEMANTIC_TARGET_CLUSTER
+
     emb = _t(spark, sf_dir, "embeddings")
-    sem = dedup.semantic_dedup_pairs(emb, nlist=16, probes=3, threshold=0.4)
+    n = emb.count()
+    nlist = nlist_for_corpus(n, target_cluster=SEMANTIC_TARGET_CLUSTER, floor=16)
+    probes = max(3, _math.ceil(_math.sqrt(nlist * 9.0 / 16.0)))
+    sem = dedup.semantic_dedup_pairs(
+        emb, nlist=nlist, probes=probes, threshold=0.4, n=n
+    )
     # the exact half feeds BOTH the output and the coverage denominator
     # — checkpoint so the O(N^2) block GEMM runs once
     exact = dedup.embedding_cosine_pairs(emb, exact=True).localCheckpoint(eager=True)
@@ -5332,6 +5354,16 @@ _DRIVER_GREEN = {
     # names not already listed above:
     "mmr_search", "vs_relevance_scores", "vs_metadata_filter_typed",
     "stream_ingest_ivf",
+    # CORRECTNESS_r07.json: 50 full hash passes, zero failures (the
+    # five trained-ANN entries now hash their recall/quality witness
+    # rows).  New names not already listed above:
+    "vs_ivf_search", "vs_similarity_join", "embedding_topk_join",
+    "edit_distance_pairs", "semantic_dedup", "token_budget_select",
+    "corpus_shuffle", "incremental_dedup", "incremental_embedding_dedup",
+    "vs_near_dedup_ingest", "html_extract", "bigram_logprob_scores",
+    "ivf_batch_search", "media_salvage_scan", "metadata_first_match",
+    "video_frame_sample", "vs_score_threshold_search",
+    "stream_dedup_vs_corpus", "stream_similarity_join",
 }
 
 
@@ -5340,59 +5372,63 @@ _DRIVER_GREEN = {
 # inside the driver's ~50-query budget.  ONLY names whose change has
 # actually landed belong here.
 _CHANGED_THIS_ROUND = (
-    # rows-only -> driver-visible witness conversion (output AND oracle
-    # changed: the hashed row is now the constant recall/quality
-    # witness — VERDICT r6 item 2)
-    "ivf_kmeans_search",
-    "pq_search",
-    "ivfpq_search",
-    "pq_reconstruction_error",
-    "lsh_ann_search",
-    # now search a PERSISTED codes layout instead of deriving int8/int4
-    # codes in-plan per query (VERDICT r6 item 6 + the r7 ladder
-    # widening that caught the int8 twins)
-    "knn_topk_int4",
-    "knn_topk_quantized",
-    "knn_topk_requantized",
-    # scoring join now broadcasts the vocabulary under an exact-count
-    # bound (VERDICT r6 item 5) — output identical, plan changed
-    "unigram_logprob_scores",
-    # nearest_centroid_col gained the zero-norm ANSI guard (ADVICE r6)
-    # — assignment expression changed, output identical
-    "stream_ingest_ivf",
-    "stream_ingest_store",
+    # round 8: knobs now derive from the measured sizing rules instead
+    # of constants (VERDICT r7 item 3) — outputs identical at driver
+    # SFs (the rules reproduce the classic knobs there), plans carry
+    # the extra exact count
+    "semantic_dedup",
+    "embedding_topk_join",
+    "embedding_candidate_pairs",
+    # static-side broadcast is now an exact-count PICK instead of a
+    # forced hint (VERDICT r7 What's-wrong #1) — output identical
+    "stream_dedup_vs_corpus",
+    # empty-source path returns a typed empty frame instead of raising;
+    # non-empty output unchanged (ADVICE r7)
+    "stream_similarity_join",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 6 the newest-signal distribution is 2 queries at
-# r3, 43 at r4, 49 at r5, 50 at r6 (zero failures as latest state).
-# Round 7 rotates onto the r3 pair + the r4 block: with 2 new r7
-# queries pending and 9 in changed, the ~50-query budget covers
-# changed + pending + the 2 r3-era + ~37 of the 43 r4-era names (the
-# six simple-aggregate queries at the tail — their operator shapes are
-# re-verified through other green queries — slip to round 8).
+# first.  After round 7 the newest-signal distribution is 23 queries
+# at r4, 41 at r5, 49 at r6, 50 at r7 (zero failures as latest
+# state).  Round 8 rotates onto the whole r4 block first, then the r5
+# block oldest-registered-first: with 1 new query pending and 5 in
+# changed, the ~50-query budget covers changed + pending + all 23
+# r4-era + ~21 of the 41 r5-era names; the r5 tail slips to round 9,
+# after which nothing's newest driver row is older than r6.
 _STALE_ROTATION = (
-    # newest signal is r3 (oldest)
-    "window_function_showcase", "quality_filter_summary",
-    # newest signal is r4 — search / store / multimodal / pipeline
-    # surface first, simple aggregates last
-    "knn_topk_l2", "knn_topk_filtered", "knn_topk_quantized",
-    "knn_topk_requantized", "ivf_centroid_stats", "vs_delete_renumber",
-    "multimodal_features", "image_resize_stats", "video_header_info",
-    "video_frames_extract", "media_header_info", "sequence_packing",
-    "domain_weighted_sample", "train_val_split", "pretrain_pipeline_v3",
-    "text_bpe_token_counts", "text_repetition_stats", "pii_scrub",
-    "dedup_clusters", "dedup_clusters_star", "canonical_docs",
-    "minhash_jaccard_estimates", "udaf_median_price", "event_funnel",
-    "value_outliers_iqr", "purchase_attribution", "event_type_pivot",
-    "orders_cube", "order_gaps", "q4_late_shipment_priority",
-    "q6_forecast_revenue", "q7_nation_volume", "q9_product_profit",
-    "q10_returned_items", "q13_customer_distribution",
-    "q16_supplier_counts", "q20_excess_shipments",
-    # tail — may slip to round 8 under the budget
-    "above_avg_customers", "big_spender_customers", "monthly_order_stats",
-    "part_type_stats", "price_percentiles", "doc_length_histogram",
+    # newest signal is r4 — search / store / dedup surface first,
+    # simple aggregates last
+    "canonical_docs", "minhash_jaccard_estimates", "udaf_median_price",
+    "event_funnel", "value_outliers_iqr", "purchase_attribution",
+    "event_type_pivot", "orders_cube", "order_gaps",
+    "q4_late_shipment_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "q9_product_profit", "q10_returned_items",
+    "q13_customer_distribution", "q16_supplier_counts",
+    "q20_excess_shipments", "above_avg_customers",
+    "big_spender_customers", "monthly_order_stats", "part_type_stats",
+    "price_percentiles", "doc_length_histogram",
+    # newest signal is r5 — oldest-registered first; the tail past the
+    # ~50 budget carries over to round 9
+    "knn_graph_topk", "duplicate_span_stats", "dedup_spans_clean",
+    "jaccard_containment", "bm25_topk", "bm25_batch",
+    "hybrid_rrf_search", "stratified_sample_exact",
+    "embedding_quantization_int4", "knn_topk_int4",
+    "pq_compression_stats", "pretrain_pipeline_v4",
+    "vs_metadata_filter_range", "vs_essential_projection",
+    "vs_point_lookup", "vs_semi_join", "payload_roundtrip",
+    "approx_distinct_stats", "bucketed_colocated_join",
+    "salted_skew_join", "distinct_counts", "chunk_documents",
+    "chunk_dedup", "tfidf_top_terms", "vocab_top_terms",
+    "stream_tumbling_counts", "stream_session_windows",
+    "stream_user_lifetime", "stream_click_purchase_join",
+    "stream_sliding_activity", "orders_grouping_sets",
+    "q12_priority_by_returnflag", "q14_promo_revenue_share",
+    "q15_top_suppliers", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_idle_rich_customers", "q8_market_share",
+    "priority_balance_full_outer", "building_without_urgent_except",
+    "cheapest_parts_per_type",
 )
 
 
