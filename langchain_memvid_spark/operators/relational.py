@@ -726,3 +726,111 @@ def q20_excess_shipments(
         supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    size: int = 15,
+    type_suffix: str = "BRASS",
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted: lineitem is the part↔supplier supply
+    relation since the testdata has no partsupp; supply cost per
+    (part, supplier) = MIN(l_extendedprice)): for each qualifying part,
+    the supplier(s) in one region offering the minimum cost — the
+    correlated MIN subquery de-correlated into one per-part window MIN
+    over the already-region-filtered supply table, so the corpus-sized
+    lineitem is scanned ONCE and every dimension joins broadcast.
+    Completes the 22-query TPC-H suite (reference has no relational
+    surface; this is the engine's analytics layer)."""
+    eligible_parts = part.filter(
+        (F.col("p_size") == size) & F.col("p_type").endswith(type_suffix)
+    ).select("p_partkey", "p_brand", "p_type")
+    region_suppliers = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(eligible_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(region_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("supply_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(limit)
+    )
+
+
+def q11_important_stock(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_8",
+    mean_num: int = 3,
+    mean_den: int = 2,
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted: per-part stock value =
+    SUM(l_extendedprice) over lineitems supplied from one nation):
+    parts whose value exceeds ``mean_num/mean_den`` × the national MEAN
+    part value.  The published Q11 compares against a fraction of the
+    total that the spec itself rescales per SF; the mean-multiple form
+    is the same scalar-subquery shape but scale-invariant, so one
+    constant works from sf0.001 to 100 TB.  The scalar subquery becomes
+    a broadcast cross join of the ONE-ROW grand total against the
+    per-part aggregate (both reduce before any data moves — no
+    SinglePartition window), and the threshold compares exact decimals
+    (value · den · n_parts > total · num), so the boundary can't flip
+    between engines."""
+    nat_suppliers = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    supply = lineitem.select("l_partkey", "l_suppkey", "l_extendedprice").join(
+        F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = supply.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum("part_value").alias("total_value"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value") * mean_den * F.col("n_parts")
+            > F.col("total_value") * mean_num
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "p_partkey")
+    )

@@ -2731,6 +2731,38 @@ def q_image_near_dup(spark, sf_dir):
 
 
 @_reg(
+    "video_near_dup",
+    """
+SELECT doc_id AS a_id, doc_id + 10000000 AS b_id,
+       (1 + doc_id % 4)::INT AS n_frames
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY a_id
+""",
+)
+def q_video_near_dup(spark, sf_dir):
+    """Perceptual-hash VIDEO near-dup — image_near_dup lifted to the
+    time axis, completing the multimodal dedup family (text ✓
+    embedding ✓ image ✓ video): every doc becomes a unique engine-codec
+    AVI and every 7th a per-frame-perturbed variant; one container walk
+    signs every frame with dHash (seek-skipping machinery shared with
+    video_frame_sample), candidates must band-match AT THE SAME
+    frame_no, and a pair qualifies only when EVERY frame verifies
+    bit_count(XOR) ≤ 3 and total frame counts agree.  The oracle is
+    the closed-form engineered pair set INCLUDING each pair's frame
+    count, so a partial-depth match (clip vs full video) or a missed
+    temporal alignment flips the hash red."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_video_corpus(docs, variant_every=7)
+    return (
+        mm.video_near_dup_pairs(media, max_hamming=3)
+        .select("a_id", "b_id", "n_frames")
+        .orderBy("a_id")
+    )
+
+
+@_reg(
     "video_header_info",
     """
 WITH v AS (
@@ -4017,6 +4049,82 @@ def q_q21(spark, sf_dir):
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
+    )
+
+
+@_reg(
+    "q2_min_cost_supplier",
+    """
+WITH rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), supply AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+         min(CAST(round(l_extendedprice,2) AS DECIMAL(18,2))) AS supply_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN rs ON l_suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type LIKE '%STANDARD'
+  GROUP BY 1,2,3,4,5
+)
+SELECT round(s_acctbal,2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(supply_cost AS DOUBLE) AS supply_cost
+FROM supply s1
+WHERE supply_cost = (SELECT min(s2.supply_cost) FROM supply s2
+                     WHERE s2.p_partkey = s1.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q_q2(spark, sf_dir):
+    """TPC-H Q2 shape, completing the 22-query suite (lineitem is the
+    part↔supplier supply relation; the oracle keeps the classic
+    correlated-MIN text while the Spark side de-correlates it into one
+    per-part window MIN — reference has no relational surface)."""
+    return relational.q2_min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "lineitem"),
+        region_name="EUROPE",
+        size=15,
+        type_suffix="STANDARD",
+    )
+
+
+@_reg(
+    "q11_important_stock",
+    """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice,2) AS DECIMAL(18,2))) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_8')
+  GROUP BY 1
+)
+SELECT p_partkey, CAST(part_value AS DOUBLE) AS stock_value
+FROM per_part
+WHERE part_value * 2 * (SELECT count(*) FROM per_part)
+      > (SELECT sum(part_value) FROM per_part) * 3
+ORDER BY stock_value DESC, p_partkey
+""",
+)
+def q_q11(spark, sf_dir):
+    """TPC-H Q11 shape (scale-invariant mean-multiple threshold; the
+    scalar subquery is a broadcast one-row cross join, exact-decimal
+    boundary — see operators/relational.q11_important_stock)."""
+    return relational.q11_important_stock(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "lineitem"),
+        nation_name="NATION_8",
+        mean_num=3,
+        mean_den=2,
     )
 
 
