@@ -885,3 +885,202 @@ def synthesize_image_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
     return documents.select("doc_id", "text").mapInPandas(
         make, "media_id long, media_type string, content binary"
     )
+
+
+def dhash_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """(media_id, frame_no, n_frames, dhash) for every ``every_n``-th
+    frame of every AVI — the video signer: one Arrow-batched container
+    walk that seek-skips unsampled frames (sample_video_frames'
+    size-field skip) and dHashes the kept ones in place, so signing at
+    1-in-30 stride does ~1/30th of the decode work.  ``n_frames`` is
+    the container's TOTAL frame count (walked, not sampled), carried on
+    every row so pair verification can require full-depth agreement
+    without a second scan."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "frame_no": [], "n_frames": [], "dhash": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                fno = 0
+                sampled: list[tuple[int, int]] = []
+                stack = [(12, len(blob))]
+                while stack:
+                    pos, end = stack.pop()
+                    while pos + 8 <= end:
+                        cid = blob[pos : pos + 4]
+                        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+                        if cid == b"LIST":
+                            stack.append((pos + 8 + size + (size & 1), end))
+                            pos, end = pos + 12, pos + 8 + size
+                            continue
+                        if cid == b"00dc":
+                            if fno % every_n == 0:
+                                frame = blob[pos + 8 : pos + 8 + size]
+                                sampled.append((fno, dhash_png(frame)))
+                            fno += 1
+                        pos += 8 + size + (size & 1)
+                for sfno, dh in sampled:
+                    rows["media_id"].append(int(mid))
+                    rows["frame_no"].append(sfno)
+                    rows["n_frames"].append(fno)
+                    rows["dhash"].append(dh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(rows["media_id"], dtype="int64"),
+                    "frame_no": pd.array(rows["frame_no"], dtype="int32"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+                    "dhash": pd.array(rows["dhash"], dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        sign, "media_id long, frame_no int, n_frames int, dhash long"
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    every_n: int = 1,
+    n_band_rows: int | None = None,
+) -> DataFrame:
+    """Video near-dup pairs by temporally-aligned per-frame dHash —
+    image_near_dup_pairs lifted to the time axis: candidates must agree
+    on ≥1 of 4 16-bit bands AT THE SAME frame_no (the equi-join key is
+    (frame_no, band, val), so frame 0 of one video never compares to
+    frame 3 of another and the join stays sub-quadratic in videos AND
+    frames), and a pair qualifies only when EVERY sampled frame pair
+    verifies bit_count(XOR) ≤ max_hamming and both containers hold the
+    same total frame count.  Per-frame pigeonhole (max_hamming < 4
+    bands) means a qualifying frame pair always produces its band row:
+    counting distinct qualifying frame_nos against the full sampled
+    depth gives ZERO false negatives, and the full-depth + equal-count
+    requirement rejects partial overlaps (a clip sharing one frame is
+    NOT the same video).
+
+    Join strategy is the exact-count pick (dedup.py
+    _PAIR_BROADCAST_ROW_LIMIT) over the band-table size (4 rows per
+    sampled frame); pass ``n_band_rows`` to skip the eager count (the
+    default localCheckpoints the signature table so signing runs ONCE,
+    not once per join side).
+
+    Returns (a_id, b_id, n_frames, max_hamming_seen) with a_id < b_id."""
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+    n_bands, band_bits = 4, 16
+    mask = (1 << band_bits) - 1
+    sigs = dhash_video_frames(media, every_n=every_n)
+    if n_band_rows is None:
+        sigs = sigs.localCheckpoint(eager=True)
+        n_band_rows = sigs.count() * n_bands
+    n_sampled = F.ceil(F.col("n_frames") / F.lit(every_n)).cast("int")
+    bands = sigs.select(
+        "media_id",
+        "frame_no",
+        n_sampled.alias("n_sampled"),
+        "n_frames",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("dhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "frame_no", "n_sampled", "n_frames", "dhash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("media_id").alias("a_id"),
+        F.col("n_sampled").alias("a_ns"),
+        F.col("n_frames").alias("a_nf"),
+        F.col("dhash").alias("a_dh"),
+        "frame_no", "band", "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("b_id"),
+        F.col("n_sampled").alias("b_ns"),
+        F.col("n_frames").alias("b_nf"),
+        F.col("dhash").alias("b_dh"),
+        "frame_no", "band", "val",
+    )
+    if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = F.broadcast(a).join(b, ["frame_no", "band", "val"])
+    else:
+        joined = a.hint("merge").join(b, ["frame_no", "band", "val"])
+    frame_hits = (
+        joined.filter((F.col("a_id") < F.col("b_id")) & (F.col("a_nf") == F.col("b_nf")))
+        .select(
+            "a_id", "b_id", "frame_no", "a_ns", "a_nf",
+            F.bit_count(F.col("a_dh").bitwiseXOR(F.col("b_dh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (
+        frame_hits.groupBy("a_id", "b_id", "a_ns", "a_nf")
+        .agg(
+            F.countDistinct("frame_no").alias("ok_frames"),
+            F.max("hamming").alias("max_hamming_seen"),
+        )
+        .filter(F.col("ok_frames") == F.col("a_ns"))
+        .select(
+            "a_id", "b_id",
+            F.col("a_nf").alias("n_frames"),
+            "max_hamming_seen",
+        )
+    )
+
+
+def synthesize_video_corpus(documents: DataFrame, variant_every: int = 7) -> DataFrame:
+    """Deterministic video-dedup fixture — synthesize_image_corpus
+    lifted to AVI containers: every document becomes ONE unique video
+    (synthesize_video_media's closed-form geometry, pixel seeds salted
+    with doc_id and frame_no), and every ``variant_every``-th doc
+    additionally emits a NEAR-DUP variant at media_id =
+    doc_id + VARIANT_ID_OFFSET: the same container with EVERY frame's
+    first pixel high bit flipped (≤2 dHash bits per frame — within any
+    max_hamming ≥ 2 at every temporal position), so the expected pair
+    set is EXACTLY {(d, d+OFFSET) : d % variant_every == 0} with
+    n_frames = 1 + d%4 — SQL-computable (the media_salvage_scan
+    closed-form protocol)."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                n = 1 + doc_id % 4
+                fps = 5 + doc_id % 10
+                seed = f"{text}:{doc_id}".encode("utf-8")
+                frames = [
+                    bytearray(_stretch_bytes(seed + fno.to_bytes(4, "big"), w * h))
+                    for fno in range(n)
+                ]
+                out["media_id"].append(doc_id)
+                out["media_type"].append("video")
+                out["content"].append(
+                    encode_avi(w, h, [encode_png(w, h, bytes(fr)) for fr in frames], fps)
+                )
+                if doc_id % variant_every == 0:
+                    for fr in frames:
+                        fr[0] ^= 0x80
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("video")
+                    out["content"].append(
+                        encode_avi(w, h, [encode_png(w, h, bytes(fr)) for fr in frames], fps)
+                    )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )

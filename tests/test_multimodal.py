@@ -342,3 +342,63 @@ def test_image_near_dup_variant_fixture_exact_pairs(spark, sf_dir):
         for r in mm.image_near_dup_pairs(media).collect()
     }
     assert all(v <= 2 for v in ham.values())
+
+
+def test_video_near_dup_fixture_exact_pairs_and_depth(spark, sf_dir):
+    """synthesize_video_corpus's engineered variant set IS the video
+    near-dup truth: exactly {(d, d+OFFSET) : d % 7 == 0} at full frame
+    depth (n_frames = 1 + d%4), nothing else — a missed temporal
+    alignment, a partial-depth match, or a spurious pair all show."""
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    media = mm.synthesize_video_corpus(docs, variant_every=7)
+    rows = mm.video_near_dup_pairs(media, max_hamming=3).collect()
+    got = {(r["a_id"], r["b_id"]): r["n_frames"] for r in rows}
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = {
+        (d, d + mm.VARIANT_ID_OFFSET): 1 + d % 4 for d in ids if d % 7 == 0
+    }
+    assert got == want
+    # the per-frame 1-flipped-pixel bound holds at every temporal position
+    assert all(r["max_hamming_seen"] <= 2 for r in rows)
+
+
+def test_video_near_dup_rejects_partial_depth_and_truncation(spark):
+    """A clip sharing SOME frames with a longer video must not pair
+    (equal-total-frame-count + full-depth requirements), and a video
+    whose LAST frame diverges beyond the hamming bound must not pair
+    even though every earlier frame matches exactly."""
+    w, h = 16, 8
+    base = [mm._stretch_bytes(b"frame" + bytes([i]), w * h) for i in range(4)]
+    full = mm.encode_avi(w, h, [mm.encode_png(w, h, p) for p in base], 10)
+    clip = mm.encode_avi(w, h, [mm.encode_png(w, h, p) for p in base[:2]], 10)
+    # same count, last frame structurally different (reversed bytes)
+    diverged = mm.encode_avi(
+        w, h,
+        [mm.encode_png(w, h, p) for p in base[:3]]
+        + [mm.encode_png(w, h, bytes(reversed(base[3])))],
+        10,
+    )
+    exact_dup = mm.encode_avi(w, h, [mm.encode_png(w, h, p) for p in base], 10)
+    media = spark.createDataFrame(
+        [(0, "video", full), (1, "video", clip), (2, "video", diverged), (3, "video", exact_dup)],
+        "media_id long, media_type string, content binary",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in mm.video_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs == {(0, 3)}
+
+
+def test_dhash_video_frames_strided_signing(spark):
+    """every_n=2 signs only even frame_nos but still reports the TRUE
+    total frame count on every row (the verify depth at stride)."""
+    w, h = 16, 8
+    frames = [mm.encode_png(w, h, mm._stretch_bytes(bytes([i]), w * h)) for i in range(4)]
+    media = spark.createDataFrame(
+        [(7, "video", mm.encode_avi(w, h, frames, 10))],
+        "media_id long, media_type string, content binary",
+    )
+    rows = mm.dhash_video_frames(media, every_n=2).collect()
+    assert sorted(r["frame_no"] for r in rows) == [0, 2]
+    assert all(r["n_frames"] == 4 for r in rows)
