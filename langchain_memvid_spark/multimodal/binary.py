@@ -1084,3 +1084,163 @@ def synthesize_video_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
     return documents.select("doc_id", "text").mapInPandas(
         make, "media_id long, media_type string, content binary"
     )
+
+
+def envelope_hash_wav(blob: bytes, n_windows: int = 64) -> int:
+    """Energy-envelope difference hash of one PCM WAV — dHash's idea on
+    the time axis: decode 16-bit samples (channel-averaged), split them
+    into ``n_windows``+1 equal windows with the same integer index map
+    as the image resample, take mean |amplitude| per window, and set
+    bit i when window i is louder than window i+1, packed row-major
+    into a SIGNED 64-bit int (Spark LongType band arithmetic identical
+    in both engines).  Deterministic, dependency-free, and invariant to
+    duration (windows scale with length) — near-identical recordings at
+    different sample counts hash close."""
+    info = parse_wav_info(blob)
+    nch = info["n_channels"]
+    pos, data = 12, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if cid == b"data":
+            data = blob[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    if nch > 1:
+        samples = samples[: (len(samples) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    n = len(samples)
+    k = n_windows + 1
+    amp = np.abs(samples)
+    if n >= k:
+        bounds = (np.arange(k) * n) // k
+        sums = np.add.reduceat(amp, bounds)
+        counts = np.diff(np.append(bounds, n))
+        env = sums / counts
+    else:  # degenerate short clip: nearest-sample envelope
+        env = amp[(np.arange(k) * n) // k]
+    bits = (env[:-1] > env[1:]).astype(np.uint64)
+    sig = 0
+    for i, b in enumerate(bits):
+        if b:
+            sig |= 1 << i
+    return int(np.int64(np.uint64(sig)))
+
+
+def envelope_hash_audio(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, ahash) for every audio row — the dhash_images signer
+    shape on the audio column (one Arrow-batched scan)."""
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "ahash": [envelope_hash_wav(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select(F.col(id_col), "content")
+        .mapInPandas(sign, "media_id long, ahash long")
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    n_media: int | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs by envelope-hash hamming distance ≤
+    max_hamming — image_near_dup_pairs on the audio modality: 4 bands
+    of 16 bits gate candidates (equi-join on (band, val), never
+    all-pairs), exact bit_count(XOR) verifies, pigeonhole gives zero
+    false negatives at max_hamming < 4.  Join strategy is the
+    exact-count pick over the 4-rows-per-clip band table; pass
+    ``n_media`` to skip the eager count.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id."""
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+    n_bands, band_bits = 4, 16
+    mask = (1 << band_bits) - 1
+    if n_media is None:
+        n_media = media.filter(F.col("media_type") == "audio").count()
+    sig = envelope_hash_audio(media, id_col=id_col)
+    bands = sig.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("ahash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "ahash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("media_id").alias("a_id"), F.col("ahash").alias("a_ah"), "band", "val"
+    )
+    b = bands.select(
+        F.col("media_id").alias("b_id"), F.col("ahash").alias("b_ah"), "band", "val"
+    )
+    if n_media * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = F.broadcast(a).join(b, ["band", "val"])
+    else:
+        joined = a.hint("merge").join(b, ["band", "val"])
+    return (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_ah").bitwiseXOR(F.col("b_ah"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def synthesize_audio_corpus(documents: DataFrame, variant_every: int = 7) -> DataFrame:
+    """Deterministic audio-dedup fixture — synthesize_image_corpus on
+    the audio modality: every document becomes ONE unique mono 16-bit
+    WAV (sample seed salted with doc_id), and every
+    ``variant_every``-th doc additionally emits a NEAR-DUP variant at
+    media_id = doc_id + VARIANT_ID_OFFSET: the same samples with the
+    first sample's low bit flipped.  One perturbed sample moves one
+    window's mean |amplitude| by at most 1/|window|, which can flip at
+    most the ONE envelope comparison that window feeds — guaranteed
+    within any max_hamming ≥ 1 and a guaranteed band match, so the
+    expected pair set is EXACTLY {(d, d+OFFSET) : d % variant_every
+    == 0} — SQL-computable (the media_salvage_scan closed-form
+    protocol)."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rate = 8000 + 1000 * (doc_id % 4)
+                n_samp = 256 + doc_id % 128
+                seed = f"{text}:{doc_id}".encode("utf-8")
+                samples = bytearray(_stretch_bytes(seed, n_samp * 2))
+                out["media_id"].append(doc_id)
+                out["media_type"].append("audio")
+                out["content"].append(encode_wav(rate, 1, bytes(samples)))
+                if doc_id % variant_every == 0:
+                    samples[0] ^= 0x01  # LSB of the first sample's low byte
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("audio")
+                    out["content"].append(encode_wav(rate, 1, bytes(samples)))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )

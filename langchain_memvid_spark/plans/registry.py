@@ -2731,6 +2731,35 @@ def q_image_near_dup(spark, sf_dir):
 
 
 @_reg(
+    "audio_near_dup",
+    """
+SELECT doc_id AS a_id, doc_id + 10000000 AS b_id
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY a_id
+""",
+)
+def q_audio_near_dup(spark, sf_dir):
+    """Energy-envelope audio near-dup — the audio member of the
+    multimodal dedup family (with text/embedding/image/video, the
+    matrix is complete): every document becomes a unique mono PCM WAV
+    and every 7th a 1-sample-perturbed variant; envelope_hash_wav
+    (decode → 65 equal windows → mean |amplitude| → louder-than
+    difference bits) signs each clip in one Arrow scan, 4×16-bit
+    hamming bands gate candidates, exact bit_count(XOR) ≤ 3 verifies.
+    Closed-form engineered-variant oracle (the image_near_dup
+    protocol)."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_audio_corpus(docs, variant_every=7)
+    return (
+        mm.audio_near_dup_pairs(media, max_hamming=3)
+        .select("a_id", "b_id")
+        .orderBy("a_id")
+    )
+
+
+@_reg(
     "video_near_dup",
     """
 SELECT doc_id AS a_id, doc_id + 10000000 AS b_id,

@@ -402,3 +402,45 @@ def test_dhash_video_frames_strided_signing(spark):
     rows = mm.dhash_video_frames(media, every_n=2).collect()
     assert sorted(r["frame_no"] for r in rows) == [0, 2]
     assert all(r["n_frames"] == 4 for r in rows)
+
+
+def test_audio_near_dup_fixture_exact_pairs(spark, sf_dir):
+    """synthesize_audio_corpus's engineered variant set IS the audio
+    near-dup truth: exactly {(d, d+OFFSET) : d % 7 == 0}, nothing else;
+    every variant within the fixture's 1-bit perturbation bound."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = mm.synthesize_audio_corpus(docs, variant_every=7)
+    rows = mm.audio_near_dup_pairs(media).collect()
+    got = {(r["a_id"], r["b_id"]) for r in rows}
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = {(d, d + mm.VARIANT_ID_OFFSET) for d in ids if d % 7 == 0}
+    assert got == want
+    assert all(r["hamming"] <= 1 for r in rows)
+
+
+def test_envelope_hash_louder_quieter_and_duration_invariance(spark):
+    """The envelope hash must pair a re-sampled (different-length) copy
+    of the same loudness CONTOUR (windows scale with duration) and must
+    not pair a reversed contour (every comparison flips)."""
+    import numpy as np
+
+    def tone(n, contour):
+        # 16-bit samples whose |amplitude| follows the contour
+        idx = (np.arange(n) * len(contour)) // n
+        amp = np.array(contour, dtype=np.float64)[idx]
+        return (amp * 8000).astype("<i2").tobytes()
+
+    contour = [(i * 37) % 13 + 1 for i in range(130)]
+    a = mm.encode_wav(8000, 1, tone(1300, contour))
+    b = mm.encode_wav(8000, 1, tone(2600, contour))      # same contour, 2x length
+    c = mm.encode_wav(8000, 1, tone(1300, contour[::-1]))  # reversed
+    media = spark.createDataFrame(
+        [(0, "audio", a), (1, "audio", b), (2, "audio", c)],
+        "media_id long, media_type string, content binary",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in mm.audio_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
