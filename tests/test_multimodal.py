@@ -444,3 +444,17 @@ def test_envelope_hash_louder_quieter_and_duration_invariance(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_envelope_hash_amplitude_scale_invariant():
+    """Loudness (positive gain) must not change the envelope hash —
+    e[i] > e[i+1] is invariant under positive scaling, so the same
+    recording at different volumes dedups exactly (no Spark needed:
+    pure codec + hash)."""
+    import numpy as np
+
+    rng = [(i * 73) % 29 - 14 for i in range(400)]
+    base = np.array(rng, dtype=np.int16)
+    quiet = mm.encode_wav(8000, 1, base.astype("<i2").tobytes())
+    loud = mm.encode_wav(8000, 1, (base * 3).astype("<i2").tobytes())
+    assert mm.envelope_hash_wav(quiet) == mm.envelope_hash_wav(loud)
