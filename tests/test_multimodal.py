@@ -458,3 +458,20 @@ def test_envelope_hash_amplitude_scale_invariant():
     quiet = mm.encode_wav(8000, 1, base.astype("<i2").tobytes())
     loud = mm.encode_wav(8000, 1, (base * 3).astype("<i2").tobytes())
     assert mm.envelope_hash_wav(quiet) == mm.envelope_hash_wav(loud)
+
+
+def test_envelope_hash_stereo_downmix_and_short_clip():
+    """A stereo clip whose channels both equal the mono signal must
+    hash identically to the mono file (channel averaging), and a clip
+    shorter than the window count must still hash (nearest-sample
+    fallback) without raising."""
+    import numpy as np
+
+    base = np.array([(i * 31) % 200 - 100 for i in range(300)], dtype=np.int16)
+    mono = mm.encode_wav(8000, 1, base.astype("<i2").tobytes())
+    stereo = mm.encode_wav(
+        8000, 2, np.column_stack([base, base]).astype("<i2").tobytes()
+    )
+    assert mm.envelope_hash_wav(mono) == mm.envelope_hash_wav(stereo)
+    short = mm.encode_wav(8000, 1, base[:20].astype("<i2").tobytes())
+    assert isinstance(mm.envelope_hash_wav(short), int)
