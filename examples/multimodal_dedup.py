@@ -1,0 +1,62 @@
+"""Multimodal near-dup pipeline — the dedup matrix on binary media
+columns, end to end (no reference analog: SURVEY north-star extension
+surface; the reference decodes video frames for QR payloads,
+video/default.py:288-322 — this engine dedups the media itself):
+
+  1. image near-dup      dHash over the engine PNG codec, 4×16-bit
+                         hamming-band LSH candidates, exact
+                         bit_count(XOR) verify (zero FN by pigeonhole)
+  2. video near-dup      per-frame dHash in ONE seek-skipping AVI
+                         walk; candidates band-match at the SAME
+                         frame_no; pairs verify at full frame depth
+                         (a clip never pairs with its source)
+  3. audio near-dup      65-window energy-envelope hash — duration-
+                         and volume-invariant loudness contours
+  4. salvage scan        the corrupt-blob quarantine mode a 100 TB
+                         scrape needs (error column, not job death)
+
+Run: python examples/multimodal_dedup.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from langchain_memvid_spark.multimodal import binary as mm
+from langchain_memvid_spark.session import get_spark
+from langchain_memvid_spark.sources.catalog import load_table
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+spark = get_spark("multimodal-dedup", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+docs = load_table(spark, sf_dir, "documents").limit(100)
+
+# -- 1. image near-dup ------------------------------------------------------
+images = mm.synthesize_image_corpus(docs, variant_every=7)
+img_pairs = mm.image_near_dup_pairs(images, max_hamming=3)
+print("image near-dup pairs:", img_pairs.count())
+
+# -- 2. video near-dup (temporally aligned, full-depth verify) --------------
+videos = mm.synthesize_video_corpus(docs, variant_every=7)
+vid_pairs = mm.video_near_dup_pairs(videos, max_hamming=3)
+print("video near-dup pairs:", vid_pairs.count())
+
+# -- 3. audio near-dup (duration/volume-invariant envelope) -----------------
+clips = mm.synthesize_audio_corpus(docs, variant_every=7)
+aud_pairs = mm.audio_near_dup_pairs(clips, max_hamming=3)
+print("audio near-dup pairs:", aud_pairs.count())
+
+# -- 4. keeper rule + salvage scan ------------------------------------------
+# drop the b-side of each pair (same min-id keeper as text dedup), then
+# scan what survived in salvage mode: corrupt blobs quarantine per-row.
+from pyspark.sql import functions as F  # noqa: E402
+
+losers = img_pairs.select(F.col("b_id").alias("media_id")).distinct()
+kept = images.join(losers, "media_id", "left_anti")
+scanned = mm.decode_media_info(mm.corrupt_media_prefix(kept, 11), salvage=True)
+bad = scanned.filter(F.col("error").isNotNull()).count()
+print("kept images:", kept.count(), "| quarantined in salvage scan:", bad)
+
+spark.stop()
+print("multimodal dedup pipeline OK")
