@@ -850,7 +850,9 @@ def image_near_dup_pairs(
     )
 
 
-def synthesize_image_corpus(documents: DataFrame, variant_every: int = 7) -> DataFrame:
+def synthesize_image_corpus(
+    documents: DataFrame, variant_every: int | None = 7
+) -> DataFrame:
     """Deterministic image-dedup fixture: every document becomes ONE
     unique PNG (pixel seed salted with doc_id, so duplicate TEXTS do
     not make duplicate images and the true near-dup pair set stays
@@ -862,7 +864,8 @@ def synthesize_image_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
     guaranteed within any max_hamming ≥ 2, and guaranteed a band
     match, so the expected pair set is EXACTLY
     {(d, d+OFFSET) : d % variant_every == 0} — SQL-computable (the
-    media_salvage_scan closed-form protocol)."""
+    media_salvage_scan closed-form protocol).  ``variant_every=None``
+    emits bases only (the CORPUS side of incremental dedup)."""
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -875,7 +878,7 @@ def synthesize_image_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
                 out["media_id"].append(doc_id)
                 out["media_type"].append("image")
                 out["content"].append(encode_png(w, h, bytes(pixels)))
-                if doc_id % variant_every == 0:
+                if variant_every is not None and doc_id % variant_every == 0:
                     pixels[0] ^= 0x80
                     out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
                     out["media_type"].append("image")
@@ -1239,6 +1242,132 @@ def synthesize_audio_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
                     out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
                     out["media_type"].append("audio")
                     out["content"].append(encode_wav(rate, 1, bytes(samples)))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )
+
+
+def incremental_image_near_dup(
+    new_media: DataFrame,
+    corpus_media: DataFrame | None = None,
+    *,
+    corpus_sig: DataFrame | None = None,
+    max_hamming: int = 3,
+    n_new: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch of images against an EXISTING corpus — the
+    production ingest shape (every scrape batch vs billions of
+    already-kept images), dedup.incremental_near_dup's plan on the
+    dHash signature space: the batch's 4-rows-per-image band table
+    CARRIES its dhash, so under `_PAIR_BROADCAST_ROW_LIMIT` band rows
+    (exact count of the BATCH — cheap by construction; pass ``n_new``
+    to skip it) the band join AND the hamming scoring run map-side
+    against the broadcast batch — the corpus is ONE scan with ZERO
+    corpus-side shuffle; the only exchange is the batch-sized groupBy.
+
+    Pass ``corpus_sig`` (persisted dhash_images output, signed once at
+    ingest — 8 bytes per image) to skip re-decoding corpus pixels
+    every batch.  Oversized batches fall back to a sort-merge band
+    join.
+
+    Returns one row per new image: (media_id, is_dup, dup_of) —
+    dup_of the smallest corpus image within ``max_hamming``
+    (pigeonhole over 4×16-bit bands: zero false negatives at
+    max_hamming < 4), NULL when novel."""
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+    if (corpus_media is None) == (corpus_sig is None):
+        raise ValueError("pass exactly one of corpus_media / corpus_sig")
+    if corpus_sig is None:
+        corpus_sig = dhash_images(corpus_media)
+    new_sig = dhash_images(new_media)
+    if n_new is None:
+        n_new = new_media.filter(F.col("media_type") == "image").count()
+
+    n_bands, band_bits = 4, 16
+    mask = (1 << band_bits) - 1
+
+    def bandify(sig: DataFrame, prefix: str) -> DataFrame:
+        return sig.select(
+            F.col("media_id").alias(f"{prefix}_id"),
+            F.col("dhash").alias(f"{prefix}_dh"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("dhash", b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bv"),
+        ).select(f"{prefix}_id", f"{prefix}_dh", "bv.band", "bv.val")
+
+    new_bands = bandify(new_sig, "new")
+    corpus_bands = bandify(corpus_sig, "old")
+    if n_new * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = corpus_bands.join(F.broadcast(new_bands), ["band", "val"])
+    else:
+        joined = corpus_bands.hint("merge").join(new_bands, ["band", "val"])
+    hits = (
+        joined.select(
+            "new_id",
+            "old_id",
+            F.bit_count(F.col("new_dh").bitwiseXOR(F.col("old_dh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"))
+    )
+    return (
+        new_media.filter(F.col("media_type") == "image")
+        .select(F.col("media_id"))
+        .join(hits, F.col("media_id") == F.col("new_id"), "left")
+        .select(
+            "media_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def synthesize_image_batch(
+    documents: DataFrame, variant_every: int = 7, novel_remainder: int = 3
+) -> DataFrame:
+    """Deterministic INGEST-BATCH fixture for incremental image dedup:
+    every ``variant_every``-th doc contributes a 1-pixel-perturbed
+    variant of its corpus image (media_id = doc_id + VARIANT_ID_OFFSET
+    — a true near-dup of the corpus), and every doc with doc_id %
+    variant_every == ``novel_remainder`` contributes a NOVEL image
+    (media_id = doc_id + 2·VARIANT_ID_OFFSET, pixel seed salted
+    differently from every corpus seed), so the expected verdicts are
+    closed-form: variants dup-of their base, novels novel."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                if doc_id % variant_every == 0:
+                    seed = f"{text}:{doc_id}".encode("utf-8")
+                    pixels = bytearray(_stretch_bytes(seed, w * h))
+                    pixels[0] ^= 0x80
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("image")
+                    out["content"].append(encode_png(w, h, bytes(pixels)))
+                if doc_id % variant_every == novel_remainder:
+                    seed = f"novel:{text}:{doc_id}".encode("utf-8")
+                    out["media_id"].append(doc_id + 2 * VARIANT_ID_OFFSET)
+                    out["media_type"].append("image")
+                    out["content"].append(
+                        encode_png(w, h, _stretch_bytes(seed, w * h))
+                    )
             yield pd.DataFrame(out)
 
     return documents.select("doc_id", "text").mapInPandas(

@@ -2731,6 +2731,39 @@ def q_image_near_dup(spark, sf_dir):
 
 
 @_reg(
+    "incremental_image_dedup",
+    """
+SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY media_id
+""",
+)
+def q_incremental_image_dedup(spark, sf_dir):
+    """Incremental MULTIMODAL dedup — the production ingest shape on
+    the image modality (incremental_near_dup's plan in dHash space):
+    a new scrape batch (1-pixel variants of every 7th corpus image +
+    novel images at remainder 3) checks against the persisted corpus
+    signature table (dhash_images output, signed once at ingest — 8
+    bytes per image, never re-decode the corpus); batch band rows
+    broadcast, corpus is ONE scan with zero corpus-side shuffle.
+    Closed-form verdicts: variants dup-of their base, novels novel —
+    a missed dup, a spurious dup, or a wrong dup_of all flip the
+    hash."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = mm.synthesize_image_corpus(docs, variant_every=None)
+    batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+    return (
+        mm.incremental_image_near_dup(batch, corpus_sig=mm.dhash_images(corpus))
+        .orderBy("media_id")
+    )
+
+
+@_reg(
     "audio_near_dup",
     """
 SELECT doc_id AS a_id, doc_id + 10000000 AS b_id

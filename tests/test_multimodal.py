@@ -475,3 +475,44 @@ def test_envelope_hash_stereo_downmix_and_short_clip():
     assert mm.envelope_hash_wav(mono) == mm.envelope_hash_wav(stereo)
     short = mm.encode_wav(8000, 1, base[:20].astype("<i2").tobytes())
     assert isinstance(mm.envelope_hash_wav(short), int)
+
+
+def test_incremental_image_near_dup_semantics_and_plan(spark, sf_dir):
+    """Variants are flagged dup-of their base, novels are novel, every
+    batch row gets a verdict; the bounded batch keeps the corpus side
+    unshuffled (no SortMergeJoin); the SMJ fallback and the
+    corpus_media path agree with the corpus_sig path."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    corpus = mm.synthesize_image_corpus(docs, variant_every=None)
+    batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+    df = mm.incremental_image_near_dup(batch, corpus_sig=mm.dhash_images(corpus))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    rows = {r["media_id"]: r for r in df.collect()}
+    assert len(rows) == batch.count()
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for d in ids:
+        if d % 7 == 0:
+            r = rows[d + mm.VARIANT_ID_OFFSET]
+            assert r["is_dup"] and r["dup_of"] == d
+        if d % 7 == 3:
+            r = rows[d + 2 * mm.VARIANT_ID_OFFSET]
+            assert not r["is_dup"] and r["dup_of"] is None
+    # corpus_media path and forced-SMJ fallback agree
+    base = sorted(map(tuple, df.collect()))
+    via_media = sorted(
+        map(tuple, mm.incremental_image_near_dup(batch, corpus).collect())
+    )
+    forced = sorted(
+        map(
+            tuple,
+            mm.incremental_image_near_dup(
+                batch, corpus_sig=mm.dhash_images(corpus), n_new=10**9
+            ).collect(),
+        )
+    )
+    assert via_media == base and forced == base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        mm.incremental_image_near_dup(batch)
