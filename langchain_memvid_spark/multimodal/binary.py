@@ -766,17 +766,35 @@ def dhash_png(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
     return int(np.int64(np.uint64(sig)))  # wrap to signed 64-bit
 
 
-def dhash_images(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def dhash_images(
+    media: DataFrame, id_col: str = "media_id", salvage: bool = False
+) -> DataFrame:
     """(media_id, dhash) for every image row — one Arrow-batched scan
     (the signer pattern shared with minhash/simhash/RHP: per-row Python
-    only inside vectorized batches, never a row-at-a-time UDF)."""
+    only inside vectorized batches, never a row-at-a-time UDF).
+
+    ``salvage=True`` DROPS undecodable blobs from the signature table
+    instead of failing the scan (an image that can't decode can't
+    near-dup; quarantine diagnostics are decode_media_info's job) —
+    one bad blob in a billion must not kill a 100 TB dedup run."""
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids, hashes = [], []
+            for mid, c in zip(pdf[id_col], pdf["content"]):
+                if salvage:
+                    try:
+                        h = dhash_png(bytes(c))
+                    except Exception:  # noqa: BLE001 — drop, never fail the scan
+                        continue
+                else:
+                    h = dhash_png(bytes(c))
+                ids.append(int(mid))
+                hashes.append(h)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "dhash": [dhash_png(bytes(c)) for c in pdf["content"]],
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "dhash": pd.array(hashes, dtype="int64"),
                 }
             )
 
@@ -792,6 +810,7 @@ def image_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "media_id",
     n_media: int | None = None,
+    salvage: bool = False,
 ) -> DataFrame:
     """Image near-dup pairs by dHash hamming distance ≤ max_hamming —
     exactly simhash_near_pairs' plan shape lifted to the 64-bit image
@@ -814,7 +833,7 @@ def image_near_dup_pairs(
     mask = (1 << band_bits) - 1
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "image").count()
-    sig = dhash_images(media, id_col=id_col)
+    sig = dhash_images(media, id_col=id_col, salvage=salvage)
     bands = sig.select(
         "media_id",
         "dhash",
@@ -890,7 +909,9 @@ def synthesize_image_corpus(
     )
 
 
-def dhash_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+def dhash_video_frames(
+    media: DataFrame, every_n: int = 1, salvage: bool = False
+) -> DataFrame:
     """(media_id, frame_no, n_frames, dhash) for every ``every_n``-th
     frame of every AVI — the video signer: one Arrow-batched container
     walk that seek-skips unsampled frames (sample_video_frames'
@@ -898,7 +919,11 @@ def dhash_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     1-in-30 stride does ~1/30th of the decode work.  ``n_frames`` is
     the container's TOTAL frame count (walked, not sampled), carried on
     every row so pair verification can require full-depth agreement
-    without a second scan."""
+    without a second scan.
+
+    ``salvage=True`` DROPS videos whose container walk or frame decode
+    fails (all of that video's rows — a partial signature would
+    masquerade as a shorter video) instead of failing the scan."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
 
@@ -911,22 +936,29 @@ def dhash_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                 blob = bytes(content)
                 fno = 0
                 sampled: list[tuple[int, int]] = []
-                stack = [(12, len(blob))]
-                while stack:
-                    pos, end = stack.pop()
-                    while pos + 8 <= end:
-                        cid = blob[pos : pos + 4]
-                        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
-                        if cid == b"LIST":
-                            stack.append((pos + 8 + size + (size & 1), end))
-                            pos, end = pos + 12, pos + 8 + size
-                            continue
-                        if cid == b"00dc":
-                            if fno % every_n == 0:
-                                frame = blob[pos + 8 : pos + 8 + size]
-                                sampled.append((fno, dhash_png(frame)))
-                            fno += 1
-                        pos += 8 + size + (size & 1)
+                try:
+                    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+                        raise ValueError("not an AVI: bad RIFF header")
+                    stack = [(12, len(blob))]
+                    while stack:
+                        pos, end = stack.pop()
+                        while pos + 8 <= end:
+                            cid = blob[pos : pos + 4]
+                            (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+                            if cid == b"LIST":
+                                stack.append((pos + 8 + size + (size & 1), end))
+                                pos, end = pos + 12, pos + 8 + size
+                                continue
+                            if cid == b"00dc":
+                                if fno % every_n == 0:
+                                    frame = blob[pos + 8 : pos + 8 + size]
+                                    sampled.append((fno, dhash_png(frame)))
+                                fno += 1
+                            pos += 8 + size + (size & 1)
+                except Exception:  # noqa: BLE001 — drop the video, never fail the scan
+                    if salvage:
+                        continue
+                    raise
                 for sfno, dh in sampled:
                     rows["media_id"].append(int(mid))
                     rows["frame_no"].append(sfno)
@@ -951,6 +983,7 @@ def video_near_dup_pairs(
     max_hamming: int = 3,
     every_n: int = 1,
     n_band_rows: int | None = None,
+    salvage: bool = False,
 ) -> DataFrame:
     """Video near-dup pairs by temporally-aligned per-frame dHash —
     image_near_dup_pairs lifted to the time axis: candidates must agree
@@ -977,7 +1010,7 @@ def video_near_dup_pairs(
 
     n_bands, band_bits = 4, 16
     mask = (1 << band_bits) - 1
-    sigs = dhash_video_frames(media, every_n=every_n)
+    sigs = dhash_video_frames(media, every_n=every_n, salvage=salvage)
     if n_band_rows is None:
         sigs = sigs.localCheckpoint(eager=True)
         n_band_rows = sigs.count() * n_bands
@@ -1130,16 +1163,30 @@ def envelope_hash_wav(blob: bytes, n_windows: int = 64) -> int:
     return int(np.int64(np.uint64(sig)))
 
 
-def envelope_hash_audio(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def envelope_hash_audio(
+    media: DataFrame, id_col: str = "media_id", salvage: bool = False
+) -> DataFrame:
     """(media_id, ahash) for every audio row — the dhash_images signer
-    shape on the audio column (one Arrow-batched scan)."""
+    shape on the audio column (one Arrow-batched scan).  ``salvage=
+    True`` drops undecodable clips instead of failing the scan."""
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids, hashes = [], []
+            for mid, c in zip(pdf[id_col], pdf["content"]):
+                if salvage:
+                    try:
+                        h = envelope_hash_wav(bytes(c))
+                    except Exception:  # noqa: BLE001 — drop, never fail the scan
+                        continue
+                else:
+                    h = envelope_hash_wav(bytes(c))
+                ids.append(int(mid))
+                hashes.append(h)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "ahash": [envelope_hash_wav(bytes(c)) for c in pdf["content"]],
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "ahash": pd.array(hashes, dtype="int64"),
                 }
             )
 
@@ -1155,6 +1202,7 @@ def audio_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "media_id",
     n_media: int | None = None,
+    salvage: bool = False,
 ) -> DataFrame:
     """Audio near-dup pairs by envelope-hash hamming distance ≤
     max_hamming — image_near_dup_pairs on the audio modality: 4 bands
@@ -1171,7 +1219,7 @@ def audio_near_dup_pairs(
     mask = (1 << band_bits) - 1
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "audio").count()
-    sig = envelope_hash_audio(media, id_col=id_col)
+    sig = envelope_hash_audio(media, id_col=id_col, salvage=salvage)
     bands = sig.select(
         "media_id",
         "ahash",
@@ -1256,6 +1304,7 @@ def incremental_image_near_dup(
     corpus_sig: DataFrame | None = None,
     max_hamming: int = 3,
     n_new: int | None = None,
+    salvage: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch of images against an EXISTING corpus — the
     production ingest shape (every scrape batch vs billions of
@@ -1281,8 +1330,8 @@ def incremental_image_near_dup(
     if (corpus_media is None) == (corpus_sig is None):
         raise ValueError("pass exactly one of corpus_media / corpus_sig")
     if corpus_sig is None:
-        corpus_sig = dhash_images(corpus_media)
-    new_sig = dhash_images(new_media)
+        corpus_sig = dhash_images(corpus_media, salvage=salvage)
+    new_sig = dhash_images(new_media, salvage=salvage)
     if n_new is None:
         n_new = new_media.filter(F.col("media_type") == "image").count()
 

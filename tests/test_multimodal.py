@@ -516,3 +516,48 @@ def test_incremental_image_near_dup_semantics_and_plan(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="exactly one"):
         mm.incremental_image_near_dup(batch)
+
+
+def test_near_dup_signers_salvage_corrupt_blobs(spark):
+    """One corrupt blob in a dedup scan must drop (salvage=True) or
+    raise (strict), never emit a bogus signature — for all three
+    modality signers and the pair pipelines above them."""
+    import pytest as _pytest
+
+    w, h = 16, 8
+    png = mm.encode_png(w, h, mm._stretch_bytes(b"img", w * h))
+    wav = mm.encode_wav(8000, 1, mm._stretch_bytes(b"aud", 300 * 2))
+    avi = mm.encode_avi(w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"v", w * h))], 10)
+    junk = b"\x00" * 64
+    imgs = spark.createDataFrame(
+        [(0, "image", png), (1, "image", png), (2, "image", junk)],
+        "media_id long, media_type string, content binary",
+    )
+    auds = spark.createDataFrame(
+        [(0, "audio", wav), (1, "audio", wav), (2, "audio", junk)],
+        "media_id long, media_type string, content binary",
+    )
+    vids = spark.createDataFrame(
+        [(0, "video", avi), (1, "video", avi), (2, "video", junk)],
+        "media_id long, media_type string, content binary",
+    )
+    assert sorted(
+        r["media_id"] for r in mm.dhash_images(imgs, salvage=True).collect()
+    ) == [0, 1]
+    assert sorted(
+        r["media_id"] for r in mm.envelope_hash_audio(auds, salvage=True).collect()
+    ) == [0, 1]
+    assert sorted(
+        r["media_id"] for r in mm.dhash_video_frames(vids, salvage=True).collect()
+    ) == [0, 1]
+    for df, fn in ((imgs, mm.dhash_images), (auds, mm.envelope_hash_audio),
+                   (vids, mm.dhash_video_frames)):
+        with _pytest.raises(Exception):
+            fn(df).collect()
+    # the pair pipelines still find the intact exact-dup pair
+    assert {(r["a_id"], r["b_id"]) for r in
+            mm.image_near_dup_pairs(imgs, salvage=True).collect()} == {(0, 1)}
+    assert {(r["a_id"], r["b_id"]) for r in
+            mm.audio_near_dup_pairs(auds, salvage=True).collect()} == {(0, 1)}
+    assert {(r["a_id"], r["b_id"]) for r in
+            mm.video_near_dup_pairs(vids, salvage=True).collect()} == {(0, 1)}
