@@ -92,6 +92,15 @@ EXTENDED = [
     # scoring itself is the embedding_candidate_pairs shape already
     # benched; it remains oracle-checked with a coverage witness)
     "vs_score_threshold_search",
+    # round-8 operators (the multimodal near-dup family measures the
+    # full decode→sign→band-join→verify path over engine-codec blobs;
+    # q2/q11 complete the TPC-H suite)
+    "image_near_dup",
+    "video_near_dup",
+    "audio_near_dup",
+    "incremental_image_dedup",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
 ]
 
 
