@@ -1259,7 +1259,9 @@ def audio_near_dup_pairs(
     )
 
 
-def synthesize_audio_corpus(documents: DataFrame, variant_every: int = 7) -> DataFrame:
+def synthesize_audio_corpus(
+    documents: DataFrame, variant_every: int | None = 7
+) -> DataFrame:
     """Deterministic audio-dedup fixture — synthesize_image_corpus on
     the audio modality: every document becomes ONE unique mono 16-bit
     WAV (sample seed salted with doc_id), and every
@@ -1271,7 +1273,8 @@ def synthesize_audio_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
     within any max_hamming ≥ 1 and a guaranteed band match, so the
     expected pair set is EXACTLY {(d, d+OFFSET) : d % variant_every
     == 0} — SQL-computable (the media_salvage_scan closed-form
-    protocol)."""
+    protocol).  ``variant_every=None`` emits bases only (the CORPUS
+    side of incremental dedup)."""
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1285,7 +1288,7 @@ def synthesize_audio_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
                 out["media_id"].append(doc_id)
                 out["media_type"].append("audio")
                 out["content"].append(encode_wav(rate, 1, bytes(samples)))
-                if doc_id % variant_every == 0:
+                if variant_every is not None and doc_id % variant_every == 0:
                     samples[0] ^= 0x01  # LSB of the first sample's low byte
                     out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
                     out["media_type"].append("audio")
@@ -1325,15 +1328,70 @@ def incremental_image_near_dup(
     dup_of the smallest corpus image within ``max_hamming``
     (pigeonhole over 4×16-bit bands: zero false negatives at
     max_hamming < 4), NULL when novel."""
-    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
-
     if (corpus_media is None) == (corpus_sig is None):
         raise ValueError("pass exactly one of corpus_media / corpus_sig")
     if corpus_sig is None:
         corpus_sig = dhash_images(corpus_media, salvage=salvage)
-    new_sig = dhash_images(new_media, salvage=salvage)
     if n_new is None:
         n_new = new_media.filter(F.col("media_type") == "image").count()
+    return _incremental_hamming_verdicts(
+        new_media.filter(F.col("media_type") == "image").select("media_id"),
+        dhash_images(new_media, salvage=salvage),
+        corpus_sig,
+        sig_col="dhash",
+        n_new=n_new,
+        max_hamming=max_hamming,
+    )
+
+
+def incremental_audio_near_dup(
+    new_media: DataFrame,
+    corpus_media: DataFrame | None = None,
+    *,
+    corpus_sig: DataFrame | None = None,
+    max_hamming: int = 3,
+    n_new: int | None = None,
+    salvage: bool = False,
+) -> DataFrame:
+    """incremental_image_near_dup on the audio modality: a new batch of
+    clips checks against the persisted corpus ENVELOPE signature table
+    (envelope_hash_audio output, 8 bytes per clip — never re-decode
+    corpus samples).  Same kernel, same 100 TB plan: batch bands
+    broadcast, one corpus scan, zero corpus-side shuffle."""
+    if (corpus_media is None) == (corpus_sig is None):
+        raise ValueError("pass exactly one of corpus_media / corpus_sig")
+    if corpus_sig is None:
+        corpus_sig = envelope_hash_audio(corpus_media, salvage=salvage)
+    if n_new is None:
+        n_new = new_media.filter(F.col("media_type") == "audio").count()
+    return _incremental_hamming_verdicts(
+        new_media.filter(F.col("media_type") == "audio").select("media_id"),
+        envelope_hash_audio(new_media, salvage=salvage),
+        corpus_sig,
+        sig_col="ahash",
+        n_new=n_new,
+        max_hamming=max_hamming,
+    )
+
+
+def _incremental_hamming_verdicts(
+    new_ids: DataFrame,
+    new_sig: DataFrame,
+    corpus_sig: DataFrame,
+    *,
+    sig_col: str,
+    n_new: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Shared batch-vs-corpus kernel for every 64-bit hamming signature
+    space (image dHash, audio envelope hash): band the signature into
+    4×16 bits, equi-join new vs corpus bands with both sides CARRYING
+    their signature (so a broadcast batch makes the join AND the
+    bit_count verify map-side on the corpus scan), take the smallest
+    qualifying corpus id per new id, and left-join back onto the full
+    batch id list so every batch row gets a verdict (the
+    hard-won rule: aggregate over the side that always has rows)."""
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
 
     n_bands, band_bits = 4, 16
     mask = (1 << band_bits) - 1
@@ -1341,13 +1399,13 @@ def incremental_image_near_dup(
     def bandify(sig: DataFrame, prefix: str) -> DataFrame:
         return sig.select(
             F.col("media_id").alias(f"{prefix}_id"),
-            F.col("dhash").alias(f"{prefix}_dh"),
+            F.col(sig_col).alias(f"{prefix}_sg"),
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftright("dhash", b * band_bits)
+                            F.shiftright(sig_col, b * band_bits)
                             .bitwiseAND(F.lit(mask))
                             .alias("val"),
                         )
@@ -1355,7 +1413,7 @@ def incremental_image_near_dup(
                     ]
                 )
             ).alias("bv"),
-        ).select(f"{prefix}_id", f"{prefix}_dh", "bv.band", "bv.val")
+        ).select(f"{prefix}_id", f"{prefix}_sg", "bv.band", "bv.val")
 
     new_bands = bandify(new_sig, "new")
     corpus_bands = bandify(corpus_sig, "old")
@@ -1367,16 +1425,14 @@ def incremental_image_near_dup(
         joined.select(
             "new_id",
             "old_id",
-            F.bit_count(F.col("new_dh").bitwiseXOR(F.col("old_dh"))).alias("hamming"),
+            F.bit_count(F.col("new_sg").bitwiseXOR(F.col("old_sg"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("new_id")
         .agg(F.min("old_id").alias("dup_of"))
     )
     return (
-        new_media.filter(F.col("media_type") == "image")
-        .select(F.col("media_id"))
-        .join(hits, F.col("media_id") == F.col("new_id"), "left")
+        new_ids.join(hits, F.col("media_id") == F.col("new_id"), "left")
         .select(
             "media_id",
             F.col("dup_of").isNotNull().alias("is_dup"),
@@ -1416,6 +1472,43 @@ def synthesize_image_batch(
                     out["media_type"].append("image")
                     out["content"].append(
                         encode_png(w, h, _stretch_bytes(seed, w * h))
+                    )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )
+
+
+def synthesize_audio_batch(
+    documents: DataFrame, variant_every: int = 7, novel_remainder: int = 3
+) -> DataFrame:
+    """Deterministic INGEST-BATCH fixture for incremental audio dedup —
+    synthesize_image_batch on the audio modality: 1-sample variants of
+    every ``variant_every``-th corpus clip (true near-dups) + NOVEL
+    clips at remainder ``novel_remainder`` with a differently-salted
+    sample seed, so the expected verdicts are closed-form."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rate = 8000 + 1000 * (doc_id % 4)
+                n_samp = 256 + doc_id % 128
+                if doc_id % variant_every == 0:
+                    seed = f"{text}:{doc_id}".encode("utf-8")
+                    samples = bytearray(_stretch_bytes(seed, n_samp * 2))
+                    samples[0] ^= 0x01
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("audio")
+                    out["content"].append(encode_wav(rate, 1, bytes(samples)))
+                if doc_id % variant_every == novel_remainder:
+                    seed = f"novel:{text}:{doc_id}".encode("utf-8")
+                    out["media_id"].append(doc_id + 2 * VARIANT_ID_OFFSET)
+                    out["media_type"].append("audio")
+                    out["content"].append(
+                        encode_wav(rate, 1, _stretch_bytes(seed, n_samp * 2))
                     )
             yield pd.DataFrame(out)
 

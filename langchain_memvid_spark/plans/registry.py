@@ -2764,6 +2764,37 @@ def q_incremental_image_dedup(spark, sf_dir):
 
 
 @_reg(
+    "incremental_audio_dedup",
+    """
+SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY media_id
+""",
+)
+def q_incremental_audio_dedup(spark, sf_dir):
+    """Incremental dedup on the AUDIO modality — the shared
+    batch-vs-corpus hamming kernel (multimodal/binary.py
+    _incremental_hamming_verdicts) over persisted envelope signatures:
+    batch bands broadcast, corpus ONE scan, zero corpus-side shuffle.
+    Same closed-form fixture protocol as incremental_image_dedup
+    (1-sample variants dup-of their base, novel clips novel)."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = mm.synthesize_audio_corpus(docs, variant_every=None)
+    batch = mm.synthesize_audio_batch(docs, variant_every=7, novel_remainder=3)
+    return (
+        mm.incremental_audio_near_dup(
+            batch, corpus_sig=mm.envelope_hash_audio(corpus)
+        )
+        .orderBy("media_id")
+    )
+
+
+@_reg(
     "audio_near_dup",
     """
 SELECT doc_id AS a_id, doc_id + 10000000 AS b_id

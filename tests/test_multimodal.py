@@ -561,3 +561,26 @@ def test_near_dup_signers_salvage_corrupt_blobs(spark):
             mm.audio_near_dup_pairs(auds, salvage=True).collect()} == {(0, 1)}
     assert {(r["a_id"], r["b_id"]) for r in
             mm.video_near_dup_pairs(vids, salvage=True).collect()} == {(0, 1)}
+
+
+def test_incremental_audio_near_dup_semantics_and_plan(spark, sf_dir):
+    """The shared hamming kernel on the audio modality: variants dup-of
+    their base, novels novel, batch-complete output, corpus side
+    unshuffled (no SortMergeJoin)."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    corpus = mm.synthesize_audio_corpus(docs, variant_every=None)
+    batch = mm.synthesize_audio_batch(docs, variant_every=7, novel_remainder=3)
+    df = mm.incremental_audio_near_dup(
+        batch, corpus_sig=mm.envelope_hash_audio(corpus)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    rows = {r["media_id"]: r for r in df.collect()}
+    assert len(rows) == batch.count()
+    for d in [r["doc_id"] for r in docs.select("doc_id").collect()]:
+        if d % 7 == 0:
+            r = rows[d + mm.VARIANT_ID_OFFSET]
+            assert r["is_dup"] and r["dup_of"] == d
+        if d % 7 == 3:
+            r = rows[d + 2 * mm.VARIANT_ID_OFFSET]
+            assert not r["is_dup"] and r["dup_of"] is None
