@@ -1076,7 +1076,9 @@ def video_near_dup_pairs(
     )
 
 
-def synthesize_video_corpus(documents: DataFrame, variant_every: int = 7) -> DataFrame:
+def synthesize_video_corpus(
+    documents: DataFrame, variant_every: int | None = 7
+) -> DataFrame:
     """Deterministic video-dedup fixture — synthesize_image_corpus
     lifted to AVI containers: every document becomes ONE unique video
     (synthesize_video_media's closed-form geometry, pixel seeds salted
@@ -1087,7 +1089,8 @@ def synthesize_video_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
     max_hamming ≥ 2 at every temporal position), so the expected pair
     set is EXACTLY {(d, d+OFFSET) : d % variant_every == 0} with
     n_frames = 1 + d%4 — SQL-computable (the media_salvage_scan
-    closed-form protocol)."""
+    closed-form protocol).  ``variant_every=None`` emits bases only
+    (the CORPUS side of incremental dedup)."""
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1107,7 +1110,7 @@ def synthesize_video_corpus(documents: DataFrame, variant_every: int = 7) -> Dat
                 out["content"].append(
                     encode_avi(w, h, [encode_png(w, h, bytes(fr)) for fr in frames], fps)
                 )
-                if doc_id % variant_every == 0:
+                if variant_every is not None and doc_id % variant_every == 0:
                     for fr in frames:
                         fr[0] ^= 0x80
                     out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
@@ -1509,6 +1512,158 @@ def synthesize_audio_batch(
                     out["media_type"].append("audio")
                     out["content"].append(
                         encode_wav(rate, 1, _stretch_bytes(seed, n_samp * 2))
+                    )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )
+
+
+def incremental_video_near_dup(
+    new_media: DataFrame,
+    corpus_media: DataFrame | None = None,
+    *,
+    corpus_sig: DataFrame | None = None,
+    max_hamming: int = 3,
+    every_n: int = 1,
+    n_new: int | None = None,
+    salvage: bool = False,
+) -> DataFrame:
+    """Incremental dedup on the VIDEO modality — video_near_dup_pairs'
+    temporally-aligned full-depth verify in the batch-vs-corpus shape:
+    a new batch of videos checks against the persisted corpus per-frame
+    signature table (dhash_video_frames output — sign the corpus once
+    at ingest; BOTH sides must be signed at the same ``every_n``).
+
+    The 100 TB plan mirrors the other incrementals: the batch's
+    per-frame band table broadcasts under `_PAIR_BROADCAST_ROW_LIMIT`
+    band rows, so the (frame_no, band, val) join AND the per-frame
+    bit_count verify run map-side against ONE corpus scan; partial
+    aggregation reduces band hits to candidate pairs before the only
+    (batch-sized) exchange.  A pair qualifies only when EVERY sampled
+    frame verifies ≤ max_hamming AND total frame counts agree — a
+    corpus clip sharing some frames is not a duplicate of a longer
+    upload.
+
+    Returns one row per new video: (media_id, is_dup, dup_of)."""
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+    if (corpus_media is None) == (corpus_sig is None):
+        raise ValueError("pass exactly one of corpus_media / corpus_sig")
+    if corpus_sig is None:
+        corpus_sig = dhash_video_frames(corpus_media, every_n=every_n, salvage=salvage)
+    new_sig = dhash_video_frames(new_media, every_n=every_n, salvage=salvage)
+    if n_new is None:
+        # band rows = 4 per sampled frame; bound by frames-per-video
+        new_sig = new_sig.localCheckpoint(eager=True)
+        n_band_rows = new_sig.count() * 4
+    else:
+        n_band_rows = n_new * 4
+
+    n_bands, band_bits = 4, 16
+    mask = (1 << band_bits) - 1
+
+    def bandify(sig: DataFrame, prefix: str) -> DataFrame:
+        return sig.select(
+            F.col("media_id").alias(f"{prefix}_id"),
+            F.col("n_frames").alias(f"{prefix}_nf"),
+            F.col("dhash").alias(f"{prefix}_sg"),
+            "frame_no",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("dhash", b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bv"),
+        ).select(
+            f"{prefix}_id", f"{prefix}_nf", f"{prefix}_sg",
+            "frame_no", "bv.band", "bv.val",
+        )
+
+    new_bands = bandify(new_sig, "new")
+    corpus_bands = bandify(corpus_sig, "old")
+    if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = corpus_bands.join(F.broadcast(new_bands), ["frame_no", "band", "val"])
+    else:
+        joined = corpus_bands.hint("merge").join(new_bands, ["frame_no", "band", "val"])
+    n_sampled = F.ceil(F.col("new_nf") / F.lit(every_n)).cast("int")
+    frame_hits = (
+        joined.filter(F.col("new_nf") == F.col("old_nf"))
+        .select(
+            "new_id",
+            "old_id",
+            "frame_no",
+            n_sampled.alias("n_sampled"),
+            F.bit_count(F.col("new_sg").bitwiseXOR(F.col("old_sg"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    hits = (
+        frame_hits.groupBy("new_id", "old_id", "n_sampled")
+        .agg(F.countDistinct("frame_no").alias("ok_frames"))
+        .filter(F.col("ok_frames") == F.col("n_sampled"))
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"))
+    )
+    return (
+        new_media.filter(F.col("media_type") == "video")
+        .select("media_id")
+        .join(hits, F.col("media_id") == F.col("new_id"), "left")
+        .select(
+            "media_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def synthesize_video_batch(
+    documents: DataFrame, variant_every: int = 7, novel_remainder: int = 3
+) -> DataFrame:
+    """Deterministic INGEST-BATCH fixture for incremental video dedup:
+    per-frame-perturbed variants of every ``variant_every``-th corpus
+    video (true near-dups at full depth) + NOVEL videos at remainder
+    ``novel_remainder`` with differently-salted frame seeds."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                n = 1 + doc_id % 4
+                fps = 5 + doc_id % 10
+                if doc_id % variant_every == 0:
+                    seed = f"{text}:{doc_id}".encode("utf-8")
+                    frames = [
+                        bytearray(_stretch_bytes(seed + fno.to_bytes(4, "big"), w * h))
+                        for fno in range(n)
+                    ]
+                    for fr in frames:
+                        fr[0] ^= 0x80
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("video")
+                    out["content"].append(
+                        encode_avi(w, h, [encode_png(w, h, bytes(fr)) for fr in frames], fps)
+                    )
+                if doc_id % variant_every == novel_remainder:
+                    seed = f"novel:{text}:{doc_id}".encode("utf-8")
+                    frames2 = [
+                        _stretch_bytes(seed + fno.to_bytes(4, "big"), w * h)
+                        for fno in range(n)
+                    ]
+                    out["media_id"].append(doc_id + 2 * VARIANT_ID_OFFSET)
+                    out["media_type"].append("video")
+                    out["content"].append(
+                        encode_avi(w, h, [encode_png(w, h, fr) for fr in frames2], fps)
                     )
             yield pd.DataFrame(out)
 

@@ -2824,6 +2824,39 @@ def q_audio_near_dup(spark, sf_dir):
 
 
 @_reg(
+    "incremental_video_dedup",
+    """
+SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY media_id
+""",
+)
+def q_incremental_video_dedup(spark, sf_dir):
+    """Incremental dedup on the VIDEO modality, completing the
+    incremental story across all media (text/embedding/image/audio/
+    video): new batch vs the persisted corpus PER-FRAME signature
+    table, temporally aligned ((frame_no, band, val) join) with the
+    full-depth + equal-count verify — a corpus clip sharing frames
+    with a longer upload is not its duplicate. Batch bands broadcast;
+    corpus is one scan with zero corpus-side shuffle. Closed-form
+    variant/novel fixture verdicts."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = mm.synthesize_video_corpus(docs, variant_every=None)
+    batch = mm.synthesize_video_batch(docs, variant_every=7, novel_remainder=3)
+    return (
+        mm.incremental_video_near_dup(
+            batch, corpus_sig=mm.dhash_video_frames(corpus)
+        )
+        .orderBy("media_id")
+    )
+
+
+@_reg(
     "video_near_dup",
     """
 SELECT doc_id AS a_id, doc_id + 10000000 AS b_id,

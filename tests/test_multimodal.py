@@ -584,3 +584,42 @@ def test_incremental_audio_near_dup_semantics_and_plan(spark, sf_dir):
         if d % 7 == 3:
             r = rows[d + 2 * mm.VARIANT_ID_OFFSET]
             assert not r["is_dup"] and r["dup_of"] is None
+
+
+def test_incremental_video_near_dup_semantics_depth_and_plan(spark, sf_dir):
+    """Frame-aligned batch-vs-corpus verdicts: variants dup-of their
+    base, novels novel, batch-complete output, no SortMergeJoin; a
+    batch CLIP (frame-prefix of a corpus video) must be NOVEL (full
+    depth + equal count), and a batch video whose last frame diverges
+    must be novel too."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    corpus = mm.synthesize_video_corpus(docs, variant_every=None)
+    batch = mm.synthesize_video_batch(docs, variant_every=7, novel_remainder=3)
+    df = mm.incremental_video_near_dup(batch, corpus_sig=mm.dhash_video_frames(corpus))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    rows = {r["media_id"]: r for r in df.collect()}
+    assert len(rows) == batch.count()
+    for d in [r["doc_id"] for r in docs.select("doc_id").collect()]:
+        if d % 7 == 0:
+            r = rows[d + mm.VARIANT_ID_OFFSET]
+            assert r["is_dup"] and r["dup_of"] == d
+        if d % 7 == 3:
+            r = rows[d + 2 * mm.VARIANT_ID_OFFSET]
+            assert not r["is_dup"] and r["dup_of"] is None
+    # clip-vs-source: prefix of corpus video 0's frames is NOT a dup
+    w, h = 16, 8
+    base = [mm._stretch_bytes(b"cv" + bytes([i]), w * h) for i in range(4)]
+    corpus2 = spark.createDataFrame(
+        [(0, "video", mm.encode_avi(w, h, [mm.encode_png(w, h, p) for p in base], 10))],
+        "media_id long, media_type string, content binary",
+    )
+    clipbatch = spark.createDataFrame(
+        [(100, "video", mm.encode_avi(w, h, [mm.encode_png(w, h, p) for p in base[:2]], 10)),
+         (101, "video", mm.encode_avi(w, h, [mm.encode_png(w, h, p) for p in base], 10))],
+        "media_id long, media_type string, content binary",
+    )
+    verdicts = {r["media_id"]: r for r in
+                mm.incremental_video_near_dup(clipbatch, corpus2).collect()}
+    assert not verdicts[100]["is_dup"]
+    assert verdicts[101]["is_dup"] and verdicts[101]["dup_of"] == 0
