@@ -99,6 +99,8 @@ EXTENDED = [
     "video_near_dup",
     "audio_near_dup",
     "incremental_image_dedup",
+    "incremental_audio_dedup",
+    "incremental_video_dedup",
     "q2_min_cost_supplier",
     "q11_important_stock",
 ]

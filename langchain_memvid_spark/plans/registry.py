@@ -5626,12 +5626,12 @@ _CHANGED_THIS_ROUND = (
 # first.  After round 7 the newest-signal distribution is 23 queries
 # at r4, 41 at r5, 49 at r6, 50 at r7 (zero failures as latest
 # state).  Round 8 rotates onto the whole r4 block first, then the r5
-# block oldest-registered-first: with 5 new queries pending
-# (image_near_dup, q2_min_cost_supplier, q11_important_stock,
-# video_near_dup, audio_near_dup) and 5 in changed, the ~50-query
-# budget covers changed + pending + all 23 r4-era + ~17 of the 41
-# r5-era names; the r5 tail slips to round 9, after which nothing's
-# newest driver row is older than r6.
+# block oldest-registered-first: with 8 new queries pending
+# (image/audio/video near-dup, the three incremental media dedups,
+# q2_min_cost_supplier, q11_important_stock) and 5 in changed, the
+# ~50-query budget covers changed + pending + all 23 r4-era + ~14 of
+# the 41 r5-era names; the r5 tail slips to round 9, after which
+# nothing's newest driver row is older than r6.
 _STALE_ROTATION = (
     # newest signal is r4 — search / store / dedup surface first,
     # simple aggregates last
