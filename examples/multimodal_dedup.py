@@ -47,6 +47,15 @@ clips = mm.synthesize_audio_corpus(docs, variant_every=7)
 aud_pairs = mm.audio_near_dup_pairs(clips, max_hamming=3)
 print("audio near-dup pairs:", aud_pairs.count())
 
+# -- 3b. incremental: tonight's scrape batch vs the kept corpus -------------
+# sign the corpus ONCE (8 bytes/image), then every nightly batch is one
+# corpus scan with zero corpus-side shuffle.
+corpus_sigs = mm.dhash_images(images)
+batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+verdicts = mm.incremental_image_near_dup(batch, corpus_sig=corpus_sigs)
+n_dup = verdicts.filter("is_dup").count()
+print("incremental batch:", verdicts.count(), "images,", n_dup, "already in corpus")
+
 # -- 4. keeper rule + salvage scan ------------------------------------------
 # drop the b-side of each pair (same min-id keeper as text dedup), then
 # scan what survived in salvage mode: corrupt blobs quarantine per-row.
