@@ -919,3 +919,42 @@ def test_edit_distance_pairs_matches_dp_reference(spark_handle, texts, max_d):
             ).collect()
         }
         assert got_gr == want
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    pixels=st.lists(st.integers(0, 100), min_size=50, max_size=200),
+    shift=st.integers(0, 155),
+    w=st.integers(10, 20),
+)
+def test_dhash_brightness_shift_invariant(pixels, shift, w):
+    """dHash compares NEIGHBORING pixels, so a global brightness shift
+    (no clipping) must not change a single bit — the invariance that
+    makes perceptual dedup robust to exposure differences.  Pure codec
+    + hash, no Spark."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    h = max(2, len(pixels) // w)
+    px = (pixels * ((w * h) // len(pixels) + 1))[: w * h]
+    base = mm.encode_png(w, h, bytes(px))
+    shifted = mm.encode_png(w, h, bytes(p + shift for p in px))
+    assert mm.dhash_png(base) == mm.dhash_png(shifted)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    amps=st.lists(st.integers(-300, 300), min_size=70, max_size=400),
+    gain=st.integers(2, 50),
+)
+def test_envelope_hash_gain_invariant(amps, gain):
+    """Positive gain scales every window's mean |amplitude| equally, so
+    the louder-than comparisons — and the hash — are unchanged (the
+    volume-normalization property audio dedup needs)."""
+    import numpy as np
+
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    base = np.array(amps, dtype=np.int16)
+    a = mm.encode_wav(8000, 1, base.astype("<i2").tobytes())
+    b = mm.encode_wav(8000, 1, (base * gain).astype("<i2").tobytes())
+    assert mm.envelope_hash_wav(a) == mm.envelope_hash_wav(b)
