@@ -1527,7 +1527,7 @@ def incremental_video_near_dup(
     corpus_sig: DataFrame | None = None,
     max_hamming: int = 3,
     every_n: int = 1,
-    n_new: int | None = None,
+    n_band_rows: int | None = None,
     salvage: bool = False,
 ) -> DataFrame:
     """Incremental dedup on the VIDEO modality — video_near_dup_pairs'
@@ -1541,7 +1541,11 @@ def incremental_video_near_dup(
     band rows, so the (frame_no, band, val) join AND the per-frame
     bit_count verify run map-side against ONE corpus scan; partial
     aggregation reduces band hits to candidate pairs before the only
-    (batch-sized) exchange.  A pair qualifies only when EVERY sampled
+    (batch-sized) exchange.  The bound counts BAND rows = 4 × the
+    batch's sampled-frame count (NOT its video count — a video
+    contributes one band row per band per sampled frame); pass
+    ``n_band_rows`` to skip the default's eager
+    localCheckpoint-and-count of the batch signature table.  A pair qualifies only when EVERY sampled
     frame verifies ≤ max_hamming AND total frame counts agree — a
     corpus clip sharing some frames is not a duplicate of a longer
     upload.
@@ -1554,12 +1558,11 @@ def incremental_video_near_dup(
     if corpus_sig is None:
         corpus_sig = dhash_video_frames(corpus_media, every_n=every_n, salvage=salvage)
     new_sig = dhash_video_frames(new_media, every_n=every_n, salvage=salvage)
-    if n_new is None:
-        # band rows = 4 per sampled frame; bound by frames-per-video
+    if n_band_rows is None:
+        # band rows = 4 per sampled frame; the checkpoint also means
+        # signing runs once, not once per use below
         new_sig = new_sig.localCheckpoint(eager=True)
         n_band_rows = new_sig.count() * 4
-    else:
-        n_band_rows = n_new * 4
 
     n_bands, band_bits = 4, 16
     mask = (1 << band_bits) - 1
