@@ -745,7 +745,11 @@ def q2_min_cost_supplier(
     the supplier(s) in one region offering the minimum cost — the
     correlated MIN subquery de-correlated into one per-part window MIN
     over the already-region-filtered supply table, so the corpus-sized
-    lineitem is scanned ONCE and every dimension joins broadcast.
+    lineitem is scanned ONCE.  Only the CONSTANT dims (nation, region)
+    carry broadcast hints; the SF-scaled part and supplier sides are
+    left to Catalyst/AQE, which broadcasts them while they fit and
+    shuffles when a 100 TB SF outgrows the hint — the blanket-hint OOM
+    class this repo's history forbids.
     Completes the 22-query TPC-H suite (reference has no relational
     surface; this is the engine's analytics layer)."""
     eligible_parts = part.filter(
@@ -765,8 +769,8 @@ def q2_min_cost_supplier(
     )
     supply = (
         lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
-        .join(F.broadcast(eligible_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(region_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(eligible_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(region_suppliers, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_brand", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(_dec("l_extendedprice")).alias("supply_cost"))
     )
@@ -813,8 +817,10 @@ def q11_important_stock(
         F.broadcast(nation.filter(F.col("n_name") == nation_name)),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey")
+    # nat_suppliers scales with SF (suppliers/25): no forced broadcast —
+    # AQE picks broadcast while it fits, shuffle semi-join beyond
     supply = lineitem.select("l_partkey", "l_suppkey", "l_extendedprice").join(
-        F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        nat_suppliers, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     per_part = supply.groupBy("l_partkey").agg(
         F.sum(_dec("l_extendedprice")).alias("part_value")
