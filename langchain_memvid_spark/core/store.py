@@ -838,7 +838,12 @@ class SparkVectorStore:
             id_col="doc_id",
             cap=max(self._IVF_TRAIN_CAP, 256 * ic.nlist),
         )
-        self._ivf = IVFIndex(cents, metric=self._ivf_metric())
+        # the index keeps the RAW config metric (ADVICE r8: collapsing
+        # ip→cosine here made IVFIndex.search rank an ip store by
+        # cosine); probing/assignment already collapse ip→cosine
+        # internally via _probe_metric, so only exact-pass scoring
+        # changes — to dot, matching _topk
+        self._ivf = IVFIndex(cents, metric=self.config.index.metric)
         assigned = self._doc_index.withColumn(
             "cluster_id",
             nearest_centroid_col(F.col("embedding"), cents, metric=self._ivf_metric()),
@@ -1988,7 +1993,7 @@ class SparkVectorStore:
                     for r in cents_rows
                 )
                 store._ivf = IVFIndex(
-                    cents, path=idx_path, metric=store._ivf_metric()
+                    cents, path=idx_path, metric=store.config.index.metric
                 )
                 keep = [f.name for f in INDEX_SCHEMA.fields] + ["cluster_id"]
                 store._doc_index = idx.select(keep)
@@ -2068,7 +2073,7 @@ class SparkVectorStore:
             store._ivf = IVFIndex(
                 sorted((int(c), [float(x) for x in v]) for c, v in centroids),
                 path=table_path,
-                metric=store._ivf_metric(),
+                metric=store.config.index.metric,
             )
             store._doc_index = idx.select(keep + ["cluster_id"])
             # remember which engine columns exist only as the in-plan

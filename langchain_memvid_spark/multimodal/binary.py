@@ -1327,10 +1327,12 @@ def incremental_image_near_dup(
     every batch.  Oversized batches fall back to a sort-merge band
     join.
 
-    Returns one row per new image: (media_id, is_dup, dup_of) —
-    dup_of the smallest corpus image within ``max_hamming``
+    Returns one row per new image: (media_id, is_dup, dup_of,
+    decoded) — dup_of the smallest corpus image within ``max_hamming``
     (pigeonhole over 4×16-bit bands: zero false negatives at
-    max_hamming < 4), NULL when novel."""
+    max_hamming < 4), NULL when novel; ``decoded`` false when the blob
+    failed to sign (salvage mode — an undecodable blob is NOT a
+    verified-novel keeper, ADVICE r8)."""
     if (corpus_media is None) == (corpus_sig is None):
         raise ValueError("pass exactly one of corpus_media / corpus_sig")
     if corpus_sig is None:
@@ -1393,11 +1395,23 @@ def _incremental_hamming_verdicts(
     bit_count verify map-side on the corpus scan), take the smallest
     qualifying corpus id per new id, and left-join back onto the full
     batch id list so every batch row gets a verdict (the
-    hard-won rule: aggregate over the side that always has rows)."""
+    hard-won rule: aggregate over the side that always has rows).
+
+    The verdict carries ``decoded`` — whether the batch blob produced a
+    signature row at all (ADVICE r8: in salvage mode an undecodable
+    blob must be distinguishable from a genuinely novel keeper, or a
+    corrupt scrape batch silently passes the ingest gate as
+    is_dup=false).  Without salvage every blob signs or the scan
+    raises, so decoded is uniformly true."""
     from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
 
     n_bands, band_bits = 4, 16
     mask = (1 << band_bits) - 1
+    # the batch signature table feeds BOTH the band join and the
+    # decoded-ids flag — a lazy checkpoint stops the Arrow signer from
+    # running once per plan branch without triggering a job at plan
+    # construction time
+    new_sig = new_sig.localCheckpoint(eager=False)
 
     def bandify(sig: DataFrame, prefix: str) -> DataFrame:
         return sig.select(
@@ -1434,12 +1448,15 @@ def _incremental_hamming_verdicts(
         .groupBy("new_id")
         .agg(F.min("old_id").alias("dup_of"))
     )
+    signed_ids = new_sig.select(F.col("media_id").alias("sig_id")).distinct()
     return (
         new_ids.join(hits, F.col("media_id") == F.col("new_id"), "left")
+        .join(signed_ids, F.col("media_id") == F.col("sig_id"), "left")
         .select(
             "media_id",
             F.col("dup_of").isNotNull().alias("is_dup"),
             "dup_of",
+            F.col("sig_id").isNotNull().alias("decoded"),
         )
     )
 
@@ -1550,7 +1567,9 @@ def incremental_video_near_dup(
     corpus clip sharing some frames is not a duplicate of a longer
     upload.
 
-    Returns one row per new video: (media_id, is_dup, dup_of)."""
+    Returns one row per new video: (media_id, is_dup, dup_of,
+    decoded) — ``decoded`` false when the container walk failed to
+    produce any frame signature (salvage mode, ADVICE r8)."""
     from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
 
     if (corpus_media is None) == (corpus_sig is None):
@@ -1563,6 +1582,10 @@ def incremental_video_near_dup(
         # signing runs once, not once per use below
         new_sig = new_sig.localCheckpoint(eager=True)
         n_band_rows = new_sig.count() * 4
+    else:
+        # signing still feeds both the band join and the decoded-ids
+        # flag — reuse without a plan-construction job
+        new_sig = new_sig.localCheckpoint(eager=False)
 
     n_bands, band_bits = 4, 16
     mask = (1 << band_bits) - 1
@@ -1616,14 +1639,17 @@ def incremental_video_near_dup(
         .groupBy("new_id")
         .agg(F.min("old_id").alias("dup_of"))
     )
+    signed_ids = new_sig.select(F.col("media_id").alias("sig_id")).distinct()
     return (
         new_media.filter(F.col("media_type") == "video")
         .select("media_id")
         .join(hits, F.col("media_id") == F.col("new_id"), "left")
+        .join(signed_ids, F.col("media_id") == F.col("sig_id"), "left")
         .select(
             "media_id",
             F.col("dup_of").isNotNull().alias("is_dup"),
             "dup_of",
+            F.col("sig_id").isNotNull().alias("decoded"),
         )
     )
 

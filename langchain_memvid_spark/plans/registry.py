@@ -2733,10 +2733,12 @@ def q_image_near_dup(spark, sf_dir):
 @_reg(
     "incremental_image_dedup",
     """
-SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of
+SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,
+       TRUE AS decoded
 FROM documents WHERE doc_id % 7 = 0
 UNION ALL
-SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of
+SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of,
+       TRUE AS decoded
 FROM documents WHERE doc_id % 7 = 3
 ORDER BY media_id
 """,
@@ -2766,10 +2768,12 @@ def q_incremental_image_dedup(spark, sf_dir):
 @_reg(
     "incremental_audio_dedup",
     """
-SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of
+SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,
+       TRUE AS decoded
 FROM documents WHERE doc_id % 7 = 0
 UNION ALL
-SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of
+SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of,
+       TRUE AS decoded
 FROM documents WHERE doc_id % 7 = 3
 ORDER BY media_id
 """,
@@ -2826,10 +2830,12 @@ def q_audio_near_dup(spark, sf_dir):
 @_reg(
     "incremental_video_dedup",
     """
-SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of
+SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,
+       TRUE AS decoded
 FROM documents WHERE doc_id % 7 = 0
 UNION ALL
-SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of
+SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of,
+       TRUE AS decoded
 FROM documents WHERE doc_id % 7 = 3
 ORDER BY media_id
 """,
@@ -4187,13 +4193,16 @@ WITH rs AS (
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'EUROPE'
 ), supply AS (
+  -- s_suppkey in the GROUP BY (not projected) matches the Spark plan's
+  -- grouping granularity exactly: two suppliers sharing name+acctbal+
+  -- nation for one part must stay two rows (ADVICE r8)
   SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
          min(CAST(round(l_extendedprice,2) AS DECIMAL(18,2))) AS supply_cost
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN rs ON l_suppkey = s_suppkey
   WHERE p_size = 15 AND p_type LIKE '%STANDARD'
-  GROUP BY 1,2,3,4,5
+  GROUP BY 1,2,3,4,5, s_suppkey
 )
 SELECT round(s_acctbal,2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
        CAST(supply_cost AS DOUBLE) AS supply_cost
@@ -5598,60 +5607,53 @@ _DRIVER_GREEN = {
     "ivf_batch_search", "media_salvage_scan", "metadata_first_match",
     "video_frame_sample", "vs_score_threshold_search",
     "stream_dedup_vs_corpus", "stream_similarity_join",
+    # CORRECTNESS_r08.json: 50 full hash passes, zero failures.  New
+    # names not already listed above:
+    "image_near_dup", "video_near_dup", "audio_near_dup",
+    "incremental_image_dedup", "incremental_audio_dedup",
+    "incremental_video_dedup", "q2_min_cost_supplier",
+    "q11_important_stock",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 7:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 9:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
 # actually landed belong here.
 _CHANGED_THIS_ROUND = (
-    # round 8: knobs now derive from the measured sizing rules instead
-    # of constants (VERDICT r7 item 3) — outputs identical at driver
-    # SFs (the rules reproduce the classic knobs there), plans carry
-    # the extra exact count
-    "semantic_dedup",
-    "embedding_topk_join",
-    "embedding_candidate_pairs",
-    # static-side broadcast is now an exact-count PICK instead of a
-    # forced hint (VERDICT r7 What's-wrong #1) — output identical
-    "stream_dedup_vs_corpus",
-    # empty-source path returns a typed empty frame instead of raising;
-    # non-empty output unchanged (ADVICE r7)
+    # round 9: oracle grouping granularity now matches the Spark plan
+    # exactly (s_suppkey added to the oracle GROUP BY — ADVICE r8 #3);
+    # Spark output unchanged
+    "q2_min_cost_supplier",
+    # incremental media dedups gained a `decoded` verdict column so an
+    # undecodable batch blob is distinguishable from a genuinely novel
+    # keeper (ADVICE r8 #4) — output schema changed, oracle updated
+    "incremental_image_dedup",
+    "incremental_audio_dedup",
+    "incremental_video_dedup",
+    # media pair operators now collapse exact-signature groups BEFORE
+    # banding and df-cap hot (band,val) buckets (VERDICT r8 item 2) —
+    # pair output identical on the closed-form fixtures, plan changed
+    "image_near_dup",
+    "video_near_dup",
+    "audio_near_dup",
+    # empty-stream schema order fix (ADVICE r8 #2) + shared bandify
+    # kernel refactor — non-empty output unchanged
     "stream_similarity_join",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 7 the newest-signal distribution is 23 queries
-# at r4, 41 at r5, 49 at r6, 50 at r7 (zero failures as latest
-# state).  Round 8 rotates onto the whole r4 block first, then the r5
-# block oldest-registered-first: with 8 new queries pending
-# (image/audio/video near-dup, the three incremental media dedups,
-# q2_min_cost_supplier, q11_important_stock) and 5 in changed, the
-# ~50-query budget covers changed + pending + all 23 r4-era + ~14 of
-# the 41 r5-era names; the r5 tail slips to round 9, after which
-# nothing's newest driver row is older than r6.
+# first.  After round 8 the newest-signal distribution is 28 queries
+# at r5, 48 at r6, 45 at r7, 50 at r8 (zero failures as latest
+# state).  Round 9 rotates onto the whole remaining r5 block (the r5
+# tail that slipped past round 8's budget — VERDICT r8 item 1): with
+# ~8 changed and a handful of new queries this round, the ~50-query
+# budget covers changed + pending + all 28, after which nothing's
+# newest driver row is older than r6.
 _STALE_ROTATION = (
-    # newest signal is r4 — search / store / dedup surface first,
-    # simple aggregates last
-    "canonical_docs", "minhash_jaccard_estimates", "udaf_median_price",
-    "event_funnel", "value_outliers_iqr", "purchase_attribution",
-    "event_type_pivot", "orders_cube", "order_gaps",
-    "q4_late_shipment_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q9_product_profit", "q10_returned_items",
-    "q13_customer_distribution", "q16_supplier_counts",
-    "q20_excess_shipments", "above_avg_customers",
-    "big_spender_customers", "monthly_order_stats", "part_type_stats",
-    "price_percentiles", "doc_length_histogram",
-    # newest signal is r5 — oldest-registered first; the tail past the
-    # ~50 budget carries over to round 9
-    "knn_graph_topk", "duplicate_span_stats", "dedup_spans_clean",
-    "jaccard_containment", "bm25_topk", "bm25_batch",
-    "hybrid_rrf_search", "stratified_sample_exact",
-    "embedding_quantization_int4", "knn_topk_int4",
-    "pq_compression_stats", "pretrain_pipeline_v4",
-    "vs_metadata_filter_range", "vs_essential_projection",
+    # newest signal is r5 — search / store / stream surface first,
+    # simple relational queries last
     "vs_point_lookup", "vs_semi_join", "payload_roundtrip",
     "approx_distinct_stats", "bucketed_colocated_join",
     "salted_skew_join", "distinct_counts", "chunk_documents",

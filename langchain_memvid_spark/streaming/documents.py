@@ -220,7 +220,8 @@ def stream_similarity_join(
     foreachBatch, so skipped rows never reach the join.
 
     Returns a batch read of the accumulated results
-    (batch_id, query_id, doc_id, text, similarity, rank)."""
+    (query_id, doc_id, text, similarity, rank, batch_id — the
+    partition-discovery column comes last, on the empty path too)."""
     stream = read_embeddings_stream(spark, emb_path, max_files_per_trigger)
     if filter_expr is not None:
         stream = stream.filter(filter_expr)
@@ -246,11 +247,15 @@ def stream_similarity_join(
             raise
         # zero microbatches ran (empty or fully filtered source), so no
         # sink directory exists — an empty result with the documented
-        # schema, not a crash (ADVICE r7)
+        # schema, not a crash (ADVICE r7).  batch_id comes LAST: the
+        # non-empty path reads a partitioned directory, and partition
+        # discovery appends the partition column after the data columns
+        # (ADVICE r8: positional consumers must see one order on both
+        # paths)
         return spark.createDataFrame(
             [],
-            "batch_id INT, query_id BIGINT, doc_id BIGINT, text STRING, "
-            "similarity DOUBLE, rank INT",
+            "query_id BIGINT, doc_id BIGINT, text STRING, "
+            "similarity DOUBLE, rank INT, batch_id INT",
         )
 
 

@@ -563,6 +563,42 @@ def test_near_dup_signers_salvage_corrupt_blobs(spark):
             mm.video_near_dup_pairs(vids, salvage=True).collect()} == {(0, 1)}
 
 
+def test_incremental_dedup_salvage_flags_undecodable(spark):
+    """In salvage mode an undecodable batch blob must be marked
+    decoded=False — distinguishable from a verified-novel keeper
+    (ADVICE r8: a corrupt scrape batch must not silently pass the
+    ingest gate as is_dup=false) — for all three modalities."""
+    w, h = 16, 8
+    png = mm.encode_png(w, h, mm._stretch_bytes(b"img", w * h))
+    png2 = mm.encode_png(w, h, mm._stretch_bytes(b"other", w * h))
+    wav = mm.encode_wav(8000, 1, mm._stretch_bytes(b"aud", 300 * 2))
+    wav2 = mm.encode_wav(8000, 1, mm._stretch_bytes(b"aud2", 300 * 2))
+    avi = mm.encode_avi(w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"v", w * h))], 10)
+    avi2 = mm.encode_avi(w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"v2", w * h))], 10)
+    junk = b"\x00" * 64
+    for mtype, corpus_blob, dup_blob, novel_blob, signer, fn in (
+        ("image", png, png, png2, mm.dhash_images, mm.incremental_image_near_dup),
+        ("audio", wav, wav, wav2, mm.envelope_hash_audio, mm.incremental_audio_near_dup),
+        ("video", avi, avi, avi2, mm.dhash_video_frames, mm.incremental_video_near_dup),
+    ):
+        corpus = spark.createDataFrame(
+            [(0, mtype, corpus_blob)],
+            "media_id long, media_type string, content binary",
+        )
+        batch = spark.createDataFrame(
+            [(10, mtype, dup_blob), (11, mtype, novel_blob), (12, mtype, junk)],
+            "media_id long, media_type string, content binary",
+        )
+        rows = {
+            r["media_id"]: r
+            for r in fn(batch, corpus_sig=signer(corpus), salvage=True).collect()
+        }
+        assert rows[10]["is_dup"] and rows[10]["dup_of"] == 0 and rows[10]["decoded"]
+        assert not rows[11]["is_dup"] and rows[11]["decoded"]
+        assert not rows[12]["is_dup"] and rows[12]["dup_of"] is None
+        assert not rows[12]["decoded"], mtype
+
+
 def test_incremental_audio_near_dup_semantics_and_plan(spark, sf_dir):
     """The shared hamming kernel on the audio modality: variants dup-of
     their base, novels novel, batch-complete output, corpus side

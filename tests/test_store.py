@@ -897,6 +897,40 @@ def test_ivf_composes_with_int8_first_pass(spark):
     assert code_only, f"no code-only scan in plan:\n{plan}"
 
 
+def test_store_ivf_index_keeps_raw_ip_metric(spark):
+    """ADVICE r8: a store-owned IVFIndex carries the RAW config metric
+    — on an ip store, ivf_index.search scores by DOT and agrees with
+    the store's own _topk ranking (ip vectors are not normalized at
+    ingest, so a cosine-scoring index would silently diverge) — while
+    probing/assignment still collapse ip→cosine (one geometry for
+    assignment and probing)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = EngineConfig(
+        index=IndexConfig(
+            metric="ip", ivf=True, nlist=4, nprobe=4,
+            ivf_min_points_factor=5, rerank_candidates=0,
+        )
+    )
+    s = SparkVectorStore(spark, config=cfg)
+    s.add_dataframe(
+        emb.withColumn("t", F.concat(F.lit("doc-"), F.col("vec_id"))),
+        text_col="t", order_col="vec_id", embedding_col="embedding",
+    )
+    assert s.ivf_index.metric == "ip"
+    assert s.ivf_index._probe_metric() == "cosine"
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    via_store = [r["doc_id"] for r in s._topk(qvec, 10).collect()]
+    via_index = [
+        r["doc_id"]
+        for r in s.ivf_index.search(
+            spark, qvec, k=10, nprobe=4, id_col="doc_id", rerank_candidates=0
+        ).collect()
+    ]
+    assert via_index == via_store
+
+
 def test_ivf_rebuild_retrains_and_resizes(spark):
     """rebuild_ivf retrains on the current corpus (drift repair) and
     can resize nlist; the new layout stays exact at full probe."""

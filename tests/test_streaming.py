@@ -377,6 +377,11 @@ def test_stream_similarity_join_matches_batch(spark, sf_dir, tmp_path_factory):
     assert any(
         d.startswith("batch_id=") for d in os.listdir(f"{base}/results")
     )
+    # the partition-discovery column comes LAST — the empty-source path
+    # must produce the same order (ADVICE r8)
+    assert out.columns == [
+        "query_id", "doc_id", "text", "similarity", "rank", "batch_id"
+    ]
 
 
 def test_stream_similarity_join_empty_source_returns_empty(spark, sf_dir, tmp_path_factory):
@@ -405,9 +410,11 @@ def test_stream_similarity_join_empty_source_returns_empty(spark, sf_dir, tmp_pa
         filter_expr="vec_id < 0",  # matches nothing
     )
     assert out.count() == 0
-    assert set(out.columns) == {
-        "batch_id", "query_id", "doc_id", "text", "similarity", "rank"
-    }
+    # same COLUMN ORDER as the non-empty (partitioned-read) path, so
+    # positional consumers see one schema on both (ADVICE r8)
+    assert out.columns == [
+        "query_id", "doc_id", "text", "similarity", "rank", "batch_id"
+    ]
 
 
 def test_stream_dedup_vs_corpus_strategy_pick(spark, sf_dir, monkeypatch):
