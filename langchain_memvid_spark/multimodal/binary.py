@@ -23,6 +23,7 @@ Codecs come in three tiers:
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -744,64 +745,300 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
 VARIANT_ID_OFFSET = 10_000_000
 
 
-def dhash_png(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
+def _pack_bits_signed(bits) -> list[int]:
+    """Pack a flat bit sequence into SIGNED 64-bit longs, 64 bits per
+    long, bit i of chunk j = bits[64j+i] (bit 63 set → negative long,
+    matching Spark's LongType so band arithmetic is identical in both
+    engines)."""
+    out = []
+    for j in range(0, len(bits), 64):
+        sig = 0
+        for i, b in enumerate(bits[j : j + 64]):
+            if b:
+                sig |= 1 << i
+        out.append(int(np.int64(np.uint64(sig))))
+    return out
+
+
+def dhash_png_longs(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> list[int]:
     """Difference hash of one grayscale PNG: decode pixels (engine
     codec, CRC-validated), nearest-neighbor resample to
     (hash_w+1)×hash_h via the same numpy index maps as resize_png_nn,
-    then bit (r,c) = p[r,c] > p[r,c+1] packed row-major into a SIGNED
-    64-bit int (bit 63 set → negative long, matching Spark's LongType
-    so band arithmetic is identical in both engines).  Deterministic,
-    dependency-free, resolution-invariant (near-dups at different
-    sizes hash close)."""
+    then bit (r,c) = p[r,c] > p[r,c+1] packed row-major into signed
+    64-bit longs (_pack_bits_signed).  Deterministic, dependency-free,
+    resolution-invariant (near-dups at different sizes hash close).
+    The default 8×8 grid yields 64 bits (one long); 16×16 yields the
+    256-bit wide hash (4 longs — VERDICT r8 item 5: 4×64-bit bands cut
+    the iid band-collision rate by 2⁴⁸ at billion scale)."""
     w, h, pixels = decode_png_pixels(blob)
     src = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
     rows = (np.arange(hash_h) * h) // hash_h
     cols = (np.arange(hash_w + 1) * w) // (hash_w + 1)
     g = src[rows][:, cols].astype(np.int16)
     bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
-    sig = 0
-    for i, b in enumerate(bits):
-        if b:
-            sig |= 1 << i
-    return int(np.int64(np.uint64(sig)))  # wrap to signed 64-bit
+    return _pack_bits_signed(bits)
+
+
+def dhash_png(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
+    """64-bit difference hash (dhash_png_longs' single-long form)."""
+    return dhash_png_longs(blob, hash_w, hash_h)[0]
+
+
+def sig_col_names(base: str, hash_bits: int) -> list[str]:
+    """Signature column layout per width: 64-bit hashes live in ONE
+    long named ``base``; wider hashes in ``base0..baseN`` longs."""
+    if hash_bits == 64:
+        return [base]
+    if hash_bits % 64 != 0:
+        raise ValueError(f"hash_bits must be a multiple of 64, got {hash_bits}")
+    return [f"{base}{j}" for j in range(hash_bits // 64)]
+
+
+def _dhash_grid(hash_bits: int) -> tuple[int, int]:
+    """Square-ish dHash grid for a bit width: 64 → 8×8, 256 → 16×16."""
+    side = int(math.isqrt(hash_bits))
+    if side * side != hash_bits:
+        raise ValueError(f"hash_bits must be a perfect square, got {hash_bits}")
+    return side, side
 
 
 def dhash_images(
-    media: DataFrame, id_col: str = "media_id", salvage: bool = False
+    media: DataFrame,
+    id_col: str = "media_id",
+    salvage: bool = False,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """(media_id, dhash) for every image row — one Arrow-batched scan
     (the signer pattern shared with minhash/simhash/RHP: per-row Python
     only inside vectorized batches, never a row-at-a-time UDF).
 
+    ``hash_bits=256`` emits the WIDE hash (16×16 gradient grid packed
+    into 4 longs dhash0..dhash3 — VERDICT r8 item 5): the pair
+    operators then band one LONG per band, keeping pigeonhole zero-FN
+    at hamming ≤ 3 while cutting the iid band-collision rate by 2⁴⁸ —
+    the billion-image knob.  64-bit output keeps the single ``dhash``
+    column (the persisted-signature contract is width-stable).
+
     ``salvage=True`` DROPS undecodable blobs from the signature table
     instead of failing the scan (an image that can't decode can't
     near-dup; quarantine diagnostics are decode_media_info's job) —
     one bad blob in a billion must not kill a 100 TB dedup run."""
+    cols = sig_col_names("dhash", hash_bits)
+    hw, hh = _dhash_grid(hash_bits)
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
+            ids, hashes = [], [[] for _ in cols]
             for mid, c in zip(pdf[id_col], pdf["content"]):
                 if salvage:
                     try:
-                        h = dhash_png(bytes(c))
+                        hs = dhash_png_longs(bytes(c), hw, hh)
                     except Exception:  # noqa: BLE001 — drop, never fail the scan
                         continue
                 else:
-                    h = dhash_png(bytes(c))
+                    hs = dhash_png_longs(bytes(c), hw, hh)
                 ids.append(int(mid))
-                hashes.append(h)
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.array(ids, dtype="int64"),
-                    "dhash": pd.array(hashes, dtype="int64"),
-                }
-            )
+                for j, h in enumerate(hs):
+                    hashes[j].append(h)
+            out = {"media_id": pd.array(ids, dtype="int64")}
+            for name, vals in zip(cols, hashes):
+                out[name] = pd.array(vals, dtype="int64")
+            yield pd.DataFrame(out)
 
+    schema = ", ".join(["media_id long"] + [f"{c} long" for c in cols])
     return (
         media.filter(F.col("media_type") == "image")
         .select(F.col(id_col), "content")
-        .mapInPandas(sign, "media_id long, dhash long")
+        .mapInPandas(sign, schema)
+    )
+
+
+# Skew guard for the media band joins (VERDICT r8 item 2): a (band,
+# val) bucket shared by more than this many DISTINCT signatures is
+# dropped from candidate generation, the same df-cap discipline as the
+# text shingle families (dedup.py max_df).  Exact duplicates never
+# reach the cap — they collapse to ONE distinct signature first.
+_MEDIA_BUCKET_CAP = 100_000
+
+
+def _drop_hot_buckets(
+    bands: DataFrame,
+    n_rows: int,
+    max_bucket: int | None,
+    keys: tuple[str, ...] = ("band", "val"),
+) -> DataFrame:
+    """df-cap the band-join key at distinct-signature grain: one
+    map-side-combinable groupBy finds buckets with more than
+    ``max_bucket`` distinct signatures (few by construction), dropped
+    via a literal filter on the Spark-computed composite key — no
+    broadcast barrier in front of the candidate join; a pathologically
+    long list (>10k) falls back to an anti join.  A bucket's df is
+    bounded by the distinct-signature count ≤ ``n_rows``, so when
+    n_rows ≤ max_bucket the pass provably cannot bind and is skipped —
+    no extra job at test SFs.  Pairs matching ONLY through a dropped
+    ultra-common band value lose pigeonhole coverage — the same trade
+    the text side documents (near-identical media still agree on their
+    other, rarer bands)."""
+    if max_bucket is None or n_rows <= max_bucket:
+        return bands
+    ck = F.xxhash64(*[F.col(k) for k in keys])
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_bucket)
+    )
+    hot_keys = [r["__ck"] for r in hot.select(ck.alias("__ck")).limit(10_001).collect()]
+    if len(hot_keys) > 10_000:
+        return bands.join(hot.select(*keys), list(keys), "left_anti")
+    if not hot_keys:
+        return bands
+    return bands.filter(~ck.isin(hot_keys))
+
+
+def _collapse_signature_groups(
+    sig: DataFrame, sig_cols: list[str], id_col: str = "media_id"
+) -> DataFrame:
+    """One row per DISTINCT signature: (sig_cols..., rep_id = smallest
+    member id, n_members).  Exact duplicates — the production
+    megacluster shape (the same logo/meme/silence clip scraped millions
+    of times) — collapse BEFORE banding, so a 10 M-copy image is ONE
+    band row per band, not a quadratic (band, val) bucket."""
+    return sig.groupBy(*sig_cols).agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("n_members")
+    )
+
+
+def _collapsed_near_dup_pairs(
+    sig: DataFrame,
+    sig_cols: list[str],
+    max_hamming: int,
+    n_media: int,
+    band_bits: int,
+    max_bucket: int | None = _MEDIA_BUCKET_CAP,
+) -> DataFrame:
+    """Shared pair kernel for the flat (non-temporal) media hamming
+    spaces — image dHash and audio envelope hash, any width (VERDICT
+    r8 items 2/8): exact-signature collapse → banded equi-join over
+    DISTINCT signatures only (hot buckets df-capped) → exact hamming
+    verify at representative grain → member expansion back to the
+    full (a_id, b_id, hamming) pair listing.
+
+    The expansion is output-proportional by definition (a pair is
+    emitted because it IS a near-dup pair); what the collapse removes
+    is the JOIN-side quadratics: identical signatures never meet the
+    band join at all, and cross-megacluster hamming is verified ONCE
+    per signature pair instead of once per member pair.  Callers that
+    only need cluster grain use the rep-pair form directly
+    (image/audio_near_dup_groups).
+
+    Output pair set is EXACTLY the hamming-≤max_hamming pair listing
+    the pre-collapse plan produced: within-group pairs carry hamming
+    0, cross-group pairs the verified signature distance."""
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+    n_bands = 4
+    sig = sig.localCheckpoint(eager=False)  # feeds groups AND members once
+    groups = _collapse_signature_groups(sig, sig_cols).localCheckpoint(eager=False)
+    rep_pairs = _rep_hamming_pairs(
+        groups, sig_cols, max_hamming, n_media, band_bits, max_bucket
+    )
+    g = groups.select(*sig_cols, "rep_id", "n_members")
+    if n_media <= _PAIR_BROADCAST_ROW_LIMIT:
+        g = F.broadcast(g)
+    members = (
+        sig.select("media_id", *sig_cols)
+        .join(g, sig_cols)
+        .select("media_id", "rep_id", "n_members")
+        .localCheckpoint(eager=False)
+    )
+    ma = members.select(F.col("rep_id").alias("a_id"), F.col("media_id").alias("__ma"))
+    mb = members.select(F.col("rep_id").alias("b_id"), F.col("media_id").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(
+            F.least("__ma", "__mb").alias("a_id"),
+            F.greatest("__ma", "__mb").alias("b_id"),
+            "hamming",
+        )
+    )
+    w1 = members.filter(F.col("n_members") > 1).select(
+        "rep_id", F.col("media_id").alias("__ma")
+    )
+    w2 = members.filter(F.col("n_members") > 1).select(
+        "rep_id", F.col("media_id").alias("__mb")
+    )
+    if n_media <= _PAIR_BROADCAST_ROW_LIMIT:
+        w1 = F.broadcast(w1)
+    else:
+        w1 = w1.hint("merge")
+    within = (
+        w1.join(w2, "rep_id")
+        .filter(F.col("__ma") < F.col("__mb"))
+        .select(
+            F.col("__ma").alias("a_id"),
+            F.col("__mb").alias("b_id"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _rep_hamming_pairs(
+    groups: DataFrame,
+    sig_cols: list[str],
+    max_hamming: int,
+    n_media: int,
+    band_bits: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(a_id, b_id, hamming, a_members, b_members) at REPRESENTATIVE
+    grain over a collapsed signature-group table: banded candidates
+    (hot buckets capped), exact hamming verify, a_id < b_id.  The
+    linear-output cluster form — a megacluster contributes its group
+    SIZE, never its member pairs."""
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
+
+    n_bands = 4
+    bands = hamming_band_table(
+        groups, sig_cols, n_bands=n_bands, band_bits=band_bits
+    )
+    bands = _drop_hot_buckets(bands, n_media, max_bucket)
+    a_sig = [f"__a{j}" for j in range(len(sig_cols))]
+    b_sig = [f"__b{j}" for j in range(len(sig_cols))]
+    a = bands.select(
+        F.col("rep_id").alias("a_id"),
+        F.col("n_members").alias("a_members"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("rep_id").alias("b_id"),
+        F.col("n_members").alias("b_members"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
+        "band",
+        "val",
+    )
+    if n_media * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = F.broadcast(a).join(b, ["band", "val"])
+    else:
+        joined = a.hint("merge").join(b, ["band", "val"])
+    return (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            hamming_distance_col(a_sig, b_sig).alias("hamming"),
+            "a_members",
+            "b_members",
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -811,66 +1048,65 @@ def image_near_dup_pairs(
     id_col: str = "media_id",
     n_media: int | None = None,
     salvage: bool = False,
+    hash_bits: int = 64,
+    max_bucket: int | None = _MEDIA_BUCKET_CAP,
 ) -> DataFrame:
     """Image near-dup pairs by dHash hamming distance ≤ max_hamming —
-    exactly simhash_near_pairs' plan shape lifted to the 64-bit image
-    hash: the signature splits into 4 bands of 16 bits, candidates are
-    pairs agreeing on ≥1 band (equi-join on (band, val), never
-    all-pairs), and the exact bit_count(XOR) filter verifies
-    candidates only.  max_hamming=3 < 4 bands → pigeonhole: ZERO false
-    negatives, the output IS the hamming-≤3 pair set.
+    simhash_near_pairs' plan shape lifted to the image hash, with the
+    exact-signature collapse in front (VERDICT r8 item 2): identical
+    images group to ONE distinct signature before banding (a scraped
+    10 M-copy logo is one band row per band, not a quadratic bucket),
+    candidates are DISTINCT-signature pairs agreeing on ≥1 band
+    (equi-join on (band, val), hot buckets df-capped, never
+    all-pairs), exact Σ bit_count(XOR) ≤ max_hamming verifies once per
+    signature pair, and group members expand back to the pair listing
+    (output-proportional).  max_hamming=3 < 4 bands → pigeonhole: ZERO
+    false negatives, the output IS the hamming-≤3 pair set.
 
-    Join strategy is the exact-count pick (dedup.py
-    _PAIR_BROADCAST_ROW_LIMIT): the band table is exactly 4 rows per
-    image, so broadcast under the bound, merge-hinted SMJ (the only
-    always-safe corpus×corpus shape) above it.  Pass ``n_media`` to
-    skip the eager count.
+    ``hash_bits=256`` uses the wide 16×16 dHash (4 longs, one 64-bit
+    band each — same pigeonhole, 2⁴⁸ lower iid candidate rate: the
+    billion-image knob).  Join strategy is the exact-count pick
+    (dedup.py _PAIR_BROADCAST_ROW_LIMIT) — pass ``n_media`` to skip
+    the eager count.
 
     Returns (a_id, b_id, hamming) with a_id < b_id."""
-    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
-
-    n_bands, band_bits = 4, 16
-    mask = (1 << band_bits) - 1
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "image").count()
-    sig = dhash_images(media, id_col=id_col, salvage=salvage)
-    bands = sig.select(
-        "media_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("dhash", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("media_id", "dhash", "bv.band", "bv.val")
-    a = bands.select(
-        F.col("media_id").alias("a_id"), F.col("dhash").alias("a_dh"), "band", "val"
+    sig = dhash_images(media, id_col=id_col, salvage=salvage, hash_bits=hash_bits)
+    return _collapsed_near_dup_pairs(
+        sig,
+        sig_col_names("dhash", hash_bits),
+        max_hamming,
+        n_media,
+        band_bits=16 if hash_bits == 64 else 64,
+        max_bucket=max_bucket,
     )
-    b = bands.select(
-        F.col("media_id").alias("b_id"), F.col("dhash").alias("b_dh"), "band", "val"
-    )
-    if n_media * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
-        joined = F.broadcast(a).join(b, ["band", "val"])
-    else:
-        joined = a.hint("merge").join(b, ["band", "val"])
+
+
+def image_exact_dup_groups(
+    media: DataFrame, salvage: bool = False, hash_bits: int = 64
+) -> DataFrame:
+    """Perceptually-exact duplicate IMAGE groups — the linear
+    cluster-form dedup answer (VERDICT r8 item 2): images sharing an
+    identical dHash collapse to (rep_id = smallest member, n_members);
+    only groups with >1 member are returned.  This is the output shape
+    that survives megaclusters: the pair listing of a 10 M-copy logo
+    is 5×10¹³ rows, the group row is ONE.  'Exact' means identical
+    SIGNATURE (dHash-equal — byte-level exactness is exact_dedup's
+    fingerprint job on the blob column)."""
+    sig = dhash_images(media, salvage=salvage, hash_bits=hash_bits)
     return (
-        joined.filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.bit_count(F.col("a_dh").bitwiseXOR(F.col("b_dh"))).alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        _collapse_signature_groups(sig, sig_col_names("dhash", hash_bits))
+        .filter(F.col("n_members") > 1)
+        .select("rep_id", "n_members")
     )
 
 
 def synthesize_image_corpus(
-    documents: DataFrame, variant_every: int | None = 7
+    documents: DataFrame,
+    variant_every: int | None = 7,
+    base_w: int = 16,
+    base_h: int = 8,
 ) -> DataFrame:
     """Deterministic image-dedup fixture: every document becomes ONE
     unique PNG (pixel seed salted with doc_id, so duplicate TEXTS do
@@ -884,14 +1120,20 @@ def synthesize_image_corpus(
     match, so the expected pair set is EXACTLY
     {(d, d+OFFSET) : d % variant_every == 0} — SQL-computable (the
     media_salvage_scan closed-form protocol).  ``variant_every=None``
-    emits bases only (the CORPUS side of incremental dedup)."""
+    emits bases only (the CORPUS side of incremental dedup).
+
+    The ≤2-bit guarantee holds when the hash grid samples pixel (0,0)
+    into exactly ONE cell — for the 64-bit 8×9 grid any w ≥ 9, h ≥ 8
+    image qualifies (the defaults).  For the 256-bit 16×17 grid pass
+    ``base_w ≥ 17, base_h ≥ 16`` so the guarantee holds there too
+    (the wide-hash fixture)."""
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "media_type": [], "content": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                w, h = base_w + doc_id % 8, base_h + doc_id % 5
                 seed = f"{text}:{doc_id}".encode("utf-8")
                 pixels = bytearray(_stretch_bytes(seed, w * h))
                 out["media_id"].append(doc_id)
@@ -910,7 +1152,10 @@ def synthesize_image_corpus(
 
 
 def dhash_video_frames(
-    media: DataFrame, every_n: int = 1, salvage: bool = False
+    media: DataFrame,
+    every_n: int = 1,
+    salvage: bool = False,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """(media_id, frame_no, n_frames, dhash) for every ``every_n``-th
     frame of every AVI — the video signer: one Arrow-batched container
@@ -921,21 +1166,26 @@ def dhash_video_frames(
     every row so pair verification can require full-depth agreement
     without a second scan.
 
-    ``salvage=True`` DROPS videos whose container walk or frame decode
-    fails (all of that video's rows — a partial signature would
-    masquerade as a shorter video) instead of failing the scan."""
+    ``hash_bits=256`` signs each frame with the wide 16×16 dHash
+    (dhash0..dhash3).  ``salvage=True`` DROPS videos whose container
+    walk or frame decode fails (all of that video's rows — a partial
+    signature would masquerade as a shorter video) instead of failing
+    the scan."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
+    cols = sig_col_names("dhash", hash_bits)
+    hw, hh = _dhash_grid(hash_bits)
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {
-                "media_id": [], "frame_no": [], "n_frames": [], "dhash": [],
+                "media_id": [], "frame_no": [], "n_frames": [],
+                **{c: [] for c in cols},
             }
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
                 fno = 0
-                sampled: list[tuple[int, int]] = []
+                sampled: list[tuple[int, list[int]]] = []
                 try:
                     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
                         raise ValueError("not an AVI: bad RIFF header")
@@ -952,30 +1202,60 @@ def dhash_video_frames(
                             if cid == b"00dc":
                                 if fno % every_n == 0:
                                     frame = blob[pos + 8 : pos + 8 + size]
-                                    sampled.append((fno, dhash_png(frame)))
+                                    sampled.append((fno, dhash_png_longs(frame, hw, hh)))
                                 fno += 1
                             pos += 8 + size + (size & 1)
                 except Exception:  # noqa: BLE001 — drop the video, never fail the scan
                     if salvage:
                         continue
                     raise
-                for sfno, dh in sampled:
+                for sfno, dhs in sampled:
                     rows["media_id"].append(int(mid))
                     rows["frame_no"].append(sfno)
                     rows["n_frames"].append(fno)
-                    rows["dhash"].append(dh)
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.array(rows["media_id"], dtype="int64"),
-                    "frame_no": pd.array(rows["frame_no"], dtype="int32"),
-                    "n_frames": pd.array(rows["n_frames"], dtype="int32"),
-                    "dhash": pd.array(rows["dhash"], dtype="int64"),
-                }
-            )
+                    for c, dh in zip(cols, dhs):
+                        rows[c].append(dh)
+            out = {
+                "media_id": pd.array(rows["media_id"], dtype="int64"),
+                "frame_no": pd.array(rows["frame_no"], dtype="int32"),
+                "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+            }
+            for c in cols:
+                out[c] = pd.array(rows[c], dtype="int64")
+            yield pd.DataFrame(out)
 
-    return media.filter(F.col("media_type") == "video").mapInPandas(
-        sign, "media_id long, frame_no int, n_frames int, dhash long"
+    schema = ", ".join(
+        ["media_id long", "frame_no int", "n_frames int"]
+        + [f"{c} long" for c in cols]
     )
+    return media.filter(F.col("media_type") == "video").mapInPandas(sign, schema)
+
+
+def _collapse_video_groups(
+    sigs: DataFrame, sig_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse videos whose FULL sampled signature sequence is
+    identical — the video form of the exact-signature collapse
+    (VERDICT r8 item 2): group key is the exact sorted
+    (frame_no, sig...) struct array plus n_frames (the array itself,
+    not a lossy hash — no collision risk), representative the smallest
+    media_id.  Returns (members, rep_sigs): members(media_id, rep_id,
+    n_members, n_frames) one row per video, rep_sigs the per-frame
+    signature rows of the representatives only."""
+    vseq = sigs.groupBy("media_id", "n_frames").agg(
+        F.sort_array(F.collect_list(F.struct("frame_no", *sig_cols))).alias("__vseq")
+    )
+    vgroups = vseq.groupBy("n_frames", "__vseq").agg(
+        F.min("media_id").alias("rep_id"), F.count("*").alias("n_members")
+    )
+    members = (
+        vseq.join(vgroups, ["n_frames", "__vseq"])
+        .select("media_id", "rep_id", "n_members", "n_frames")
+        .localCheckpoint(eager=False)
+    )
+    reps = members.filter(F.col("media_id") == F.col("rep_id")).select("media_id")
+    rep_sigs = sigs.join(reps, "media_id", "left_semi")
+    return members, rep_sigs
 
 
 def video_near_dup_pairs(
@@ -984,69 +1264,78 @@ def video_near_dup_pairs(
     every_n: int = 1,
     n_band_rows: int | None = None,
     salvage: bool = False,
+    hash_bits: int = 64,
+    max_bucket: int | None = _MEDIA_BUCKET_CAP,
 ) -> DataFrame:
     """Video near-dup pairs by temporally-aligned per-frame dHash —
-    image_near_dup_pairs lifted to the time axis: candidates must agree
-    on ≥1 of 4 16-bit bands AT THE SAME frame_no (the equi-join key is
-    (frame_no, band, val), so frame 0 of one video never compares to
+    image_near_dup_pairs lifted to the time axis: byte-identical
+    signature SEQUENCES collapse to one representative first (a
+    re-uploaded clip scraped millions of times is ONE set of band
+    rows, VERDICT r8 item 2), candidates must agree on ≥1 band AT THE
+    SAME frame_no (the equi-join key is (frame_no, band, val), hot
+    buckets df-capped, so frame 0 of one video never compares to
     frame 3 of another and the join stays sub-quadratic in videos AND
-    frames), and a pair qualifies only when EVERY sampled frame pair
-    verifies bit_count(XOR) ≤ max_hamming and both containers hold the
-    same total frame count.  Per-frame pigeonhole (max_hamming < 4
-    bands) means a qualifying frame pair always produces its band row:
-    counting distinct qualifying frame_nos against the full sampled
-    depth gives ZERO false negatives, and the full-depth + equal-count
-    requirement rejects partial overlaps (a clip sharing one frame is
-    NOT the same video).
+    frames), and a representative pair qualifies only when EVERY
+    sampled frame pair verifies Σ bit_count(XOR) ≤ max_hamming and
+    both containers hold the same total frame count.  Per-frame
+    pigeonhole (max_hamming < 4 bands) means a qualifying frame pair
+    always produces its band row: counting distinct qualifying
+    frame_nos against the full sampled depth gives ZERO false
+    negatives, and the full-depth + equal-count requirement rejects
+    partial overlaps (a clip sharing one frame is NOT the same
+    video).  Group members then expand back to the full pair listing
+    (within-group pairs at hamming 0 — output-proportional).
 
-    Join strategy is the exact-count pick (dedup.py
-    _PAIR_BROADCAST_ROW_LIMIT) over the band-table size (4 rows per
-    sampled frame); pass ``n_band_rows`` to skip the eager count (the
-    default localCheckpoints the signature table so signing runs ONCE,
-    not once per join side).
+    ``hash_bits=256`` signs frames with the wide 16×16 dHash (4
+    longs, 64-bit bands).  Join strategy is the exact-count pick
+    (dedup.py _PAIR_BROADCAST_ROW_LIMIT) over the band-table size (4
+    rows per sampled frame); pass ``n_band_rows`` to skip the eager
+    count (the default localCheckpoints the signature table so
+    signing runs ONCE, not once per join side).
 
-    Returns (a_id, b_id, n_frames, max_hamming_seen) with a_id < b_id."""
-    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+    Returns (a_id, b_id, n_frames, max_hamming_seen) with
+    a_id < b_id."""
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
 
-    n_bands, band_bits = 4, 16
-    mask = (1 << band_bits) - 1
-    sigs = dhash_video_frames(media, every_n=every_n, salvage=salvage)
+    n_bands = 4
+    band_bits = 16 if hash_bits == 64 else 64
+    sig_cols = sig_col_names("dhash", hash_bits)
+    sigs = dhash_video_frames(media, every_n=every_n, salvage=salvage, hash_bits=hash_bits)
     if n_band_rows is None:
         sigs = sigs.localCheckpoint(eager=True)
         n_band_rows = sigs.count() * n_bands
+    else:
+        sigs = sigs.localCheckpoint(eager=False)
+    members, rep_sigs = _collapse_video_groups(sigs, sig_cols)
     n_sampled = F.ceil(F.col("n_frames") / F.lit(every_n)).cast("int")
-    bands = sigs.select(
-        "media_id",
-        "frame_no",
-        n_sampled.alias("n_sampled"),
-        "n_frames",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("dhash", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("media_id", "frame_no", "n_sampled", "n_frames", "dhash", "bv.band", "bv.val")
+    bands = hamming_band_table(
+        rep_sigs.select(
+            "media_id", "frame_no", n_sampled.alias("n_sampled"), "n_frames", *sig_cols
+        ),
+        sig_cols,
+        n_bands=n_bands,
+        band_bits=band_bits,
+    )
+    bands = _drop_hot_buckets(
+        bands, n_band_rows // n_bands, max_bucket, keys=("frame_no", "band", "val")
+    )
+    a_sig = [f"__a{j}" for j in range(len(sig_cols))]
+    b_sig = [f"__b{j}" for j in range(len(sig_cols))]
     a = bands.select(
         F.col("media_id").alias("a_id"),
         F.col("n_sampled").alias("a_ns"),
         F.col("n_frames").alias("a_nf"),
-        F.col("dhash").alias("a_dh"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
         "frame_no", "band", "val",
     )
     b = bands.select(
         F.col("media_id").alias("b_id"),
-        F.col("n_sampled").alias("b_ns"),
         F.col("n_frames").alias("b_nf"),
-        F.col("dhash").alias("b_dh"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
         "frame_no", "band", "val",
     )
     if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
@@ -1057,11 +1346,11 @@ def video_near_dup_pairs(
         joined.filter((F.col("a_id") < F.col("b_id")) & (F.col("a_nf") == F.col("b_nf")))
         .select(
             "a_id", "b_id", "frame_no", "a_ns", "a_nf",
-            F.bit_count(F.col("a_dh").bitwiseXOR(F.col("b_dh"))).alias("hamming"),
+            hamming_distance_col(a_sig, b_sig).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    return (
+    rep_pairs = (
         frame_hits.groupBy("a_id", "b_id", "a_ns", "a_nf")
         .agg(
             F.countDistinct("frame_no").alias("ok_frames"),
@@ -1074,6 +1363,42 @@ def video_near_dup_pairs(
             "max_hamming_seen",
         )
     )
+    # expansion back to media grain: cross-group member pairs inherit
+    # the representative pair's verdict; within-group pairs are exact
+    # sequence duplicates (max hamming 0) — both output-proportional
+    ma = members.select(F.col("rep_id").alias("a_id"), F.col("media_id").alias("__ma"))
+    mb = members.select(F.col("rep_id").alias("b_id"), F.col("media_id").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(
+            F.least("__ma", "__mb").alias("a_id"),
+            F.greatest("__ma", "__mb").alias("b_id"),
+            "n_frames",
+            "max_hamming_seen",
+        )
+    )
+    w1 = members.filter(F.col("n_members") > 1).select(
+        "rep_id", "n_frames", F.col("media_id").alias("__ma")
+    )
+    w2 = members.filter(F.col("n_members") > 1).select(
+        "rep_id", F.col("media_id").alias("__mb")
+    )
+    if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+        w1 = F.broadcast(w1)
+    else:
+        w1 = w1.hint("merge")
+    within = (
+        w1.join(w2, "rep_id")
+        .filter(F.col("__ma") < F.col("__mb"))
+        .select(
+            F.col("__ma").alias("a_id"),
+            F.col("__mb").alias("b_id"),
+            "n_frames",
+            F.lit(0).cast("int").alias("max_hamming_seen"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def synthesize_video_corpus(
@@ -1125,16 +1450,17 @@ def synthesize_video_corpus(
     )
 
 
-def envelope_hash_wav(blob: bytes, n_windows: int = 64) -> int:
+def envelope_hash_wav_longs(blob: bytes, n_windows: int = 64) -> list[int]:
     """Energy-envelope difference hash of one PCM WAV — dHash's idea on
     the time axis: decode 16-bit samples (channel-averaged), split them
     into ``n_windows``+1 equal windows with the same integer index map
     as the image resample, take mean |amplitude| per window, and set
-    bit i when window i is louder than window i+1, packed row-major
-    into a SIGNED 64-bit int (Spark LongType band arithmetic identical
-    in both engines).  Deterministic, dependency-free, and invariant to
-    duration (windows scale with length) — near-identical recordings at
-    different sample counts hash close."""
+    bit i when window i is louder than window i+1, packed into signed
+    64-bit longs (_pack_bits_signed — Spark LongType band arithmetic
+    identical in both engines).  Deterministic, dependency-free, and
+    invariant to duration (windows scale with length) — near-identical
+    recordings at different sample counts hash close.  n_windows=64 is
+    the 64-bit default; 256 the 4-long wide hash."""
     info = parse_wav_info(blob)
     nch = info["n_channels"]
     pos, data = 12, None
@@ -1159,44 +1485,51 @@ def envelope_hash_wav(blob: bytes, n_windows: int = 64) -> int:
     else:  # degenerate short clip: nearest-sample envelope
         env = amp[(np.arange(k) * n) // k]
     bits = (env[:-1] > env[1:]).astype(np.uint64)
-    sig = 0
-    for i, b in enumerate(bits):
-        if b:
-            sig |= 1 << i
-    return int(np.int64(np.uint64(sig)))
+    return _pack_bits_signed(bits)
+
+
+def envelope_hash_wav(blob: bytes, n_windows: int = 64) -> int:
+    """64-bit envelope hash (envelope_hash_wav_longs' one-long form)."""
+    return envelope_hash_wav_longs(blob, n_windows)[0]
 
 
 def envelope_hash_audio(
-    media: DataFrame, id_col: str = "media_id", salvage: bool = False
+    media: DataFrame,
+    id_col: str = "media_id",
+    salvage: bool = False,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """(media_id, ahash) for every audio row — the dhash_images signer
-    shape on the audio column (one Arrow-batched scan).  ``salvage=
-    True`` drops undecodable clips instead of failing the scan."""
+    shape on the audio column (one Arrow-batched scan).
+    ``hash_bits=256`` emits the 4-long wide envelope hash
+    (ahash0..ahash3, 257 windows).  ``salvage=True`` drops undecodable
+    clips instead of failing the scan."""
+    cols = sig_col_names("ahash", hash_bits)
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
+            ids, hashes = [], [[] for _ in cols]
             for mid, c in zip(pdf[id_col], pdf["content"]):
                 if salvage:
                     try:
-                        h = envelope_hash_wav(bytes(c))
+                        hs = envelope_hash_wav_longs(bytes(c), n_windows=hash_bits)
                     except Exception:  # noqa: BLE001 — drop, never fail the scan
                         continue
                 else:
-                    h = envelope_hash_wav(bytes(c))
+                    hs = envelope_hash_wav_longs(bytes(c), n_windows=hash_bits)
                 ids.append(int(mid))
-                hashes.append(h)
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.array(ids, dtype="int64"),
-                    "ahash": pd.array(hashes, dtype="int64"),
-                }
-            )
+                for j, h in enumerate(hs):
+                    hashes[j].append(h)
+            out = {"media_id": pd.array(ids, dtype="int64")}
+            for name, vals in zip(cols, hashes):
+                out[name] = pd.array(vals, dtype="int64")
+            yield pd.DataFrame(out)
 
+    schema = ", ".join(["media_id long"] + [f"{c} long" for c in cols])
     return (
         media.filter(F.col("media_type") == "audio")
         .select(F.col(id_col), "content")
-        .mapInPandas(sign, "media_id long, ahash long")
+        .mapInPandas(sign, schema)
     )
 
 
@@ -1206,59 +1539,29 @@ def audio_near_dup_pairs(
     id_col: str = "media_id",
     n_media: int | None = None,
     salvage: bool = False,
+    hash_bits: int = 64,
+    max_bucket: int | None = _MEDIA_BUCKET_CAP,
 ) -> DataFrame:
     """Audio near-dup pairs by envelope-hash hamming distance ≤
-    max_hamming — image_near_dup_pairs on the audio modality: 4 bands
-    of 16 bits gate candidates (equi-join on (band, val), never
-    all-pairs), exact bit_count(XOR) verifies, pigeonhole gives zero
-    false negatives at max_hamming < 4.  Join strategy is the
-    exact-count pick over the 4-rows-per-clip band table; pass
-    ``n_media`` to skip the eager count.
+    max_hamming — image_near_dup_pairs on the audio modality, through
+    the SAME collapsed kernel (exact-signature groups before banding,
+    hot (band, val) buckets df-capped, hamming verified once per
+    distinct-signature pair, members expanded back — VERDICT r8 items
+    2/8).  Pigeonhole zero false negatives at max_hamming < 4 bands.
+    ``hash_bits=256`` uses the 4-long wide envelope hash with 64-bit
+    bands.  Pass ``n_media`` to skip the eager count.
 
     Returns (a_id, b_id, hamming) with a_id < b_id."""
-    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
-
-    n_bands, band_bits = 4, 16
-    mask = (1 << band_bits) - 1
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "audio").count()
-    sig = envelope_hash_audio(media, id_col=id_col, salvage=salvage)
-    bands = sig.select(
-        "media_id",
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("ahash", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("media_id", "ahash", "bv.band", "bv.val")
-    a = bands.select(
-        F.col("media_id").alias("a_id"), F.col("ahash").alias("a_ah"), "band", "val"
-    )
-    b = bands.select(
-        F.col("media_id").alias("b_id"), F.col("ahash").alias("b_ah"), "band", "val"
-    )
-    if n_media * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
-        joined = F.broadcast(a).join(b, ["band", "val"])
-    else:
-        joined = a.hint("merge").join(b, ["band", "val"])
-    return (
-        joined.filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.bit_count(F.col("a_ah").bitwiseXOR(F.col("b_ah"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    sig = envelope_hash_audio(media, id_col=id_col, salvage=salvage, hash_bits=hash_bits)
+    return _collapsed_near_dup_pairs(
+        sig,
+        sig_col_names("ahash", hash_bits),
+        max_hamming,
+        n_media,
+        band_bits=16 if hash_bits == 64 else 64,
+        max_bucket=max_bucket,
     )
 
 
@@ -1311,6 +1614,7 @@ def incremental_image_near_dup(
     max_hamming: int = 3,
     n_new: int | None = None,
     salvage: bool = False,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Dedup a NEW batch of images against an EXISTING corpus — the
     production ingest shape (every scrape batch vs billions of
@@ -1324,7 +1628,8 @@ def incremental_image_near_dup(
 
     Pass ``corpus_sig`` (persisted dhash_images output, signed once at
     ingest — 8 bytes per image) to skip re-decoding corpus pixels
-    every batch.  Oversized batches fall back to a sort-merge band
+    every batch; it must be signed at the SAME ``hash_bits`` the batch
+    signs with here.  Oversized batches fall back to a sort-merge band
     join.
 
     Returns one row per new image: (media_id, is_dup, dup_of,
@@ -1336,16 +1641,17 @@ def incremental_image_near_dup(
     if (corpus_media is None) == (corpus_sig is None):
         raise ValueError("pass exactly one of corpus_media / corpus_sig")
     if corpus_sig is None:
-        corpus_sig = dhash_images(corpus_media, salvage=salvage)
+        corpus_sig = dhash_images(corpus_media, salvage=salvage, hash_bits=hash_bits)
     if n_new is None:
         n_new = new_media.filter(F.col("media_type") == "image").count()
     return _incremental_hamming_verdicts(
         new_media.filter(F.col("media_type") == "image").select("media_id"),
-        dhash_images(new_media, salvage=salvage),
+        dhash_images(new_media, salvage=salvage, hash_bits=hash_bits),
         corpus_sig,
-        sig_col="dhash",
+        sig_cols=sig_col_names("dhash", hash_bits),
         n_new=n_new,
         max_hamming=max_hamming,
+        band_bits=16 if hash_bits == 64 else 64,
     )
 
 
@@ -1357,25 +1663,28 @@ def incremental_audio_near_dup(
     max_hamming: int = 3,
     n_new: int | None = None,
     salvage: bool = False,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """incremental_image_near_dup on the audio modality: a new batch of
     clips checks against the persisted corpus ENVELOPE signature table
     (envelope_hash_audio output, 8 bytes per clip — never re-decode
-    corpus samples).  Same kernel, same 100 TB plan: batch bands
-    broadcast, one corpus scan, zero corpus-side shuffle."""
+    corpus samples; same ``hash_bits`` on both sides).  Same kernel,
+    same 100 TB plan: batch bands broadcast, one corpus scan, zero
+    corpus-side shuffle."""
     if (corpus_media is None) == (corpus_sig is None):
         raise ValueError("pass exactly one of corpus_media / corpus_sig")
     if corpus_sig is None:
-        corpus_sig = envelope_hash_audio(corpus_media, salvage=salvage)
+        corpus_sig = envelope_hash_audio(corpus_media, salvage=salvage, hash_bits=hash_bits)
     if n_new is None:
         n_new = new_media.filter(F.col("media_type") == "audio").count()
     return _incremental_hamming_verdicts(
         new_media.filter(F.col("media_type") == "audio").select("media_id"),
-        envelope_hash_audio(new_media, salvage=salvage),
+        envelope_hash_audio(new_media, salvage=salvage, hash_bits=hash_bits),
         corpus_sig,
-        sig_col="ahash",
+        sig_cols=sig_col_names("ahash", hash_bits),
         n_new=n_new,
         max_hamming=max_hamming,
+        band_bits=16 if hash_bits == 64 else 64,
     )
 
 
@@ -1384,13 +1693,16 @@ def _incremental_hamming_verdicts(
     new_sig: DataFrame,
     corpus_sig: DataFrame,
     *,
-    sig_col: str,
+    sig_cols: list[str],
     n_new: int,
     max_hamming: int,
+    band_bits: int = 16,
 ) -> DataFrame:
-    """Shared batch-vs-corpus kernel for every 64-bit hamming signature
-    space (image dHash, audio envelope hash): band the signature into
-    4×16 bits, equi-join new vs corpus bands with both sides CARRYING
+    """Shared batch-vs-corpus kernel for every hamming signature space
+    (image dHash, audio envelope hash, 64-bit or wide): band the
+    signature (hamming_band_table — 4×16-bit slices of one long, or
+    one 64-bit band per long of a wide hash), equi-join new vs corpus
+    bands with both sides CARRYING
     their signature (so a broadcast batch makes the join AND the
     bit_count verify map-side on the corpus scan), take the smallest
     qualifying corpus id per new id, and left-join back onto the full
@@ -1403,10 +1715,13 @@ def _incremental_hamming_verdicts(
     corrupt scrape batch silently passes the ingest gate as
     is_dup=false).  Without salvage every blob signs or the scan
     raises, so decoded is uniformly true."""
-    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
 
-    n_bands, band_bits = 4, 16
-    mask = (1 << band_bits) - 1
+    n_bands = 4
     # the batch signature table feeds BOTH the band join and the
     # decoded-ids flag — a lazy checkpoint stops the Arrow signer from
     # running once per plan branch without triggering a job at plan
@@ -1414,23 +1729,21 @@ def _incremental_hamming_verdicts(
     new_sig = new_sig.localCheckpoint(eager=False)
 
     def bandify(sig: DataFrame, prefix: str) -> DataFrame:
-        return sig.select(
+        banded = hamming_band_table(
+            sig.select("media_id", *sig_cols),
+            sig_cols,
+            n_bands=n_bands,
+            band_bits=band_bits,
+        )
+        return banded.select(
             F.col("media_id").alias(f"{prefix}_id"),
-            F.col(sig_col).alias(f"{prefix}_sg"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(sig_col, b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("val"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bv"),
-        ).select(f"{prefix}_id", f"{prefix}_sg", "bv.band", "bv.val")
+            *[
+                F.col(c).alias(f"{prefix}_sg{j}")
+                for j, c in enumerate(sig_cols)
+            ],
+            "band",
+            "val",
+        )
 
     new_bands = bandify(new_sig, "new")
     corpus_bands = bandify(corpus_sig, "old")
@@ -1438,11 +1751,15 @@ def _incremental_hamming_verdicts(
         joined = corpus_bands.join(F.broadcast(new_bands), ["band", "val"])
     else:
         joined = corpus_bands.hint("merge").join(new_bands, ["band", "val"])
+    n_sig = len(sig_cols)
     hits = (
         joined.select(
             "new_id",
             "old_id",
-            F.bit_count(F.col("new_sg").bitwiseXOR(F.col("old_sg"))).alias("hamming"),
+            hamming_distance_col(
+                [f"new_sg{j}" for j in range(n_sig)],
+                [f"old_sg{j}" for j in range(n_sig)],
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("new_id")
@@ -1546,6 +1863,7 @@ def incremental_video_near_dup(
     every_n: int = 1,
     n_band_rows: int | None = None,
     salvage: bool = False,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Incremental dedup on the VIDEO modality — video_near_dup_pairs'
     temporally-aligned full-depth verify in the batch-vs-corpus shape:
@@ -1570,13 +1888,21 @@ def incremental_video_near_dup(
     Returns one row per new video: (media_id, is_dup, dup_of,
     decoded) — ``decoded`` false when the container walk failed to
     produce any frame signature (salvage mode, ADVICE r8)."""
-    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
 
     if (corpus_media is None) == (corpus_sig is None):
         raise ValueError("pass exactly one of corpus_media / corpus_sig")
     if corpus_sig is None:
-        corpus_sig = dhash_video_frames(corpus_media, every_n=every_n, salvage=salvage)
-    new_sig = dhash_video_frames(new_media, every_n=every_n, salvage=salvage)
+        corpus_sig = dhash_video_frames(
+            corpus_media, every_n=every_n, salvage=salvage, hash_bits=hash_bits
+        )
+    new_sig = dhash_video_frames(
+        new_media, every_n=every_n, salvage=salvage, hash_bits=hash_bits
+    )
     if n_band_rows is None:
         # band rows = 4 per sampled frame; the checkpoint also means
         # signing runs once, not once per use below
@@ -1587,31 +1913,25 @@ def incremental_video_near_dup(
         # flag — reuse without a plan-construction job
         new_sig = new_sig.localCheckpoint(eager=False)
 
-    n_bands, band_bits = 4, 16
-    mask = (1 << band_bits) - 1
+    n_bands = 4
+    band_bits = 16 if hash_bits == 64 else 64
+    sig_cols = sig_col_names("dhash", hash_bits)
+    n_sig = len(sig_cols)
 
     def bandify(sig: DataFrame, prefix: str) -> DataFrame:
-        return sig.select(
+        banded = hamming_band_table(
+            sig.select("media_id", "n_frames", "frame_no", *sig_cols),
+            sig_cols,
+            n_bands=n_bands,
+            band_bits=band_bits,
+        )
+        return banded.select(
             F.col("media_id").alias(f"{prefix}_id"),
             F.col("n_frames").alias(f"{prefix}_nf"),
-            F.col("dhash").alias(f"{prefix}_sg"),
+            *[F.col(c).alias(f"{prefix}_sg{j}") for j, c in enumerate(sig_cols)],
             "frame_no",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright("dhash", b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("val"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bv"),
-        ).select(
-            f"{prefix}_id", f"{prefix}_nf", f"{prefix}_sg",
-            "frame_no", "bv.band", "bv.val",
+            "band",
+            "val",
         )
 
     new_bands = bandify(new_sig, "new")
@@ -1628,7 +1948,10 @@ def incremental_video_near_dup(
             "old_id",
             "frame_no",
             n_sampled.alias("n_sampled"),
-            F.bit_count(F.col("new_sg").bitwiseXOR(F.col("old_sg"))).alias("hamming"),
+            hamming_distance_col(
+                [f"new_sg{j}" for j in range(n_sig)],
+                [f"old_sg{j}" for j in range(n_sig)],
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

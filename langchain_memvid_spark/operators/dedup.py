@@ -84,6 +84,69 @@ def rhp_band_bits_for(n: int, n_planes: int = RHP_PLANES) -> int:
     return min(n_planes, max(RHP_BAND_BITS, derived))
 
 
+def hamming_band_table(
+    df: DataFrame,
+    sig_cols: list[str] | tuple[str, ...],
+    *,
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """The ONE banding kernel behind every hamming-LSH family (VERDICT
+    r8 item 8: simhash_near_pairs, the image/audio/video pair operators
+    and the incremental media kernel all used to inline this select):
+    explode each input row into ``n_bands`` (band, val) rows so
+    candidates come from an equi-join on (band, val) — never all-pairs.
+
+    Two signature layouts:
+      - ONE sig column (a ≤64-bit signature in a long):
+        val = (sig >> band·band_bits) & mask — 4×16 for the media
+        hashes, 4×8 for the 32-bit SimHash.
+      - ``n_bands`` sig columns (a WIDE hash packed into several
+        longs, e.g. 256-bit dHash as 4 longs): val = sig_cols[band]
+        verbatim — 64-bit bands, no slicing.
+
+    Pigeonhole as usual: max_hamming < n_bands ⇒ at least one band
+    agrees on every true pair, zero false negatives.  Output carries
+    ALL input columns plus (band INT, val LONG); callers rename."""
+    if len(sig_cols) == 1:
+        mask = (1 << band_bits) - 1
+        entries = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sig_cols[0], b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    elif len(sig_cols) == n_bands:
+        entries = [
+            F.struct(F.lit(b).alias("band"), F.col(c).cast("long").alias("val"))
+            for b, c in enumerate(sig_cols)
+        ]
+    else:
+        raise ValueError(
+            f"sig_cols must be one column or exactly n_bands={n_bands} "
+            f"columns, got {len(sig_cols)}"
+        )
+    return df.select("*", F.explode(F.array(*entries)).alias("__bv")).select(
+        *df.columns, F.col("__bv.band").alias("band"), F.col("__bv.val").alias("val")
+    )
+
+
+def hamming_distance_col(
+    a_cols: list[str] | tuple[str, ...], b_cols: list[str] | tuple[str, ...]
+) -> F.Column:
+    """Exact hamming distance between two (possibly multi-long wide)
+    signatures: Σ bit_count(a XOR b) over the paired columns — the
+    verify expression every banded candidate passes through."""
+    dist = None
+    for a, b in zip(a_cols, b_cols):
+        term = F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def _rhp_weight(h: int, d: int) -> int:
     return ((h * 2654435761 + d * 40503 + 12345) % 19) - 9
 
@@ -1280,23 +1343,8 @@ def simhash_near_pairs(
     widen bands (more values) or add signature bits before widening
     the hamming radius."""
     n_bands, band_bits = 4, SIMHASH_BITS // 4
-    mask = (1 << band_bits) - 1
     sh = simhash(documents, text_col)
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    bands = hamming_band_table(sh, ["simhash"], n_bands=n_bands, band_bits=band_bits)
     a = bands.select(
         F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "band", "val"
     )

@@ -2731,6 +2731,67 @@ def q_image_near_dup(spark, sf_dir):
 
 
 @_reg(
+    "image_near_dup_wide",
+    """
+SELECT doc_id AS a_id, doc_id + 10000000 AS b_id
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY a_id
+""",
+)
+def q_image_near_dup_wide(spark, sf_dir):
+    """image_near_dup at hash_bits=256 — the billion-image knob
+    (VERDICT r8 item 5): the 16×16 gradient grid packs into 4 longs,
+    each long is its own 64-bit band (pigeonhole zero-FN at hamming ≤ 3
+    unchanged) and the iid band-collision rate drops by 2⁴⁸, so the
+    candidate set stays linear where 16-bit bands go quadratic at 10⁹
+    images.  The fixture uses ≥17×16 images so the engineered 1-pixel
+    flip still moves at most one 16×17-resample cell (≤2 bits) — the
+    same closed-form pair-set oracle as the 64-bit query, which also
+    pins that both widths agree on the engineered variants."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_image_corpus(docs, variant_every=7, base_w=17, base_h=16)
+    return (
+        mm.image_near_dup_pairs(media, max_hamming=3, hash_bits=256)
+        .select("a_id", "b_id")
+        .orderBy("a_id")
+    )
+
+
+@_reg(
+    "image_exact_dup_groups",
+    """
+SELECT doc_id AS rep_id, 2::BIGINT AS n_members
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY rep_id
+""",
+)
+def q_image_exact_dup_groups(spark, sf_dir):
+    """Cluster-form exact-dup answer on the image modality (VERDICT r8
+    item 2's collapse machinery, driver-visible): every 5th document's
+    image is re-synthesized byte-identically at media_id + 3·OFFSET,
+    so identical-dHash groups are exactly {(d, 2) : d % 5 == 0} —
+    the linear output shape megacluster corpora need (one group row,
+    never the quadratic member-pair listing)."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = mm.synthesize_image_corpus(docs, variant_every=None)
+    copies = mm.synthesize_image_corpus(
+        docs.filter(F.col("doc_id") % 5 == 0), variant_every=None
+    ).select(
+        (F.col("media_id") + 3 * mm.VARIANT_ID_OFFSET).alias("media_id"),
+        "media_type",
+        "content",
+    )
+    return (
+        mm.image_exact_dup_groups(corpus.unionByName(copies))
+        .orderBy("rep_id")
+    )
+
+
+@_reg(
     "incremental_image_dedup",
     """
 SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,

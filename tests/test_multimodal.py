@@ -563,6 +563,159 @@ def test_near_dup_signers_salvage_corrupt_blobs(spark):
             mm.video_near_dup_pairs(vids, salvage=True).collect()} == {(0, 1)}
 
 
+def test_media_pair_megacluster_collapses_before_banding(spark):
+    """VERDICT r8 item 2: a megacluster of IDENTICAL media (the
+    scraped-logo reality) must collapse to ONE distinct signature
+    before the band join — the rep-grain kernel sees 3 signatures, not
+    10k band rows — and the pair listing stays exact on a smaller
+    cluster (within-group pairs at hamming 0 + cross pairs)."""
+    from pyspark.sql import functions as F
+
+    w, h = 16, 8
+    base_px = bytearray(mm._stretch_bytes(b"logo", w * h))
+    png = mm.encode_png(w, h, bytes(base_px))
+    var_px = bytearray(base_px)
+    var_px[0] ^= 0x80  # near-dup of the logo (≤2 dHash bits)
+    png_var = mm.encode_png(w, h, bytes(var_px))
+    png_other = mm.encode_png(w, h, mm._stretch_bytes(b"unrelated", w * h))
+
+    # 10k identical copies + 1 variant + 1 unrelated — rep grain only
+    mega = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("media_id"),
+            F.lit("image").alias("media_type"),
+            F.lit(bytes(png)).alias("content"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(20_000, "image", png_var), (20_001, "image", png_other)],
+                "media_id long, media_type string, content binary",
+            )
+        )
+    )
+    sig = mm.dhash_images(mega)
+    groups = mm._collapse_signature_groups(sig, ["dhash"])
+    grows = {r["rep_id"]: r["n_members"] for r in groups.collect()}
+    # identical copies share one dhash; the variant MAY collide with it
+    # (a 1-pixel flip can leave all 64 bits unchanged) — unrelated is
+    # distinct with overwhelming probability
+    assert grows[0] >= 10_000 and len(grows) in (2, 3)
+    rep_pairs = mm._rep_hamming_pairs(
+        groups, ["dhash"], max_hamming=3, n_media=10_002, band_bits=16,
+        max_bucket=mm._MEDIA_BUCKET_CAP,
+    ).collect()
+    # rep grain is LINEAR: at most a handful of rows, each carrying the
+    # member counts instead of the quadratic member-pair listing
+    assert len(rep_pairs) <= 2
+    if len(grows) == 3:  # variant hashed distinct → one rep pair
+        pair = {(r["a_id"], r["b_id"]): (r["a_members"], r["b_members"])
+                for r in rep_pairs}
+        assert pair[(0, 20_000)] == (10_000, 1)
+
+    # the full pair LISTING stays exact on a 40-copy cluster
+    small = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("media_id"),
+            F.lit("image").alias("media_type"),
+            F.lit(bytes(png)).alias("content"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(100, "image", png_other)],
+                "media_id long, media_type string, content binary",
+            )
+        )
+    )
+    pairs = mm.image_near_dup_pairs(small, max_hamming=3).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    want = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert got == want
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_drop_hot_buckets_caps_band_df(spark):
+    """The media band join's df-cap: a (band, val) bucket shared by
+    more than max_bucket distinct signatures is dropped; rare buckets
+    survive; below the gate (n_rows ≤ max_bucket) nothing is touched."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 0, 7) for i in range(6)] + [(10, 1, 3), (11, 1, 3)]
+    bands = spark.createDataFrame(rows, "rep_id long, band int, val long")
+    capped = mm._drop_hot_buckets(bands, n_rows=8, max_bucket=5)
+    kept = {(r["band"], r["val"]) for r in capped.collect()}
+    assert kept == {(1, 3)}  # the 6-sig bucket is gone, the 2-sig stays
+    untouched = mm._drop_hot_buckets(bands, n_rows=5, max_bucket=5)
+    assert untouched is bands  # provably-cannot-bind gate: no extra pass
+
+
+def test_wide_hash_verdicts_agree_with_64bit(spark, sf_dir):
+    """VERDICT r8 item 5: the 256-bit wide hashes (4 longs, one 64-bit
+    band each) must produce the SAME verdicts as the 64-bit defaults
+    on the engineered-variant fixtures — image pairs (≥17×16 images so
+    the 1-pixel flip stays ≤2 bits on the 16×17 grid) and audio pairs
+    — and the wide signer emits the documented 4-long schema."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = {(d, d + mm.VARIANT_ID_OFFSET) for d in ids if d % 7 == 0}
+
+    media = mm.synthesize_image_corpus(docs, variant_every=7, base_w=17, base_h=16)
+    sig_wide = mm.dhash_images(media, hash_bits=256)
+    assert sig_wide.columns == ["media_id", "dhash0", "dhash1", "dhash2", "dhash3"]
+    p64 = {(r["a_id"], r["b_id"])
+           for r in mm.image_near_dup_pairs(media, max_hamming=3).collect()}
+    p256 = {(r["a_id"], r["b_id"])
+            for r in mm.image_near_dup_pairs(media, max_hamming=3, hash_bits=256).collect()}
+    assert p64 == want and p256 == want
+
+    auds = mm.synthesize_audio_corpus(docs, variant_every=7)
+    a64 = {(r["a_id"], r["b_id"])
+           for r in mm.audio_near_dup_pairs(auds, max_hamming=3).collect()}
+    a256 = {(r["a_id"], r["b_id"])
+            for r in mm.audio_near_dup_pairs(auds, max_hamming=3, hash_bits=256).collect()}
+    assert a64 == want and a256 == want
+
+
+def test_wide_hash_video_and_incremental(spark):
+    """The wide hash threads through the video signer and the
+    incremental kernel: byte-identical videos pair at hamming 0 under
+    hash_bits=256, and an incremental image batch gets the same
+    verdicts at both widths."""
+    w, h = 17, 16
+    frames = [mm.encode_png(w, h, mm._stretch_bytes(b"wv" + bytes([i]), w * h))
+              for i in range(3)]
+    avi = mm.encode_avi(w, h, frames, 10)
+    avi_other = mm.encode_avi(
+        w, h,
+        [mm.encode_png(w, h, mm._stretch_bytes(b"zz" + bytes([i]), w * h))
+         for i in range(3)],
+        10,
+    )
+    vids = spark.createDataFrame(
+        [(0, "video", avi), (1, "video", avi), (2, "video", avi_other)],
+        "media_id long, media_type string, content binary",
+    )
+    got = {(r["a_id"], r["b_id"]): r["max_hamming_seen"]
+           for r in mm.video_near_dup_pairs(vids, hash_bits=256).collect()}
+    assert got == {(0, 1): 0}
+
+    png = mm.encode_png(w, h, mm._stretch_bytes(b"base", w * h))
+    png_new = mm.encode_png(w, h, mm._stretch_bytes(b"new", w * h))
+    corpus = spark.createDataFrame(
+        [(0, "image", png)], "media_id long, media_type string, content binary"
+    )
+    batch = spark.createDataFrame(
+        [(10, "image", png), (11, "image", png_new)],
+        "media_id long, media_type string, content binary",
+    )
+    for bits in (64, 256):
+        rows = {r["media_id"]: r for r in mm.incremental_image_near_dup(
+            batch, corpus, hash_bits=bits).collect()}
+        assert rows[10]["is_dup"] and rows[10]["dup_of"] == 0
+        assert not rows[11]["is_dup"]
+
+
 def test_incremental_dedup_salvage_flags_undecodable(spark):
     """In salvage mode an undecodable batch blob must be marked
     decoded=False — distinguishable from a verified-novel keeper
