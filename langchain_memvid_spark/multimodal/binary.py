@@ -937,8 +937,12 @@ def _collapsed_near_dup_pairs(
     from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
 
     n_bands = 4
-    sig = sig.localCheckpoint(eager=False)  # feeds groups AND members once
-    groups = _collapse_signature_groups(sig, sig_cols).localCheckpoint(eager=False)
+    # .cache() (lazy — localCheckpoint launches a job even with
+    # eager=False on this Spark line) marks the signer scan and the
+    # collapsed groups for block-level reuse across the plan branches
+    # below; nothing materializes until the query actually runs
+    sig = sig.cache()  # feeds groups AND members once
+    groups = _collapse_signature_groups(sig, sig_cols).cache()
     rep_pairs = _rep_hamming_pairs(
         groups, sig_cols, max_hamming, n_media, band_bits, max_bucket
     )
@@ -949,7 +953,7 @@ def _collapsed_near_dup_pairs(
         sig.select("media_id", *sig_cols)
         .join(g, sig_cols)
         .select("media_id", "rep_id", "n_members")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     ma = members.select(F.col("rep_id").alias("a_id"), F.col("media_id").alias("__ma"))
     mb = members.select(F.col("rep_id").alias("b_id"), F.col("media_id").alias("__mb"))
@@ -1251,7 +1255,7 @@ def _collapse_video_groups(
     members = (
         vseq.join(vgroups, ["n_frames", "__vseq"])
         .select("media_id", "rep_id", "n_members", "n_frames")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     reps = members.filter(F.col("media_id") == F.col("rep_id")).select("media_id")
     rep_sigs = sigs.join(reps, "media_id", "left_semi")
@@ -1309,7 +1313,7 @@ def video_near_dup_pairs(
         sigs = sigs.localCheckpoint(eager=True)
         n_band_rows = sigs.count() * n_bands
     else:
-        sigs = sigs.localCheckpoint(eager=False)
+        sigs = sigs.cache()
     members, rep_sigs = _collapse_video_groups(sigs, sig_cols)
     n_sampled = F.ceil(F.col("n_frames") / F.lit(every_n)).cast("int")
     bands = hamming_band_table(
@@ -1723,10 +1727,10 @@ def _incremental_hamming_verdicts(
 
     n_bands = 4
     # the batch signature table feeds BOTH the band join and the
-    # decoded-ids flag — a lazy checkpoint stops the Arrow signer from
+    # decoded-ids flag — a lazy .cache() stops the Arrow signer from
     # running once per plan branch without triggering a job at plan
-    # construction time
-    new_sig = new_sig.localCheckpoint(eager=False)
+    # construction time (localCheckpoint does, even eager=False)
+    new_sig = new_sig.cache()
 
     def bandify(sig: DataFrame, prefix: str) -> DataFrame:
         banded = hamming_band_table(
@@ -1911,7 +1915,7 @@ def incremental_video_near_dup(
     else:
         # signing still feeds both the band join and the decoded-ids
         # flag — reuse without a plan-construction job
-        new_sig = new_sig.localCheckpoint(eager=False)
+        new_sig = new_sig.cache()
 
     n_bands = 4
     band_bits = 16 if hash_bits == 64 else 64

@@ -2722,12 +2722,33 @@ def q_image_near_dup(spark, sf_dir):
     from langchain_memvid_spark.multimodal import binary as mm
 
     docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
     media = mm.synthesize_image_corpus(docs, variant_every=7)
     return (
-        mm.image_near_dup_pairs(media, max_hamming=3)
+        mm.image_near_dup_pairs(media, max_hamming=3, n_media=c["n"] + c["n_v7"])
         .select("a_id", "b_id")
         .orderBy("a_id")
     )
+
+
+def _media_fixture_counts(docs: DataFrame) -> dict[str, int]:
+    """Exact media counts for the synthesized media fixtures from ONE
+    narrow scan of `documents` (VERDICT r8 item 7: the fixture KNOWS
+    its media population — never run the PNG/WAV/AVI synthesis a
+    second time just to count its own output).  Keys: n (docs = base
+    media), n_v7 (variants, doc_id%7==0), n_v73 (novels, %7==3),
+    fr_all/fr_v7/fr_v73 (video frame totals, 1+doc_id%4 per video,
+    over the same subsets)."""
+    d = F.col("doc_id")
+    r = docs.select(
+        F.count("*").alias("n"),
+        F.sum((d % 7 == 0).cast("long")).alias("n_v7"),
+        F.sum((d % 7 == 3).cast("long")).alias("n_v73"),
+        F.sum(1 + d % 4).alias("fr_all"),
+        F.sum(F.when(d % 7 == 0, 1 + d % 4).otherwise(0)).alias("fr_v7"),
+        F.sum(F.when(d % 7 == 3, 1 + d % 4).otherwise(0)).alias("fr_v73"),
+    ).head()
+    return {k: int(v or 0) for k, v in r.asDict().items()}
 
 
 @_reg(
@@ -2751,9 +2772,12 @@ def q_image_near_dup_wide(spark, sf_dir):
     from langchain_memvid_spark.multimodal import binary as mm
 
     docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
     media = mm.synthesize_image_corpus(docs, variant_every=7, base_w=17, base_h=16)
     return (
-        mm.image_near_dup_pairs(media, max_hamming=3, hash_bits=256)
+        mm.image_near_dup_pairs(
+            media, max_hamming=3, hash_bits=256, n_media=c["n"] + c["n_v7"]
+        )
         .select("a_id", "b_id")
         .orderBy("a_id")
     )
@@ -2818,10 +2842,13 @@ def q_incremental_image_dedup(spark, sf_dir):
     from langchain_memvid_spark.multimodal import binary as mm
 
     docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
     corpus = mm.synthesize_image_corpus(docs, variant_every=None)
     batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
     return (
-        mm.incremental_image_near_dup(batch, corpus_sig=mm.dhash_images(corpus))
+        mm.incremental_image_near_dup(
+            batch, corpus_sig=mm.dhash_images(corpus), n_new=c["n_v7"] + c["n_v73"]
+        )
         .orderBy("media_id")
     )
 
@@ -2849,11 +2876,14 @@ def q_incremental_audio_dedup(spark, sf_dir):
     from langchain_memvid_spark.multimodal import binary as mm
 
     docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
     corpus = mm.synthesize_audio_corpus(docs, variant_every=None)
     batch = mm.synthesize_audio_batch(docs, variant_every=7, novel_remainder=3)
     return (
         mm.incremental_audio_near_dup(
-            batch, corpus_sig=mm.envelope_hash_audio(corpus)
+            batch,
+            corpus_sig=mm.envelope_hash_audio(corpus),
+            n_new=c["n_v7"] + c["n_v73"],
         )
         .orderBy("media_id")
     )
@@ -2880,9 +2910,10 @@ def q_audio_near_dup(spark, sf_dir):
     from langchain_memvid_spark.multimodal import binary as mm
 
     docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
     media = mm.synthesize_audio_corpus(docs, variant_every=7)
     return (
-        mm.audio_near_dup_pairs(media, max_hamming=3)
+        mm.audio_near_dup_pairs(media, max_hamming=3, n_media=c["n"] + c["n_v7"])
         .select("a_id", "b_id")
         .orderBy("a_id")
     )
@@ -2913,11 +2944,14 @@ def q_incremental_video_dedup(spark, sf_dir):
     from langchain_memvid_spark.multimodal import binary as mm
 
     docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
     corpus = mm.synthesize_video_corpus(docs, variant_every=None)
     batch = mm.synthesize_video_batch(docs, variant_every=7, novel_remainder=3)
     return (
         mm.incremental_video_near_dup(
-            batch, corpus_sig=mm.dhash_video_frames(corpus)
+            batch,
+            corpus_sig=mm.dhash_video_frames(corpus),
+            n_band_rows=4 * (c["fr_v7"] + c["fr_v73"]),
         )
         .orderBy("media_id")
     )
@@ -2947,9 +2981,12 @@ def q_video_near_dup(spark, sf_dir):
     from langchain_memvid_spark.multimodal import binary as mm
 
     docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
     media = mm.synthesize_video_corpus(docs, variant_every=7)
     return (
-        mm.video_near_dup_pairs(media, max_hamming=3)
+        mm.video_near_dup_pairs(
+            media, max_hamming=3, n_band_rows=4 * (c["fr_all"] + c["fr_v7"])
+        )
         .select("a_id", "b_id", "n_frames")
         .orderBy("a_id")
     )

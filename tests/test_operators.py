@@ -1589,3 +1589,41 @@ def test_plan_ann_search_with_n_rows_runs_zero_jobs(spark):
     assert list(jobs) == []
     assert plan.strategy == "brute_force"
     assert "123456" in plan.reason.replace(",", "").replace("_", "")
+
+
+def test_media_dedup_plan_construction_runs_zero_jobs(spark):
+    """VERDICT r8 item 7: merely CONSTRUCTING a media near-dup plan
+    with caller-supplied counts must not launch a Spark job — covers
+    the pair operators (n_media / n_band_rows) and the incremental
+    forms (n_new / n_band_rows), whose lazy localCheckpoints must not
+    materialize at plan-build time."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    media = mm.synthesize_image_corpus(docs, variant_every=7)
+    auds = mm.synthesize_audio_corpus(docs, variant_every=7)
+    vids = mm.synthesize_video_corpus(docs, variant_every=7)
+    batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("media-plan-zero-jobs", "planning must be lazy")
+    try:
+        plans = [
+            mm.image_near_dup_pairs(media, n_media=35),
+            mm.image_near_dup_pairs(media, n_media=35, hash_bits=256),
+            mm.audio_near_dup_pairs(auds, n_media=35),
+            mm.video_near_dup_pairs(vids, n_band_rows=300),
+            mm.incremental_image_near_dup(
+                batch, corpus_sig=mm.dhash_images(media), n_new=10
+            ),
+            mm.incremental_video_near_dup(
+                mm.synthesize_video_batch(docs),
+                corpus_sig=mm.dhash_video_frames(vids),
+                n_band_rows=120,
+            ),
+        ]
+        jobs = sc.statusTracker().getJobIdsForGroup("media-plan-zero-jobs")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []
+    assert all(p is not None for p in plans)
