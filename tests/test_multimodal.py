@@ -716,6 +716,83 @@ def test_wide_hash_video_and_incremental(spark):
         assert not rows[11]["is_dup"]
 
 
+def test_media_signature_store_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r8 item 3: the persisted signature table's lifecycle —
+    appends accumulate, NO append ever re-signs prior media (the
+    signer sees exactly the new batch's rows; batch-1 files are
+    byte-untouched by append 2), dedup_batch verdicts against the
+    accumulated table match the in-plan corpus_sig path, compact()
+    consolidates files without changing the table, and a config
+    mismatch on an existing table raises."""
+    import os
+
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    docs = load_table(spark, sf_dir, "documents").limit(90)
+    path = str(tmp_path / "sigs")
+    store = ss.MediaSignatureStore(spark, path, "image")
+
+    signed_batches = []
+    real = mm.dhash_images
+
+    def counting_signer(media, **kw):
+        df = real(media, **kw)
+        signed_batches.append({r["media_id"] for r in df.collect()})
+        return df
+
+    monkeypatch.setitem(ss._SIGNERS, "image", ("dhash", counting_signer))
+    store = ss.MediaSignatureStore(spark, path, "image")
+
+    part1 = mm.synthesize_image_corpus(
+        docs.filter(F.col("doc_id") % 3 < 2), variant_every=None
+    )
+    part2 = mm.synthesize_image_corpus(
+        docs.filter(F.col("doc_id") % 3 == 2), variant_every=None
+    )
+    n1 = store.sign_and_append(part1)
+    files_after_1 = {
+        f: os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    }
+    n2 = store.sign_and_append(part2)
+    assert store.count() == n1 + n2 == docs.count()
+    # append 2 signed EXACTLY part2's media — prior media never re-signed
+    assert signed_batches[-1] == {
+        r["doc_id"] for r in docs.filter(F.col("doc_id") % 3 == 2).collect()
+    }
+    # batch-1 parquet files are untouched by append 2
+    files_after_2 = {
+        f: os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    }
+    assert set(files_after_1) <= set(files_after_2)
+    assert all(files_after_2[f] == s for f, s in files_after_1.items())
+
+    # verdicts against the persisted table == the in-plan corpus_sig path
+    batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+    got = sorted(map(tuple, store.dedup_batch(batch).collect()))
+    corpus = mm.synthesize_image_corpus(docs, variant_every=None)
+    want = sorted(map(tuple, mm.incremental_image_near_dup(
+        batch, corpus_sig=real(corpus)).collect()))
+    assert got == want
+
+    # compact: fewer files, same table
+    before = store.parquet_file_count()
+    assert before >= 2
+    store.compact()
+    assert store.parquet_file_count() < before
+    assert store.count() == n1 + n2
+
+    # config drift refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError, match="refusing to mix"):
+        ss.MediaSignatureStore(spark, path, "image", hash_bits=256)
+    with _pytest.raises(ConfigError, match="modality"):
+        ss.MediaSignatureStore(spark, path, "text")
+
+
 def test_incremental_dedup_salvage_flags_undecodable(spark):
     """In salvage mode an undecodable batch blob must be marked
     decoded=False — distinguishable from a verified-novel keeper
