@@ -1232,6 +1232,27 @@ class SparkVectorStore:
         floats per query batch.
 
         Returns DataFrame(query_id, doc_id, text, similarity, rank)."""
+        return self._plan_batch_search(queries, k)[0]
+
+    def explain_batch_search(self, queries: list[str], k: int = 4):
+        """batch_search's dispatch EXPLAINER (VERDICT r8 item 6 — the
+        100 TB operator debugging a batch job needs the same AnnPlan
+        visibility the single-query path has): returns (strategy,
+        reason, df) for exactly the physical plan batch_search would
+        run — how many clusters the probe UNION pruned to, and whether
+        the int8 first pass engaged."""
+        from langchain_memvid_spark.plans.ann_planner import AnnPlan
+
+        df, strategy, reason = self._plan_batch_search(queries, k)
+        return AnnPlan(strategy, reason, df)
+
+    def _plan_batch_search(
+        self, queries: list[str], k: int
+    ) -> tuple[DataFrame, str, str]:
+        """batch_search's body, returning (df, strategy, reason) — one
+        decision site shared with the explainer (the _plan_topk
+        pattern)."""
+        strategy, why = "brute_force", []
         qrows = []
         for qid, qtext in enumerate(queries):
             v = self._query_vec(qtext)
@@ -1260,8 +1281,21 @@ class SparkVectorStore:
                 }
             )
             corpus = corpus.filter(F.col("cluster_id").isin(all_probes))
+            strategy = "ivf_pruned"
+            why.append(
+                f"IVF layout live: union of {len(qrows)} queries' probes = "
+                f"{len(all_probes)} clusters of nlist={len(self._ivf.centroids)} "
+                "prunes the scan at the file level"
+            )
+        else:
+            why.append("no IVF layout (flat corpus): full scan")
         cand = self.config.index.rerank_candidates
         if self.config.index.metric != "l2" and 0 < cand < self._count:
+            why.append(
+                f"two-phase: int8 first pass keeps {max(cand, k)} candidates "
+                f"per query (corpus={self._count} > rerank_candidates={cand}), "
+                "floats read only for the exact re-rank"
+            )
             codes = corpus.select("doc_id", "qscale", "qvec")
             p1 = (
                 codes.crossJoin(F.broadcast(qdf.select("query_id", "__qc")))
@@ -1282,8 +1316,18 @@ class SparkVectorStore:
                 .join(F.broadcast(qdf), "query_id")
             )
         else:
+            if self.config.index.metric == "l2":
+                why.append(
+                    "l2 metric: direct exact scan (int8 pass is a dot surrogate)"
+                )
+            else:
+                why.append(
+                    f"direct exact scan (corpus={self._count}, "
+                    f"rerank_candidates={cand}: two passes would not pay)"
+                )
             docs = corpus.select("doc_id", "text", "embedding")
             joined = docs.crossJoin(F.broadcast(qdf))
+        why.append(f"query side ({len(qrows)} rows) broadcast")
         if self.config.index.metric == "l2":
             scored = joined.withColumn("similarity", l2_sq(F.col("embedding"), F.col("__qv")))
             order = [F.col("similarity").asc(), F.col("doc_id").asc()]
@@ -1291,11 +1335,12 @@ class SparkVectorStore:
             scored = joined.withColumn("similarity", dot(F.col("embedding"), F.col("__qv")))
             order = [F.col("similarity").desc(), F.col("doc_id").asc()]
         w = Window.partitionBy("query_id").orderBy(*order)
-        return (
+        df = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "query", "doc_id", "text", "similarity", "rank")
         )
+        return df, strategy, "; ".join(why)
 
     def similarity_join(
         self,
@@ -1331,8 +1376,43 @@ class SparkVectorStore:
         similarity in the store's metric (dot for cosine/ip over the
         ingest-normalized corpus, squared L2 ascending for l2).
         """
+        return self._plan_similarity_join(
+            queries, k, query_id_col, query_vec_col, n_queries
+        )[0]
+
+    def explain_similarity_join(
+        self,
+        queries: DataFrame,
+        k: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        n_queries: int | None = None,
+    ):
+        """similarity_join's dispatch EXPLAINER (VERDICT r8 item 6):
+        returns the AnnPlan (strategy, reason, df) for exactly the
+        physical plan similarity_join would run — the probed cluster
+        count and the query-side kernel pick (broadcast vs sort-merge,
+        from the exact query count)."""
+        from langchain_memvid_spark.plans.ann_planner import AnnPlan
+
+        df, strategy, reason = self._plan_similarity_join(
+            queries, k, query_id_col, query_vec_col, n_queries
+        )
+        return AnnPlan(strategy, reason, df)
+
+    def _plan_similarity_join(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_id_col: str,
+        query_vec_col: str,
+        n_queries: int | None,
+    ) -> tuple[DataFrame, str, str]:
+        """similarity_join's body, returning (df, strategy, reason) —
+        one decision site shared with the explainer."""
         from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
 
+        strategy, why = "brute_force", []
         metric = self.config.index.metric
         qv = F.col(query_vec_col).cast("array<double>")
         if metric == "cosine":
@@ -1358,12 +1438,25 @@ class SparkVectorStore:
                 for r in qdf.select(F.explode("__probes").alias("c")).distinct().collect()
             )
             corpus = corpus.filter(F.col("cluster_id").isin(probed))
-            qx = qdf.select("query_id", "__qv", F.explode("__probes").alias("cluster_id"))
-            right = (
-                F.broadcast(qx)
-                if n_queries * nprobe <= _PAIR_BROADCAST_ROW_LIMIT
-                else qx.hint("merge")
+            strategy = "ivf_pruned"
+            why.append(
+                f"IVF layout live: {n_queries} query rows assigned JVM-side, "
+                f"distinct probe set = {len(probed)} clusters of "
+                f"nlist={len(self._ivf.centroids)} prunes the scan at the file level"
             )
+            qx = qdf.select("query_id", "__qv", F.explode("__probes").alias("cluster_id"))
+            if n_queries * nprobe <= _PAIR_BROADCAST_ROW_LIMIT:
+                right = F.broadcast(qx)
+                why.append(
+                    f"query side broadcast ({n_queries}×{nprobe} probe rows "
+                    f"≤ {_PAIR_BROADCAST_ROW_LIMIT})"
+                )
+            else:
+                right = qx.hint("merge")
+                why.append(
+                    f"query side sort-merge ({n_queries}×{nprobe} probe rows "
+                    f"> {_PAIR_BROADCAST_ROW_LIMIT}: too big to broadcast)"
+                )
             joined = corpus.select("doc_id", "embedding", "cluster_id").join(
                 right, "cluster_id"
             )
@@ -1379,6 +1472,10 @@ class SparkVectorStore:
             qdf = queries.select(F.col(query_id_col).alias("query_id"), qv.alias("__qv"))
             joined = self._doc_index.select("doc_id", "embedding").crossJoin(
                 F.broadcast(qdf)
+            )
+            why.append(
+                f"no IVF layout (flat corpus): full scan, query side "
+                f"broadcast ({n_queries} rows ≤ {_PAIR_BROADCAST_ROW_LIMIT})"
             )
         if metric == "l2":
             scored = joined.withColumn(
@@ -1402,9 +1499,10 @@ class SparkVectorStore:
         top_side = (
             F.broadcast(top) if n_queries * k <= _PAIR_BROADCAST_ROW_LIMIT else top
         )
-        return texts.join(top_side, "doc_id").select(
+        df = texts.join(top_side, "doc_id").select(
             "query_id", "doc_id", "text", "similarity", "rank"
         )
+        return df, strategy, "; ".join(why)
 
     def similarity_search_with_relevance_scores(
         self,

@@ -5782,6 +5782,11 @@ _CHANGED_THIS_ROUND = (
     # empty-stream schema order fix (ADVICE r8 #2) + shared bandify
     # kernel refactor — non-empty output unchanged
     "stream_similarity_join",
+    # batch_search / similarity_join refactored through _plan_* bodies
+    # for the explain_* surface (VERDICT r8 item 6) — plans unchanged
+    "knn_batch",
+    "ivf_batch_search",
+    "vs_similarity_join",
 )
 
 

@@ -1513,3 +1513,48 @@ def test_explain_search_tracks_actual_plan(spark, ivf_store):
         ivf_store.explain_search()
     with _pytest.raises(ValueError):
         ivf_store.explain_search("text", qvec=qvec)
+
+
+def test_explain_batch_paths_track_actual_plan(spark, ivf_store):
+    """VERDICT r8 item 6: the BATCH paths expose the same AnnPlan the
+    single-query explainer does — strategy == 'ivf_pruned' iff the df
+    carries the file-level PartitionFilters prune, the reason names
+    the probed cluster count and the query-side kernel pick, and the
+    df's rows equal the un-explained API's."""
+    texts = ["doc-0", "doc-5", "doc-9"]
+    plan = ivf_store.explain_batch_search(texts, k=3)
+    assert plan.strategy == "ivf_pruned"
+    assert "probes" in plan.reason and "broadcast" in plan.reason
+    phys = plan.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in phys
+    got = [(r["query_id"], r["rank"], r["doc_id"]) for r in plan.df.collect()]
+    want = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in ivf_store.batch_search(texts, k=3).collect()
+    ]
+    assert got == want
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    jplan = ivf_store.explain_similarity_join(queries, k=3, n_queries=5)
+    assert jplan.strategy == "ivf_pruned"
+    assert "clusters" in jplan.reason and "broadcast" in jplan.reason
+    jphys = jplan.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in jphys
+    jgot = {
+        (r["query_id"], r["rank"]): r["doc_id"] for r in jplan.df.collect()
+    }
+    jwant = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in ivf_store.similarity_join(queries, k=3, n_queries=5).collect()
+    }
+    assert jgot == jwant
+
+    # flat store: brute_force on both batch paths, no pruning to claim
+    flat = SparkVectorStore(spark, config=EngineConfig(index=IndexConfig(dim=64)))
+    flat.add_texts(["alpha", "beta", "gamma"])
+    fplan = flat.explain_batch_search(["alpha"], k=2)
+    assert fplan.strategy == "brute_force" and "flat corpus" in fplan.reason
+    assert "PartitionFilters" not in fplan.df._jdf.queryExecution().executedPlan().toString()
