@@ -103,6 +103,12 @@ EXTENDED = [
     "incremental_video_dedup",
     "q2_min_cost_supplier",
     "q11_important_stock",
+    # round-9 operators: the wide-hash variants, the cluster-form
+    # exact-dup answer, and the persisted signature-table lifecycle
+    "image_near_dup_wide",
+    "audio_near_dup_wide",
+    "image_exact_dup_groups",
+    "media_signature_store_dedup",
 ]
 
 

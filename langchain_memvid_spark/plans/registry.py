@@ -2964,6 +2964,38 @@ def q_audio_near_dup(spark, sf_dir):
 
 
 @_reg(
+    "audio_near_dup_wide",
+    """
+SELECT doc_id AS a_id, doc_id + 10000000 AS b_id
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY a_id
+""",
+)
+def q_audio_near_dup_wide(spark, sf_dir):
+    """audio_near_dup at hash_bits=256 (VERDICT r8 item 5 on the audio
+    modality): the 257-window envelope hash packs into 4 longs, one
+    64-bit band each.  The engineered 1-sample LSB flip perturbs the
+    windows containing sample 0 — at the fixture's 256..383 samples
+    that is at most 2 adjacent windows, so at most 3 envelope
+    comparisons flip: within max_hamming=3 AND pigeonhole-banded
+    (≤3 dirty bits < 4 bands), so the closed-form pair set is the
+    same as the 64-bit query's — agreement across widths is part of
+    what the hash pins."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
+    media = mm.synthesize_audio_corpus(docs, variant_every=7)
+    return (
+        mm.audio_near_dup_pairs(
+            media, max_hamming=3, hash_bits=256, n_media=c["n"] + c["n_v7"]
+        )
+        .select("a_id", "b_id")
+        .orderBy("a_id")
+    )
+
+
+@_reg(
     "incremental_video_dedup",
     """
 SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,
