@@ -1106,6 +1106,40 @@ def image_exact_dup_groups(
     )
 
 
+def audio_exact_dup_groups(
+    media: DataFrame, salvage: bool = False, hash_bits: int = 64
+) -> DataFrame:
+    """image_exact_dup_groups on the audio modality: clips sharing an
+    identical envelope hash collapse to (rep_id, n_members), groups
+    with >1 member returned — linear output on silence/jingle
+    megaclusters."""
+    sig = envelope_hash_audio(media, salvage=salvage, hash_bits=hash_bits)
+    return (
+        _collapse_signature_groups(sig, sig_col_names("ahash", hash_bits))
+        .filter(F.col("n_members") > 1)
+        .select("rep_id", "n_members")
+    )
+
+
+def video_exact_dup_groups(
+    media: DataFrame,
+    every_n: int = 1,
+    salvage: bool = False,
+    hash_bits: int = 64,
+) -> DataFrame:
+    """Cluster-form exact-dup answer on the video modality: videos
+    whose FULL sampled frame-signature sequence is identical (grouped
+    on the exact sequence, no lossy digest) collapse to (rep_id,
+    n_members); groups with >1 member returned.  The re-uploaded-clip
+    megacluster contributes one row, never its member pairs."""
+    sigs = dhash_video_frames(media, every_n=every_n, salvage=salvage, hash_bits=hash_bits)
+    members, _ = _collapse_video_groups(sigs, sig_col_names("dhash", hash_bits))
+    return (
+        members.filter((F.col("n_members") > 1) & (F.col("media_id") == F.col("rep_id")))
+        .select("rep_id", "n_members")
+    )
+
+
 def synthesize_image_corpus(
     documents: DataFrame,
     variant_every: int | None = 7,

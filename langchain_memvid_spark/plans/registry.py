@@ -2854,6 +2854,62 @@ def q_incremental_image_dedup(spark, sf_dir):
 
 
 @_reg(
+    "audio_exact_dup_groups",
+    """
+SELECT doc_id AS rep_id, 2::BIGINT AS n_members
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY rep_id
+""",
+)
+def q_audio_exact_dup_groups(spark, sf_dir):
+    """image_exact_dup_groups on the audio modality: every 5th clip
+    re-synthesized byte-identically at +3·OFFSET → identical envelope
+    hashes collapse to {(d, 2) : d % 5 == 0} — the linear cluster-form
+    answer for silence/jingle megaclusters."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = mm.synthesize_audio_corpus(docs, variant_every=None)
+    copies = mm.synthesize_audio_corpus(
+        docs.filter(F.col("doc_id") % 5 == 0), variant_every=None
+    ).select(
+        (F.col("media_id") + 3 * mm.VARIANT_ID_OFFSET).alias("media_id"),
+        "media_type",
+        "content",
+    )
+    return mm.audio_exact_dup_groups(corpus.unionByName(copies)).orderBy("rep_id")
+
+
+@_reg(
+    "video_exact_dup_groups",
+    """
+SELECT doc_id AS rep_id, 2::BIGINT AS n_members
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY rep_id
+""",
+)
+def q_video_exact_dup_groups(spark, sf_dir):
+    """Cluster-form exact-dup on the VIDEO modality: every 5th video
+    re-synthesized byte-identically at +3·OFFSET — identical FULL
+    frame-signature sequences (grouped on the exact sequence, equal
+    frame counts required by construction) collapse to {(d, 2)}.  The
+    re-uploaded-clip megacluster shape answered in one row per
+    group."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = mm.synthesize_video_corpus(docs, variant_every=None)
+    copies = mm.synthesize_video_corpus(
+        docs.filter(F.col("doc_id") % 5 == 0), variant_every=None
+    ).select(
+        (F.col("media_id") + 3 * mm.VARIANT_ID_OFFSET).alias("media_id"),
+        "media_type",
+        "content",
+    )
+    return mm.video_exact_dup_groups(corpus.unionByName(copies)).orderBy("rep_id")
+
+
+@_reg(
     "media_signature_store_dedup",
     """
 SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,

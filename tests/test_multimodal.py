@@ -793,6 +793,59 @@ def test_media_signature_store_lifecycle(spark, sf_dir, tmp_path, monkeypatch):
         ss.MediaSignatureStore(spark, path, "text")
 
 
+def test_media_signature_store_audio_video_dispatch(spark, tmp_path):
+    """dedup_batch dispatches per modality: audio verdicts via the
+    envelope kernel, video via the frame-aligned kernel (every_n
+    honored from the store config)."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    w, h = 16, 8
+    wav = mm.encode_wav(8000, 1, mm._stretch_bytes(b"a", 300 * 2))
+    wav_new = mm.encode_wav(8000, 1, mm._stretch_bytes(b"b", 300 * 2))
+    astore = ss.MediaSignatureStore(spark, str(tmp_path / "a"), "audio")
+    astore.sign_and_append(spark.createDataFrame(
+        [(0, "audio", wav)], "media_id long, media_type string, content binary"))
+    arows = {r["media_id"]: r for r in astore.dedup_batch(spark.createDataFrame(
+        [(10, "audio", wav), (11, "audio", wav_new)],
+        "media_id long, media_type string, content binary")).collect()}
+    assert arows[10]["is_dup"] and arows[10]["dup_of"] == 0
+    assert not arows[11]["is_dup"]
+
+    avi = mm.encode_avi(w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"v", w * h))], 10)
+    avi_new = mm.encode_avi(w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"y", w * h))], 10)
+    vstore = ss.MediaSignatureStore(spark, str(tmp_path / "v"), "video")
+    vstore.sign_and_append(spark.createDataFrame(
+        [(0, "video", avi)], "media_id long, media_type string, content binary"))
+    vrows = {r["media_id"]: r for r in vstore.dedup_batch(spark.createDataFrame(
+        [(10, "video", avi), (11, "video", avi_new)],
+        "media_id long, media_type string, content binary")).collect()}
+    assert vrows[10]["is_dup"] and vrows[10]["dup_of"] == 0
+    assert not vrows[11]["is_dup"]
+
+
+def test_exact_dup_groups_all_modalities(spark):
+    """The cluster-form groups operators on all three modalities:
+    byte-identical copies group to (rep, n); singletons absent."""
+    w, h = 16, 8
+    png = mm.encode_png(w, h, mm._stretch_bytes(b"i", w * h))
+    png2 = mm.encode_png(w, h, mm._stretch_bytes(b"j", w * h))
+    wav = mm.encode_wav(8000, 1, mm._stretch_bytes(b"a", 300 * 2))
+    wav2 = mm.encode_wav(8000, 1, mm._stretch_bytes(b"b", 300 * 2))
+    avi = mm.encode_avi(w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"v", w * h))], 10)
+    avi2 = mm.encode_avi(w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"y", w * h))], 10)
+    for mtype, blob, other, fn in (
+        ("image", png, png2, mm.image_exact_dup_groups),
+        ("audio", wav, wav2, mm.audio_exact_dup_groups),
+        ("video", avi, avi2, mm.video_exact_dup_groups),
+    ):
+        media = spark.createDataFrame(
+            [(0, mtype, blob), (1, mtype, blob), (2, mtype, blob), (9, mtype, other)],
+            "media_id long, media_type string, content binary",
+        )
+        got = {(r["rep_id"], r["n_members"]) for r in fn(media).collect()}
+        assert got == {(0, 3)}, mtype
+
+
 def test_incremental_dedup_salvage_flags_undecodable(spark):
     """In salvage mode an undecodable batch blob must be marked
     decoded=False — distinguishable from a verified-novel keeper
