@@ -1054,6 +1054,7 @@ def image_near_dup_pairs(
     salvage: bool = False,
     hash_bits: int = 64,
     max_bucket: int | None = _MEDIA_BUCKET_CAP,
+    eager_sign: bool = True,
 ) -> DataFrame:
     """Image near-dup pairs by dHash hamming distance ≤ max_hamming —
     simhash_near_pairs' plan shape lifted to the image hash, with the
@@ -1077,6 +1078,15 @@ def image_near_dup_pairs(
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "image").count()
     sig = dhash_images(media, id_col=id_col, salvage=salvage, hash_bits=hash_bits)
+    if eager_sign:
+        # materialize the signature table NOW so the decoder runs
+        # exactly once: AQE materializes the plan's broadcast and
+        # shuffle stages concurrently, and the lazy .cache() markers
+        # below cannot stop two racing stages from each computing an
+        # uncached signer partition (measured at sf10: lazy plans
+        # re-decoded the corpus ~2x).  eager_sign=False keeps plan
+        # construction job-free (explain / composition).
+        sig = sig.localCheckpoint(eager=True)
     return _collapsed_near_dup_pairs(
         sig,
         sig_col_names("dhash", hash_bits),
@@ -1282,7 +1292,7 @@ def _collapse_video_groups(
     signature rows of the representatives only."""
     vseq = sigs.groupBy("media_id", "n_frames").agg(
         F.sort_array(F.collect_list(F.struct("frame_no", *sig_cols))).alias("__vseq")
-    )
+    ).cache()  # feeds vgroups AND the members join — shuffle once
     vgroups = vseq.groupBy("n_frames", "__vseq").agg(
         F.min("media_id").alias("rep_id"), F.count("*").alias("n_members")
     )
@@ -1304,6 +1314,7 @@ def video_near_dup_pairs(
     salvage: bool = False,
     hash_bits: int = 64,
     max_bucket: int | None = _MEDIA_BUCKET_CAP,
+    eager_sign: bool = True,
 ) -> DataFrame:
     """Video near-dup pairs by temporally-aligned per-frame dHash —
     image_near_dup_pairs lifted to the time axis: byte-identical
@@ -1346,6 +1357,10 @@ def video_near_dup_pairs(
     if n_band_rows is None:
         sigs = sigs.localCheckpoint(eager=True)
         n_band_rows = sigs.count() * n_bands
+    elif eager_sign:
+        # sign exactly once (see image_near_dup_pairs): one eager job
+        # beats AQE's racing stages re-walking every container
+        sigs = sigs.localCheckpoint(eager=True)
     else:
         sigs = sigs.cache()
     members, rep_sigs = _collapse_video_groups(sigs, sig_cols)
@@ -1579,6 +1594,7 @@ def audio_near_dup_pairs(
     salvage: bool = False,
     hash_bits: int = 64,
     max_bucket: int | None = _MEDIA_BUCKET_CAP,
+    eager_sign: bool = True,
 ) -> DataFrame:
     """Audio near-dup pairs by envelope-hash hamming distance ≤
     max_hamming — image_near_dup_pairs on the audio modality, through
@@ -1593,6 +1609,9 @@ def audio_near_dup_pairs(
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "audio").count()
     sig = envelope_hash_audio(media, id_col=id_col, salvage=salvage, hash_bits=hash_bits)
+    if eager_sign:
+        # sign exactly once (see image_near_dup_pairs)
+        sig = sig.localCheckpoint(eager=True)
     return _collapsed_near_dup_pairs(
         sig,
         sig_col_names("ahash", hash_bits),

@@ -1609,10 +1609,10 @@ def test_media_dedup_plan_construction_runs_zero_jobs(spark):
     sc.setJobGroup("media-plan-zero-jobs", "planning must be lazy")
     try:
         plans = [
-            mm.image_near_dup_pairs(media, n_media=35),
-            mm.image_near_dup_pairs(media, n_media=35, hash_bits=256),
-            mm.audio_near_dup_pairs(auds, n_media=35),
-            mm.video_near_dup_pairs(vids, n_band_rows=300),
+            mm.image_near_dup_pairs(media, n_media=35, eager_sign=False),
+            mm.image_near_dup_pairs(media, n_media=35, hash_bits=256, eager_sign=False),
+            mm.audio_near_dup_pairs(auds, n_media=35, eager_sign=False),
+            mm.video_near_dup_pairs(vids, n_band_rows=300, eager_sign=False),
             mm.incremental_image_near_dup(
                 batch, corpus_sig=mm.dhash_images(media), n_new=10
             ),
