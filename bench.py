@@ -104,11 +104,13 @@ EXTENDED = [
     "q2_min_cost_supplier",
     "q11_important_stock",
     # round-9 operators: the wide-hash variants, the cluster-form
-    # exact-dup answer, and the persisted signature-table lifecycle
+    # exact-dup answer, the persisted signature-table lifecycle, and
+    # the streaming multimodal ingest gate
     "image_near_dup_wide",
     "audio_near_dup_wide",
     "image_exact_dup_groups",
     "media_signature_store_dedup",
+    "stream_media_ingest_gate",
 ]
 
 

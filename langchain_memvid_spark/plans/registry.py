@@ -2854,6 +2854,56 @@ def q_incremental_image_dedup(spark, sf_dir):
 
 
 @_reg(
+    "stream_media_ingest_gate",
+    """
+SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,
+       TRUE AS decoded
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of,
+       TRUE AS decoded
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY media_id
+""",
+)
+def q_stream_media_ingest_gate(spark, sf_dir):
+    """STREAMING multimodal ingest gate — the full production loop in
+    one query: the corpus is signed once into a persisted
+    MediaSignatureStore table, then the scrape batch arrives as a
+    THREE-microbatch file stream (maxFilesPerTrigger=1) and every
+    microbatch is deduped against the signature table through the
+    incremental kernel (batch bands broadcast, one corpus-signature
+    scan, zero corpus-side shuffle), exactly-once via idempotent
+    per-batch-partition overwrite.  The accumulated verdicts are
+    batch-split-invariant (each arrival is judged against the fixed
+    corpus), so the union hashes against the same closed-form
+    variant/novel oracle as incremental_image_dedup — streamed
+    ingest returns byte-identical verdicts to a batch run."""
+    import tempfile
+
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+    from langchain_memvid_spark.streaming.media import stream_media_dedup_vs_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="stream_media_gate_")
+    store = MediaSignatureStore(spark, f"{base}/sigs", "image")
+    store.sign_and_append(mm.synthesize_image_corpus(docs, variant_every=None))
+    batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+    batch.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
+    out = stream_media_dedup_vs_corpus(
+        spark,
+        f"{base}/arrivals",
+        f"{base}/verdicts",
+        f"{base}/ckpt",
+        store.signatures(),
+        modality="image",
+        max_files_per_trigger=1,
+    )
+    return out.select("media_id", "is_dup", "dup_of", "decoded").orderBy("media_id")
+
+
+@_reg(
     "audio_exact_dup_groups",
     """
 SELECT doc_id AS rep_id, 2::BIGINT AS n_members

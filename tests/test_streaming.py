@@ -417,6 +417,63 @@ def test_stream_similarity_join_empty_source_returns_empty(spark, sf_dir, tmp_pa
     ]
 
 
+def test_stream_media_dedup_vs_corpus(spark, sf_dir, tmp_path_factory):
+    """The streaming media ingest gate accumulates EXACTLY the batch
+    incremental kernel's verdicts across microbatches (multi-file
+    source, maxFilesPerTrigger=1), is Hive-partitioned by batch_id
+    (the exactly-once unit), and returns a typed empty frame with
+    batch_id LAST on an empty source."""
+    import os
+
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.streaming.media import stream_media_dedup_vs_corpus
+
+    docs = load_table(spark, sf_dir, "documents").limit(90)
+    corpus = mm.synthesize_image_corpus(docs, variant_every=None)
+    corpus_sig = mm.dhash_images(corpus).localCheckpoint()
+    batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+    base = tmp_path_factory.mktemp("stream_media_gate")
+    batch.repartition(3).write.parquet(f"{base}/arrivals")
+    out = stream_media_dedup_vs_corpus(
+        spark, f"{base}/arrivals", f"{base}/verdicts", f"{base}/ckpt",
+        corpus_sig, modality="image", max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r["media_id"], r["is_dup"], r["dup_of"], r["decoded"])
+        for r in out.collect()
+    )
+    want = sorted(
+        map(tuple, mm.incremental_image_near_dup(batch, corpus_sig=corpus_sig).collect())
+    )
+    assert got == want
+    batch_dirs = [d for d in os.listdir(f"{base}/verdicts") if d.startswith("batch_id=")]
+    assert len(batch_dirs) == 3
+    assert out.columns == ["media_id", "is_dup", "dup_of", "decoded", "batch_id"]
+
+    # empty source: typed empty frame, batch_id LAST (ADVICE r8 rule)
+    empty_dir = tmp_path_factory.mktemp("stream_media_empty")
+    spark.createDataFrame(
+        [], "media_id long, media_type string, content binary"
+    ).write.parquet(f"{empty_dir}/arrivals")
+    eout = stream_media_dedup_vs_corpus(
+        spark, f"{empty_dir}/arrivals", f"{empty_dir}/verdicts",
+        f"{empty_dir}/ckpt", corpus_sig, modality="image",
+    )
+    # an empty PARQUET source still triggers one microbatch with zero
+    # rows, so either path (empty partition dir or typed fallback) must
+    # present the same schema order
+    assert eout.columns == ["media_id", "is_dup", "dup_of", "decoded", "batch_id"]
+    assert eout.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="modality"):
+        stream_media_dedup_vs_corpus(
+            spark, f"{base}/arrivals", f"{base}/v2", f"{base}/c2",
+            corpus_sig, modality="text",
+        )
+
+
 def test_stream_dedup_vs_corpus_strategy_pick(spark, sf_dir, monkeypatch):
     """The static side's broadcast is an exact-count PICK, not a
     blanket hint (VERDICT r7 What's-wrong #1): under the bound the
