@@ -958,3 +958,61 @@ def test_envelope_hash_gain_invariant(amps, gain):
     a = mm.encode_wav(8000, 1, base.astype("<i2").tobytes())
     b = mm.encode_wav(8000, 1, (base * gain).astype("<i2").tobytes())
     assert mm.envelope_hash_wav(a) == mm.envelope_hash_wav(b)
+
+
+@given(
+    sigs=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=24, unique=True
+    ),
+    wide=st.booleans(),
+)
+@SET
+def test_hamming_band_table_pigeonhole_property(spark_handle, sigs, wide):
+    """The shared banding kernel (dedup.hamming_band_table): every
+    signature explodes into exactly n_bands rows; band values match
+    the Python slicing reference bit-exactly; and pigeonhole holds —
+    any pair within hamming ≤ n_bands-1 shares at least one
+    (band, val).  Covers both layouts: 4×16-bit slices of one long,
+    and 4 whole longs (wide)."""
+    spark = spark_handle
+    if wide:
+        rows = [(i, s, s ^ 1, s ^ (1 << 40), s ^ 3) for i, s in enumerate(sigs)]
+        df = spark.createDataFrame(
+            rows, "media_id long, s0 long, s1 long, s2 long, s3 long"
+        )
+        cols, band_bits = ["s0", "s1", "s2", "s3"], 64
+        py_bands = {r[0]: [r[1], r[2], r[3], r[4]] for r in rows}
+
+        def ham(a, b):
+            return sum(bin((x ^ y) & (2**64 - 1)).count("1") for x, y in zip(a, b))
+
+    else:
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sigs)], "media_id long, sig long"
+        )
+        cols, band_bits = ["sig"], 16
+        py_bands = {
+            i: [((s & (2**64 - 1)) >> (16 * b)) & 0xFFFF for b in range(4)]
+            for i, s in enumerate(sigs)
+        }
+
+        def ham(a, b):
+            return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    banded = dedup.hamming_band_table(df, cols, n_bands=4, band_bits=band_bits)
+    got = {}
+    for r in banded.collect():
+        got.setdefault(r["media_id"], {})[r["band"]] = r["val"]
+    assert set(got) == set(py_bands)
+    for i, bands in py_bands.items():
+        assert len(got[i]) == 4
+        for b in range(4):
+            assert got[i][b] == bands[b], (i, b)
+    # pigeonhole: hamming ≤ 3 ⇒ ≥1 shared (band, val)
+    ids = sorted(py_bands)
+    for ai in ids:
+        for bi in ids:
+            if ai >= bi:
+                continue
+            if ham(py_bands[ai], py_bands[bi]) <= 3:
+                assert any(got[ai][b] == got[bi][b] for b in range(4)), (ai, bi)
