@@ -794,6 +794,22 @@ def sig_col_names(base: str, hash_bits: int) -> list[str]:
     return [f"{base}{j}" for j in range(hash_bits // 64)]
 
 
+# Above ~10⁷ items the 16-bit bands of a 64-bit hash start colliding
+# iid at rates that swamp the verify stage (SCALE.md candidate-rate
+# math: expected iid candidates per item ≈ n_bands · n / 2^band_bits);
+# the 256-bit wide hash (64-bit bands) cuts that 2⁴⁸.
+_WIDE_HASH_ITEMS = 10_000_000
+
+
+def hash_bits_for_corpus(n_items: int) -> int:
+    """Size-derived signature width — the same exact-count-driven rule
+    family as dedup.py's ``rhp_band_bits_for`` and ivf.py's
+    ``nlist_for_corpus``: 64-bit hashes below ~10⁷ items (cheaper to
+    sign, 8 B/item to persist), 256-bit wide hashes at or above (flat
+    iid band-collision rate at billion-item scale)."""
+    return 256 if n_items >= _WIDE_HASH_ITEMS else 64
+
+
 def _dhash_grid(hash_bits: int) -> tuple[int, int]:
     """Square-ish dHash grid for a bit width: 64 → 8×8, 256 → 16×16."""
     side = int(math.isqrt(hash_bits))
@@ -1052,7 +1068,7 @@ def image_near_dup_pairs(
     id_col: str = "media_id",
     n_media: int | None = None,
     salvage: bool = False,
-    hash_bits: int = 64,
+    hash_bits: int | None = None,
     max_bucket: int | None = _MEDIA_BUCKET_CAP,
     eager_sign: bool = True,
 ) -> DataFrame:
@@ -1065,18 +1081,30 @@ def image_near_dup_pairs(
     (equi-join on (band, val), hot buckets df-capped, never
     all-pairs), exact Σ bit_count(XOR) ≤ max_hamming verifies once per
     signature pair, and group members expand back to the pair listing
-    (output-proportional).  max_hamming=3 < 4 bands → pigeonhole: ZERO
-    false negatives, the output IS the hamming-≤3 pair set.
+    (output-proportional).  max_hamming=3 < 4 bands → pigeonhole
+    covers every true pair (see the zero-FN condition below).
 
     ``hash_bits=256`` uses the wide 16×16 dHash (4 longs, one 64-bit
     band each — same pigeonhole, 2⁴⁸ lower iid candidate rate: the
-    billion-image knob).  Join strategy is the exact-count pick
-    (dedup.py _PAIR_BROADCAST_ROW_LIMIT) — pass ``n_media`` to skip
-    the eager count.
+    billion-image knob); ``hash_bits=None`` derives the width from the
+    exact corpus count (hash_bits_for_corpus — 256 above ~10⁷ images).
+    Join strategy is the exact-count pick (dedup.py
+    _PAIR_BROADCAST_ROW_LIMIT) — pass ``n_media`` to skip the eager
+    count.
+
+    Zero false negatives when no (band, val) bucket exceeds
+    ``max_bucket`` DISTINCT signatures (exact duplicates collapse
+    first, so only genuinely distinct near-neighbors count toward the
+    cap); when the cap binds, a pair whose ONLY agreeing band value is
+    that ultra-common one is dropped — the same bounded trade the text
+    shingle families document as ``max_df``.  Pass ``max_bucket=None``
+    for the unconditional pigeonhole guarantee.
 
     Returns (a_id, b_id, hamming) with a_id < b_id."""
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "image").count()
+    if hash_bits is None:
+        hash_bits = hash_bits_for_corpus(n_media)
     sig = dhash_images(media, id_col=id_col, salvage=salvage, hash_bits=hash_bits)
     if eager_sign:
         # materialize the signature table NOW so the decoder runs
@@ -1312,7 +1340,7 @@ def video_near_dup_pairs(
     every_n: int = 1,
     n_band_rows: int | None = None,
     salvage: bool = False,
-    hash_bits: int = 64,
+    hash_bits: int | None = None,
     max_bucket: int | None = _MEDIA_BUCKET_CAP,
     eager_sign: bool = True,
 ) -> DataFrame:
@@ -1320,27 +1348,38 @@ def video_near_dup_pairs(
     image_near_dup_pairs lifted to the time axis: byte-identical
     signature SEQUENCES collapse to one representative first (a
     re-uploaded clip scraped millions of times is ONE set of band
-    rows, VERDICT r8 item 2), candidates must agree on ≥1 band AT THE
-    SAME frame_no (the equi-join key is (frame_no, band, val), hot
-    buckets df-capped, so frame 0 of one video never compares to
+    rows, VERDICT r8 item 2), candidate pairs must agree on ≥1 band
+    AT THE SAME frame_no (the equi-join key is (frame_no, band, val),
+    hot buckets df-capped, so frame 0 of one video never compares to
     frame 3 of another and the join stays sub-quadratic in videos AND
-    frames), and a representative pair qualifies only when EVERY
-    sampled frame pair verifies Σ bit_count(XOR) ≤ max_hamming and
-    both containers hold the same total frame count.  Per-frame
-    pigeonhole (max_hamming < 4 bands) means a qualifying frame pair
-    always produces its band row: counting distinct qualifying
-    frame_nos against the full sampled depth gives ZERO false
-    negatives, and the full-depth + equal-count requirement rejects
-    partial overlaps (a clip sharing one frame is NOT the same
+    frames), and every candidate is then verified DIRECTLY at frame
+    grain against the representatives' signature table: a pair
+    qualifies only when EVERY sampled frame pair verifies Σ
+    bit_count(XOR) ≤ max_hamming and both containers hold the same
+    total frame count (a clip sharing one frame is NOT the same
     video).  Group members then expand back to the full pair listing
     (within-group pairs at hamming 0 — output-proportional).
 
+    Candidate generation and verification are DECOUPLED (ADVICE r9):
+    one surviving band row from ANY frame is enough to surface a
+    pair, and the verdict comes from the full-depth signature join —
+    never from counting band hits.  Zero false negatives therefore
+    hold unless the df-cap drops EVERY agreeing (frame_no, band, val)
+    bucket of EVERY sampled frame of a true pair (pigeonhole gives
+    each frame ≥1 agreeing band; with the cap at 100k distinct
+    sequence groups per bucket, all-frames-all-hot requires every
+    frame of the video to be ultra-common — pass ``max_bucket=None``
+    for the unconditional guarantee).
+
     ``hash_bits=256`` signs frames with the wide 16×16 dHash (4
-    longs, 64-bit bands).  Join strategy is the exact-count pick
-    (dedup.py _PAIR_BROADCAST_ROW_LIMIT) over the band-table size (4
-    rows per sampled frame); pass ``n_band_rows`` to skip the eager
-    count (the default localCheckpoints the signature table so
-    signing runs ONCE, not once per join side).
+    longs, 64-bit bands); the default ``None`` derives the width from
+    the exact item count (hash_bits_for_corpus over sampled frames =
+    n_band_rows/4 when given, else over a count of the video rows —
+    metadata-only on a real table scan).  Join strategy is the
+    exact-count pick (dedup.py _PAIR_BROADCAST_ROW_LIMIT) over the
+    band-table size (4 rows per sampled frame); pass ``n_band_rows``
+    to skip the eager count (the default localCheckpoints the
+    signature table so signing runs ONCE, not once per join side).
 
     Returns (a_id, b_id, n_frames, max_hamming_seen) with
     a_id < b_id."""
@@ -1351,6 +1390,12 @@ def video_near_dup_pairs(
     )
 
     n_bands = 4
+    if hash_bits is None:
+        hash_bits = hash_bits_for_corpus(
+            n_band_rows // n_bands
+            if n_band_rows is not None
+            else media.filter(F.col("media_type") == "video").count()
+        )
     band_bits = 16 if hash_bits == 64 else 64
     sig_cols = sig_col_names("dhash", hash_bits)
     sigs = dhash_video_frames(media, every_n=every_n, salvage=salvage, hash_bits=hash_bits)
@@ -1364,11 +1409,9 @@ def video_near_dup_pairs(
     else:
         sigs = sigs.cache()
     members, rep_sigs = _collapse_video_groups(sigs, sig_cols)
-    n_sampled = F.ceil(F.col("n_frames") / F.lit(every_n)).cast("int")
+    rep_sigs = rep_sigs.cache()  # feeds the band table AND both verify sides
     bands = hamming_band_table(
-        rep_sigs.select(
-            "media_id", "frame_no", n_sampled.alias("n_sampled"), "n_frames", *sig_cols
-        ),
+        rep_sigs.select("media_id", "frame_no", "n_frames", *sig_cols),
         sig_cols,
         n_bands=n_bands,
         band_bits=band_bits,
@@ -1376,45 +1419,50 @@ def video_near_dup_pairs(
     bands = _drop_hot_buckets(
         bands, n_band_rows // n_bands, max_bucket, keys=("frame_no", "band", "val")
     )
-    a_sig = [f"__a{j}" for j in range(len(sig_cols))]
-    b_sig = [f"__b{j}" for j in range(len(sig_cols))]
     a = bands.select(
         F.col("media_id").alias("a_id"),
-        F.col("n_sampled").alias("a_ns"),
         F.col("n_frames").alias("a_nf"),
-        *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
         "frame_no", "band", "val",
     )
     b = bands.select(
         F.col("media_id").alias("b_id"),
         F.col("n_frames").alias("b_nf"),
-        *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
         "frame_no", "band", "val",
     )
     if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
         joined = F.broadcast(a).join(b, ["frame_no", "band", "val"])
     else:
         joined = a.hint("merge").join(b, ["frame_no", "band", "val"])
-    frame_hits = (
+    cand = (
         joined.filter((F.col("a_id") < F.col("b_id")) & (F.col("a_nf") == F.col("b_nf")))
-        .select(
-            "a_id", "b_id", "frame_no", "a_ns", "a_nf",
-            hamming_distance_col(a_sig, b_sig).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id")
+        .distinct()
     )
+    # direct full-depth verify: equal n_frames + equal every_n ⇒ both
+    # sides sampled the same frame_no set, so the inner join covers
+    # every sampled frame exactly once — max() over it IS the verdict
+    a_sig = [f"__a{j}" for j in range(len(sig_cols))]
+    b_sig = [f"__b{j}" for j in range(len(sig_cols))]
+    fa = rep_sigs.select(
+        F.col("media_id").alias("a_id"),
+        F.col("n_frames").alias("a_nf"),
+        "frame_no",
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
+    )
+    fb = rep_sigs.select(
+        F.col("media_id").alias("b_id"),
+        "frame_no",
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
+    )
+    if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+        cand = F.broadcast(cand)
     rep_pairs = (
-        frame_hits.groupBy("a_id", "b_id", "a_ns", "a_nf")
-        .agg(
-            F.countDistinct("frame_no").alias("ok_frames"),
-            F.max("hamming").alias("max_hamming_seen"),
-        )
-        .filter(F.col("ok_frames") == F.col("a_ns"))
-        .select(
-            "a_id", "b_id",
-            F.col("a_nf").alias("n_frames"),
-            "max_hamming_seen",
-        )
+        cand.join(fa, "a_id")
+        .join(fb, ["b_id", "frame_no"])
+        .groupBy("a_id", "b_id", "a_nf")
+        .agg(F.max(hamming_distance_col(a_sig, b_sig)).alias("max_hamming_seen"))
+        .filter(F.col("max_hamming_seen") <= max_hamming)
+        .select("a_id", "b_id", F.col("a_nf").alias("n_frames"), "max_hamming_seen")
     )
     # expansion back to media grain: cross-group member pairs inherit
     # the representative pair's verdict; within-group pairs are exact
@@ -1592,7 +1640,7 @@ def audio_near_dup_pairs(
     id_col: str = "media_id",
     n_media: int | None = None,
     salvage: bool = False,
-    hash_bits: int = 64,
+    hash_bits: int | None = None,
     max_bucket: int | None = _MEDIA_BUCKET_CAP,
     eager_sign: bool = True,
 ) -> DataFrame:
@@ -1601,13 +1649,19 @@ def audio_near_dup_pairs(
     the SAME collapsed kernel (exact-signature groups before banding,
     hot (band, val) buckets df-capped, hamming verified once per
     distinct-signature pair, members expanded back — VERDICT r8 items
-    2/8).  Pigeonhole zero false negatives at max_hamming < 4 bands.
-    ``hash_bits=256`` uses the 4-long wide envelope hash with 64-bit
-    bands.  Pass ``n_media`` to skip the eager count.
+    2/8).  Pigeonhole zero false negatives at max_hamming < 4 bands
+    when no bucket exceeds ``max_bucket`` distinct signatures (see
+    image_near_dup_pairs for the capped trade; ``max_bucket=None`` for
+    the unconditional guarantee).  ``hash_bits=256`` uses the 4-long
+    wide envelope hash with 64-bit bands; ``hash_bits=None`` derives
+    the width from the exact corpus count (hash_bits_for_corpus).
+    Pass ``n_media`` to skip the eager count.
 
     Returns (a_id, b_id, hamming) with a_id < b_id."""
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "audio").count()
+    if hash_bits is None:
+        hash_bits = hash_bits_for_corpus(n_media)
     sig = envelope_hash_audio(media, id_col=id_col, salvage=salvage, hash_bits=hash_bits)
     if eager_sign:
         # sign exactly once (see image_near_dup_pairs)
@@ -1770,8 +1824,14 @@ def _incremental_hamming_verdicts(
     signature row at all (ADVICE r8: in salvage mode an undecodable
     blob must be distinguishable from a genuinely novel keeper, or a
     corrupt scrape batch silently passes the ingest gate as
-    is_dup=false).  Without salvage every blob signs or the scan
-    raises, so decoded is uniformly true."""
+    is_dup=false).  For image/audio without salvage every blob signs or
+    the scan raises, so decoded is uniformly true.  Video is the
+    exception BY DESIGN (ADVICE r9): a structurally valid container
+    whose sampled frame list is empty (zero-frame AVI, or every_n
+    beyond its length) yields no signature rows and therefore
+    decoded=false even without salvage — it carries no comparable
+    content, so routing it to quarantine/review rather than
+    verified-novel is the safe verdict for an ingest gate."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
         hamming_band_table,
@@ -1943,8 +2003,11 @@ def incremental_video_near_dup(
     upload.
 
     Returns one row per new video: (media_id, is_dup, dup_of,
-    decoded) — ``decoded`` false when the container walk failed to
-    produce any frame signature (salvage mode, ADVICE r8)."""
+    decoded) — ``decoded`` false when the blob produced NO frame
+    signature: decode failure in salvage mode (ADVICE r8), or — by
+    design, even without salvage — a structurally valid zero-frame
+    container (ADVICE r9: no comparable content, so quarantine beats
+    verified-novel at an ingest gate)."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
         hamming_band_table,

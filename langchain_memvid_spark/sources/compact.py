@@ -5,6 +5,11 @@ per partition; at 100 TB the resulting footer reads and task overhead
 dominate scan time. Compaction rewrites a table at a target file size
 with an overwrite-swap (write to a sibling temp dir, then rename).
 
+All path operations route through the JVM Hadoop FileSystem
+(sources/fs.py), so the same swap works on local disk under pytest and
+on HDFS/S3 on a cluster — driver-local ``os.rename`` would fail (or
+silently probe False) on any non-local scheme.
+
 Swap semantics are SINGLE-WRITER, NO-CONCURRENT-READER: between the
 two renames the table path briefly does not exist, and a crash there
 leaves the data under a ``__old_*`` suffixed name (recoverable by
@@ -16,29 +21,28 @@ for a plain-parquet table.
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import SparkSession
 
-
-def table_bytes(path: str) -> int:
-    total = 0
-    for root, _, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if not f.startswith("_"))
-    return total
+from langchain_memvid_spark.sources import fs as hfs
 
 
-def parquet_file_count(path: str) -> int:
-    n = 0
-    for _, _, files in os.walk(path):
-        n += sum(1 for f in files if f.endswith(".parquet"))
-    return n
+def table_bytes(path: str, spark: SparkSession | None = None) -> int:
+    spark = hfs._active_spark(spark)
+    return hfs.data_bytes(spark, path)
+
+
+def parquet_file_count(path: str, spark: SparkSession | None = None) -> int:
+    spark = hfs._active_spark(spark)
+    return len(hfs.list_file_paths(spark, path, suffix=".parquet"))
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sidecar_files: dict[str, str] | None = None,
 ) -> int:
     """Rewrite `path` with ceil(table_bytes / target_file_bytes) files.
 
@@ -49,14 +53,23 @@ def compact_parquet(
     the write narrow. The rewrite lands in a temp sibling dir and swaps
     in via two renames with the old data removed last — safe for a
     single writer with no concurrent readers (see module docstring for
-    the exact crash/reader window)."""
-    size = table_bytes(path)
+    the exact crash/reader window).
+
+    ``sidecar_files`` maps basename → text for config sidecars that
+    must SURVIVE the swap (e.g. MediaSignatureStore's meta): they are
+    written into the temp dir BEFORE the first rename, so there is no
+    window in which the live table exists without its sidecar — a
+    crash mid-swap leaves either the old dir (sidecar intact) or the
+    new dir (sidecar already present)."""
+    size = table_bytes(path, spark)
     n_files = max(1, -(-size // target_file_bytes))
     df = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    for name, text in (sidecar_files or {}).items():
+        hfs.write_text(spark, f"{tmp}/{name}", text)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return parquet_file_count(path)
+    hfs.rename(spark, path, old)
+    hfs.rename(spark, tmp, path)
+    hfs.delete(spark, old, recursive=True)
+    return parquet_file_count(path, spark)

@@ -942,3 +942,138 @@ def test_incremental_video_near_dup_semantics_depth_and_plan(spark, sf_dir):
                 mm.incremental_video_near_dup(clipbatch, corpus2).collect()}
     assert not verdicts[100]["is_dup"]
     assert verdicts[101]["is_dup"] and verdicts[101]["dup_of"] == 0
+
+
+def test_media_signature_store_file_scheme_uri(spark, tmp_path):
+    """VERDICT r9 item 2: the store must work through a NON-os.path
+    scheme (file:// is the minimal one available locally) — probes,
+    sidecar, appends, dedup verdicts, and compaction all route through
+    the Hadoop FileSystem, never driver-local os.path.  The old
+    os.path.isdir probe was always-False on a scheme'd URI and
+    silently verdicted every batch item novel."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    w, h = 16, 8
+    png = mm.encode_png(w, h, mm._stretch_bytes(b"fsuri", w * h))
+    png2 = mm.encode_png(w, h, mm._stretch_bytes(b"other", w * h))
+    path = "file://" + str(tmp_path / "sigs")
+    store = ss.MediaSignatureStore(spark, path, "image", hash_bits=256)
+    n = store.sign_and_append(spark.createDataFrame(
+        [(0, "image", png)], "media_id long, media_type string, content binary"))
+    assert n == 1 and store.count() == 1
+    verdicts = {r["media_id"]: r for r in store.dedup_batch(spark.createDataFrame(
+        [(10, "image", png), (11, "image", png2)],
+        "media_id long, media_type string, content binary")).collect()}
+    assert verdicts[10]["is_dup"] and verdicts[10]["dup_of"] == 0
+    assert not verdicts[11]["is_dup"]
+    # compact through the scheme'd URI; the sidecar survives the swap
+    store.sign_and_append(spark.createDataFrame(
+        [(1, "image", png2)], "media_id long, media_type string, content binary"))
+    store.compact()
+    assert store.count() == 2
+    # a fresh handle with hash_bits=None ADOPTS the sidecar's config
+    reopened = ss.MediaSignatureStore(spark, path, "image")
+    assert reopened.hash_bits == 256 and reopened.count() == 2
+
+
+def test_sigstore_refuses_data_without_sidecar(spark, tmp_path):
+    """VERDICT r9 item 2 / ADVICE r9: a signature table that HAS data
+    files but no meta sidecar is refused — its (hash_bits, every_n) is
+    unknowable, and adopting it at a guessed width would null-fill
+    signature columns and silently verdict everything novel."""
+    import os
+
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    w, h = 16, 8
+    png = mm.encode_png(w, h, mm._stretch_bytes(b"nosidecar", w * h))
+    path = str(tmp_path / "sigs")
+    store = ss.MediaSignatureStore(spark, path, "image")
+    store.sign_and_append(spark.createDataFrame(
+        [(0, "image", png)], "media_id long, media_type string, content binary"))
+    os.remove(os.path.join(path, ss._META_NAME))
+    with pytest.raises(ConfigError, match="no .*sidecar"):
+        ss.MediaSignatureStore(spark, path, "image")
+
+
+def test_sigstore_schema_crosscheck_raises_on_width_drift(spark, tmp_path):
+    """ADVICE r9: signatures() cross-checks the files' actual column
+    set — a forged/mismatched sidecar claiming another width must
+    RAISE, not null-fill the missing signature columns (null hamming
+    ⇒ silent all-novel)."""
+    import json
+
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import sigstore as ss
+    from langchain_memvid_spark.sources import fs as hfs
+
+    w, h = 16, 8
+    png = mm.encode_png(w, h, mm._stretch_bytes(b"drift", w * h))
+    path = str(tmp_path / "sigs")
+    store = ss.MediaSignatureStore(spark, path, "image", hash_bits=64)
+    store.sign_and_append(spark.createDataFrame(
+        [(0, "image", png)], "media_id long, media_type string, content binary"))
+    hfs.write_text(
+        spark,
+        f"{path}/{ss._META_NAME}",
+        json.dumps({"modality": "image", "hash_bits": 256, "every_n": 1}),
+    )
+    wrong = ss.MediaSignatureStore(spark, path, "image", hash_bits=256)
+    with pytest.raises(ConfigError, match="holds columns"):
+        wrong.signatures()
+
+
+def test_sign_and_append_signs_each_blob_exactly_once(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 6: sign_and_append materializes the signer
+    pipeline exactly ONCE (the write job); the returned row count is a
+    footer-only read of the just-written files, never a second signer
+    pass.  Pinned with a worker-side accumulator on signer output
+    rows — the old cache()+count()+write shape would bump it twice."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    acc = spark.sparkContext.accumulator(0)
+    real = mm.dhash_images
+
+    def acc_signer(media, **kw):
+        sig = real(media, **kw)
+
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return sig.mapInPandas(bump, sig.schema)
+
+    monkeypatch.setitem(ss._SIGNERS, "image", ("dhash", acc_signer))
+    w, h = 16, 8
+    rows = [
+        (i, "image", mm.encode_png(w, h, mm._stretch_bytes(b"once%d" % i, w * h)))
+        for i in range(5)
+    ]
+    store = ss.MediaSignatureStore(spark, str(tmp_path / "sigs"), "image")
+    n = store.sign_and_append(spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"))
+    assert n == 5
+    assert acc.value == 5  # one execution of the signer pipeline, total
+
+
+def test_zero_frame_video_decoded_false_by_design(spark):
+    """ADVICE r9: a structurally valid AVI with ZERO frames produces no
+    signature rows, so the incremental verdict reports decoded=false
+    even without salvage — documented design: an empty container has
+    no comparable content, and an ingest gate should quarantine it,
+    not wave it through as verified-novel."""
+    w, h = 16, 8
+    real = mm.encode_avi(w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"zf", w * h))], 10)
+    empty = mm.encode_avi(w, h, [], 10)
+    assert mm.parse_avi_info(empty)["n_frames"] == 0
+    corpus = spark.createDataFrame(
+        [(0, "video", real)], "media_id long, media_type string, content binary")
+    batch = spark.createDataFrame(
+        [(10, "video", empty), (11, "video", real)],
+        "media_id long, media_type string, content binary")
+    rows = {r["media_id"]: r for r in
+            mm.incremental_video_near_dup(batch, corpus).collect()}
+    assert rows[10]["decoded"] is False and rows[10]["is_dup"] is False
+    assert rows[11]["decoded"] is True and rows[11]["is_dup"] is True
