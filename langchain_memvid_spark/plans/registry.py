@@ -2896,8 +2896,7 @@ def q_stream_media_ingest_gate(spark, sf_dir):
         f"{base}/arrivals",
         f"{base}/verdicts",
         f"{base}/ckpt",
-        store.signatures(),
-        modality="image",
+        store=store,  # typed path: (modality, hash_bits, every_n) from the sidecar
         max_files_per_trigger=1,
     )
     return out.select("media_id", "is_dup", "dup_of", "decoded").orderBy("media_id")

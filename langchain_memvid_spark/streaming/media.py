@@ -24,11 +24,17 @@ arrivals either (each batch signs exactly its own blobs).
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
+from langchain_memvid_spark.exceptions import ConfigError
 from langchain_memvid_spark.multimodal import binary as mm
 from langchain_memvid_spark.streaming.documents import _read_table_stream
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
 
 MEDIA_STREAM_SCHEMA = "media_id LONG, media_type STRING, content BINARY"
 
@@ -44,24 +50,60 @@ def stream_media_dedup_vs_corpus(
     media_path: str,
     out_path: str,
     checkpoint_path: str,
-    corpus_sig: DataFrame,
-    modality: str = "image",
+    corpus_sig: DataFrame | None = None,
+    modality: str | None = None,
     max_hamming: int = 3,
     max_files_per_trigger: int | None = None,
     salvage: bool = False,
-    hash_bits: int = 64,
-    every_n: int = 1,
+    hash_bits: int | None = None,
+    every_n: int | None = None,
+    store: "MediaSignatureStore | None" = None,
 ) -> DataFrame:
     """STREAMING ingest gate: arriving media files are deduped against
     the persisted corpus signature table, one incremental-kernel run
     per microbatch, exactly-once via idempotent per-batch-partition
-    overwrite.  ``corpus_sig`` must be signed at the same
-    ``hash_bits`` (and, for video, ``every_n``) as this gate signs
-    arrivals with.
+    overwrite.
+
+    The TYPED way to construct the gate is ``store=`` — a
+    MediaSignatureStore handle, from whose sidecar the gate derives
+    (modality, hash_bits, every_n), so arrivals are guaranteed signed
+    at exactly the configuration the corpus table was (VERDICT r9
+    item 3: nothing used to tie the gate's kwargs to the table it
+    reads, and a width/stride drift silently produces that other
+    configuration's verdicts).  Call-site kwargs that CONTRADICT the
+    sidecar raise ConfigError instead of winning.
+
+    The loose form (``corpus_sig=`` + explicit kwargs, defaults
+    image/64/1) remains for signer output that never went through a
+    store; the caller then owns config agreement.
 
     Returns a batch read of the accumulated verdicts
     (media_id, is_dup, dup_of, decoded, batch_id — the
     partition-discovery column last, on the empty path too)."""
+    if store is not None:
+        if corpus_sig is not None:
+            raise ConfigError("pass corpus_sig= or store=, not both")
+        for name, given, pinned in (
+            ("modality", modality, store.modality),
+            ("hash_bits", hash_bits, store.hash_bits),
+            ("every_n", every_n, store.every_n),
+        ):
+            if given is not None and given != pinned:
+                raise ConfigError(
+                    f"gate {name}={given!r} contradicts the signature "
+                    f"table's sidecar ({name}={pinned!r} at {store.path}) — "
+                    "the store's pinned config wins; drop the kwarg"
+                )
+        modality, hash_bits, every_n = (
+            store.modality, store.hash_bits, store.every_n,
+        )
+        corpus_sig = store.signatures()
+    else:
+        if corpus_sig is None:
+            raise ConfigError("pass corpus_sig= (loose) or store= (typed)")
+        modality = "image" if modality is None else modality
+        hash_bits = 64 if hash_bits is None else hash_bits
+        every_n = 1 if every_n is None else every_n
     if modality not in _INCREMENTALS:
         raise ValueError(
             f"modality must be one of {sorted(_INCREMENTALS)}, got {modality!r}"

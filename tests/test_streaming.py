@@ -499,3 +499,59 @@ def test_stream_dedup_vs_corpus_strategy_pick(spark, sf_dir, monkeypatch):
     unhinted = sd.near_dedup_stream_vs_corpus(stream, corpus_sigs)
     plan = analyzed(unhinted)
     assert "UnresolvedHint" not in plan and "ResolvedHint" not in plan
+
+
+def test_stream_media_gate_store_handle_pins_config(spark, tmp_path):
+    """VERDICT r9 item 3: the TYPED gate construction — pass the
+    MediaSignatureStore handle and the gate derives (modality,
+    hash_bits, every_n) from the sidecar; kwargs that contradict the
+    sidecar raise ConfigError instead of silently signing arrivals at
+    a width the corpus table never used (null hamming ⇒ all-novel)."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+    from langchain_memvid_spark.streaming.media import stream_media_dedup_vs_corpus
+
+    w, h = 16, 8
+    png = mm.encode_png(w, h, mm._stretch_bytes(b"gate", w * h))
+    png2 = mm.encode_png(w, h, mm._stretch_bytes(b"new", w * h))
+    store = MediaSignatureStore(spark, str(tmp_path / "sigs"), "image", hash_bits=256)
+    store.sign_and_append(spark.createDataFrame(
+        [(0, "image", png)], "media_id long, media_type string, content binary"))
+    spark.createDataFrame(
+        [(10, "image", png), (11, "image", png2)],
+        "media_id long, media_type string, content binary",
+    ).write.parquet(str(tmp_path / "arrivals"))
+
+    # drift refusals: wrong width / wrong modality / wrong stride / both sources
+    for bad in (
+        dict(hash_bits=64),
+        dict(modality="audio"),
+        dict(every_n=2),
+    ):
+        with pytest.raises(ConfigError, match="contradicts"):
+            stream_media_dedup_vs_corpus(
+                spark, str(tmp_path / "arrivals"), str(tmp_path / "v0"),
+                str(tmp_path / "c0"), store=store, **bad)
+    with pytest.raises(ConfigError, match="not both"):
+        stream_media_dedup_vs_corpus(
+            spark, str(tmp_path / "arrivals"), str(tmp_path / "v0"),
+            str(tmp_path / "c0"), corpus_sig=store.signatures(), store=store)
+    with pytest.raises(ConfigError, match="corpus_sig"):
+        stream_media_dedup_vs_corpus(
+            spark, str(tmp_path / "arrivals"), str(tmp_path / "v0"),
+            str(tmp_path / "c0"))
+
+    # the typed path runs and the sidecar's 256-bit width is live:
+    # verdicts match the batch kernel at the STORE's width
+    out = stream_media_dedup_vs_corpus(
+        spark, str(tmp_path / "arrivals"), str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"), store=store)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[10]["is_dup"] and rows[10]["dup_of"] == 0
+    assert not rows[11]["is_dup"]
+    # matching explicit kwargs are ACCEPTED (redundant but consistent)
+    out2 = stream_media_dedup_vs_corpus(
+        spark, str(tmp_path / "arrivals"), str(tmp_path / "verdicts2"),
+        str(tmp_path / "ckpt2"), store=store, hash_bits=256, modality="image")
+    assert out2.count() == 2
