@@ -2959,6 +2959,43 @@ def q_video_exact_dup_groups(spark, sf_dir):
 
 
 @_reg(
+    "video_contains_image",
+    """
+SELECT doc_id AS video_id,
+       (doc_id % (1 + doc_id % 4))::INT AS frame_no,
+       doc_id AS image_id,
+       0::INT AS hamming
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY video_id
+""",
+)
+def q_video_contains_image(spark, sf_dir):
+    """CROSS-MODALITY near-dup (VERDICT r9 item 4): which videos
+    contain a known corpus image as a frame — re-encoded stills,
+    slideshow scrapes.  Frames and images share the dHash signature
+    space, so the operator is a band join of the video batch's frame
+    signatures against the persisted image signature table (one image
+    scan, zero image-side shuffle — the incremental-kernel shape) with
+    exact hamming verification.  Closed-form oracle: every 5th doc's
+    video carries that doc's image-corpus pixels at frame position
+    doc_id % n_frames, byte-identical ⇒ hamming 0; a missed plant, a
+    phantom match, or a wrong position all flip the hash."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
+    videos = mm.synthesize_video_with_planted_images(docs, plant_every=5)
+    image_sig = mm.dhash_images(mm.synthesize_image_corpus(docs, variant_every=None))
+    return (
+        mm.video_contains_image_pairs(
+            videos, image_sig=image_sig, max_hamming=3,
+            n_band_rows=4 * c["fr_all"],
+        )
+        .orderBy("video_id")
+    )
+
+
+@_reg(
     "media_signature_store_dedup",
     """
 SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,
