@@ -5929,65 +5929,70 @@ _DRIVER_GREEN = {
     "incremental_image_dedup", "incremental_audio_dedup",
     "incremental_video_dedup", "q2_min_cost_supplier",
     "q11_important_stock",
+    # CORRECTNESS_r09.json: 50 full hash passes, zero failures.  New
+    # names not already listed above:
+    "image_near_dup_wide", "audio_near_dup_wide",
+    "image_exact_dup_groups", "audio_exact_dup_groups",
+    "video_exact_dup_groups", "media_signature_store_dedup",
+    "stream_media_ingest_gate",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 9:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 10:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
 # actually landed belong here.
 _CHANGED_THIS_ROUND = (
-    # round 9: oracle grouping granularity now matches the Spark plan
-    # exactly (s_suppkey added to the oracle GROUP BY — ADVICE r8 #3);
-    # Spark output unchanged
-    "q2_min_cost_supplier",
-    # incremental media dedups gained a `decoded` verdict column so an
-    # undecodable batch blob is distinguishable from a genuinely novel
-    # keeper (ADVICE r8 #4) — output schema changed, oracle updated
-    "incremental_image_dedup",
-    "incremental_audio_dedup",
-    "incremental_video_dedup",
-    # media pair operators now collapse exact-signature groups BEFORE
-    # banding and df-cap hot (band,val) buckets (VERDICT r8 item 2) —
-    # pair output identical on the closed-form fixtures, plan changed
-    "image_near_dup",
+    # round 10: video near-dup decouples candidate generation from the
+    # full-depth verify (ADVICE r9 medium — the df-cap false-negative
+    # mode is gone) and the exact-sequence collapse now groups on the
+    # signer-emitted sha256 seq_key (VERDICT r9 item 5) — pair output
+    # identical on the closed-form fixtures, plan changed
     "video_near_dup",
+    "video_exact_dup_groups",
+    # size-derived hash_bits default (VERDICT r9 item 7) threads
+    # through the image/audio pair ops — output unchanged at test SFs
+    # (derived width is 64 below 1e7 items), derivation path changed
+    "image_near_dup",
     "audio_near_dup",
-    # empty-stream schema order fix (ADVICE r8 #2) + shared bandify
-    # kernel refactor — non-empty output unchanged
-    "stream_similarity_join",
-    # batch_search / similarity_join refactored through _plan_* bodies
-    # for the explain_* surface (VERDICT r8 item 6) — plans unchanged
-    "knn_batch",
-    "ivf_batch_search",
-    "vs_similarity_join",
+    "image_near_dup_wide",
+    "audio_near_dup_wide",
+    # MediaSignatureStore rewritten onto the Hadoop FS (VERDICT r9
+    # item 2): sidecar-before-append, no-sidecar refusal, schema
+    # cross-check, single-materialization append — verdicts unchanged
+    "media_signature_store_dedup",
+    # streaming gate now constructed through the typed store handle
+    # (VERDICT r9 item 3) — verdicts unchanged
+    "stream_media_ingest_gate",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 8 the newest-signal distribution is 28 queries
-# at r5, 48 at r6, 45 at r7, 50 at r8 (zero failures as latest
-# state).  Round 9 rotates onto the whole remaining r5 block (the r5
-# tail that slipped past round 8's budget — VERDICT r8 item 1): with
-# ~8 changed and a handful of new queries this round, the ~50-query
-# budget covers changed + pending + all 28, after which nothing's
-# newest driver row is older than r6.
+# first.  After round 9 the newest-signal distribution is 43 queries
+# at r6, 42 at r7, 42 at r8, 50 at r9 (zero failures as latest
+# state).  Round 10 rotates onto the whole r6 block (VERDICT r9 item
+# 1): with ~8 changed and one new query this round, the ~50-query
+# budget covers changed + pending + the 43, after which nothing's
+# newest driver row is older than r7.
 _STALE_ROTATION = (
-    # newest signal is r5 — search / store / stream surface first,
-    # simple relational queries last
-    "vs_point_lookup", "vs_semi_join", "payload_roundtrip",
-    "approx_distinct_stats", "bucketed_colocated_join",
-    "salted_skew_join", "distinct_counts", "chunk_documents",
-    "chunk_dedup", "tfidf_top_terms", "vocab_top_terms",
-    "stream_tumbling_counts", "stream_session_windows",
-    "stream_user_lifetime", "stream_click_purchase_join",
-    "stream_sliding_activity", "orders_grouping_sets",
-    "q12_priority_by_returnflag", "q14_promo_revenue_share",
-    "q15_top_suppliers", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_idle_rich_customers", "q8_market_share",
-    "priority_balance_full_outer", "building_without_urgent_except",
-    "cheapest_parts_per_type",
+    # newest signal is r6 — search / store / dedup / stream surface
+    # first, simple relational queries last
+    "knn_topk", "ivf_search", "mmr_search", "vs_metadata_filter_typed",
+    "vs_relevance_scores", "vs_storage_stats", "dedup_exact",
+    "decontaminate", "minhash_signatures", "minhash_band_pairs",
+    "simhash", "simhash_near_pairs", "ngram_jaccard",
+    "embedding_cosine_pairs", "embedding_quantization",
+    "text_fingerprint", "text_lang_id", "text_quality",
+    "text_token_counts", "stream_dedup_within_watermark",
+    "stream_near_dedup", "pretrain_pipeline_stats",
+    "pretrain_pipeline_v2", "udtf_bigram_counts", "sql_interface_demo",
+    "events_hourly", "events_json_stats", "events_sessionize",
+    "dense_hourly_counts", "cohort_retention", "customer_quartiles",
+    "customers_without_orders", "filtered_aggregates",
+    "order_age_buckets", "orders_rollup", "orders_unpivot",
+    "part_name_string_ops", "per_user_zscore", "q21_sole_late_supplier",
+    "rolling_30d_revenue", "running_revenue", "scalar_showcase",
+    "urgent_building_customers",
 )
 
 

@@ -1111,3 +1111,41 @@ def test_video_contains_image_pairs_semantics_and_plan(spark, sf_dir):
         mm.video_contains_image_pairs(videos, image_sig=wide_sig, hash_bits=64)
     with pytest.raises(ValueError, match="exactly one"):
         mm.video_contains_image_pairs(videos)
+
+
+def test_video_near_dup_capped_bucket_does_not_reject_pairs(spark):
+    """ADVICE r9 (medium): a ubiquitous frame whose every (frame_no,
+    band, val) bucket is df-capped must NOT wholesale-reject pairs
+    containing it.  Ten 2-frame videos share an identical title frame;
+    with max_bucket=2 all of that frame's buckets drop.  The true
+    near-dup pair (unique second frames 1 bit apart) must still
+    surface via the direct verify — the old hit-counting verdict
+    (ok_frames == n_sampled over band hits) would have required a hit
+    from the capped frame and silently dropped the pair."""
+    w, h = 16, 8
+    common = mm.encode_png(w, h, mm._stretch_bytes(b"title-frame", w * h))
+    uniq = bytearray(mm._stretch_bytes(b"unique-0", w * h))
+    rows = []
+    for i in range(10):
+        if i == 1:
+            px = bytearray(uniq)
+            px[0] ^= 0x80  # near-dup of video 0's second frame
+        elif i == 0:
+            px = bytearray(uniq)
+        else:
+            px = bytearray(mm._stretch_bytes(b"unique-%d" % i, w * h))
+        rows.append(
+            (i, "video", mm.encode_avi(w, h, [common, mm.encode_png(w, h, bytes(px))], 10))
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary")
+    # n_band_rows=80 (20 frames x 4 bands) with max_bucket=2 forces the
+    # df-cap pass to run AND bind on the shared frame's buckets
+    got = sorted(
+        map(tuple, mm.video_near_dup_pairs(
+            media, max_hamming=3, n_band_rows=80, max_bucket=2
+        ).select("a_id", "b_id").collect())
+    )
+    assert (0, 1) in got
+    # nothing else qualifies: other videos share ONLY the capped frame
+    assert got == [(0, 1)]
