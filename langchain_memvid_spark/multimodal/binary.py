@@ -2151,7 +2151,11 @@ def _incremental_hamming_verdicts(
 
 
 def synthesize_image_batch(
-    documents: DataFrame, variant_every: int = 7, novel_remainder: int = 3
+    documents: DataFrame,
+    variant_every: int = 7,
+    novel_remainder: int = 3,
+    base_w: int = 16,
+    base_h: int = 8,
 ) -> DataFrame:
     """Deterministic INGEST-BATCH fixture for incremental image dedup:
     every ``variant_every``-th doc contributes a 1-pixel-perturbed
@@ -2160,14 +2164,16 @@ def synthesize_image_batch(
     variant_every == ``novel_remainder`` contributes a NOVEL image
     (media_id = doc_id + 2·VARIANT_ID_OFFSET, pixel seed salted
     differently from every corpus seed), so the expected verdicts are
-    closed-form: variants dup-of their base, novels novel."""
+    closed-form: variants dup-of their base, novels novel.
+    ``base_w``/``base_h`` must match the corpus fixture's (the wide
+    256-bit runs use ≥17×16 — see synthesize_image_corpus)."""
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "media_type": [], "content": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                w, h = base_w + doc_id % 8, base_h + doc_id % 5
                 if doc_id % variant_every == 0:
                     seed = f"{text}:{doc_id}".encode("utf-8")
                     pixels = bytearray(_stretch_bytes(seed, w * h))
