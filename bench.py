@@ -111,6 +111,9 @@ EXTENDED = [
     "image_exact_dup_groups",
     "media_signature_store_dedup",
     "stream_media_ingest_gate",
+    # round-10 operator: cross-modality near-dup (video frames vs the
+    # persisted image signature table)
+    "video_contains_image",
 ]
 
 

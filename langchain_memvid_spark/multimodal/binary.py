@@ -1640,13 +1640,25 @@ def video_contains_image_pairs(
     is that frame-grain access pattern as one declarative join.
 
     Returns (video_id, frame_no, image_id, hamming) — one row per
-    sampled frame that matches a corpus image within max_hamming."""
+    sampled frame that matches a corpus image within max_hamming.
+
+    ``image_sig`` also accepts a MediaSignatureStore handle (the typed
+    lifecycle: width comes from the table's own sidecar, drift
+    impossible by construction)."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
         hamming_band_table,
         hamming_distance_col,
     )
 
+    if image_sig is not None and hasattr(image_sig, "signatures"):
+        store = image_sig
+        if store.modality != "image":
+            raise ValueError(
+                f"image_sig store must be the image modality, got "
+                f"{store.modality!r}"
+            )
+        image_sig = store.signatures()
     if (images is None) == (image_sig is None):
         raise ValueError("pass exactly one of images / image_sig")
     n_bands = 4

@@ -1149,3 +1149,28 @@ def test_video_near_dup_capped_bucket_does_not_reject_pairs(spark):
     assert (0, 1) in got
     # nothing else qualifies: other videos share ONLY the capped frame
     assert got == [(0, 1)]
+
+
+def test_video_contains_image_accepts_store_handle(spark, tmp_path):
+    """The typed-lifecycle form: pass the MediaSignatureStore handle as
+    image_sig — width comes from the sidecar (256 here), a non-image
+    store raises."""
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+
+    w, h = 17, 16
+    planted = mm.encode_png(w, h, mm._stretch_bytes(b"still", w * h))
+    other = mm.encode_png(w, h, mm._stretch_bytes(b"other", w * h))
+    store = MediaSignatureStore(spark, str(tmp_path / "isigs"), "image", hash_bits=256)
+    store.sign_and_append(spark.createDataFrame(
+        [(7, "image", planted), (8, "image", other)],
+        "media_id long, media_type string, content binary"))
+    vid = mm.encode_avi(
+        w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"vf", w * h)), planted], 10)
+    videos = spark.createDataFrame(
+        [(100, "video", vid)], "media_id long, media_type string, content binary")
+    got = sorted(map(tuple, mm.video_contains_image_pairs(
+        videos, image_sig=store, n_band_rows=8).collect()))
+    assert got == [(100, 1, 7, 0)]
+    astore = MediaSignatureStore(spark, str(tmp_path / "asigs"), "audio")
+    with pytest.raises(ValueError, match="image modality"):
+        mm.video_contains_image_pairs(videos, image_sig=astore)
