@@ -114,6 +114,7 @@ EXTENDED = [
     # round-10 operator: cross-modality near-dup (video frames vs the
     # persisted image signature table)
     "video_contains_image",
+    "stream_video_contains_image",
 ]
 
 

@@ -2996,6 +2996,52 @@ def q_video_contains_image(spark, sf_dir):
 
 
 @_reg(
+    "stream_video_contains_image",
+    """
+SELECT doc_id AS video_id,
+       (doc_id % (1 + doc_id % 4))::INT AS frame_no,
+       doc_id AS image_id,
+       0::INT AS hamming
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY video_id
+""",
+)
+def q_stream_video_contains_image(spark, sf_dir):
+    """STREAMING cross-modality gate: the planted-image videos arrive
+    as a THREE-microbatch file stream (maxFilesPerTrigger=1); every
+    microbatch signs only its own videos and band-joins the PERSISTED
+    image signature table (a MediaSignatureStore signed once — the
+    typed handle pins the width), exactly-once via idempotent
+    per-batch-partition overwrite.  Matches are batch-split-invariant,
+    so the accumulated union hashes against the SAME closed-form
+    planted-image oracle as the batch operator — streamed arrival
+    returns byte-identical matches to a batch run."""
+    import tempfile
+
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+    from langchain_memvid_spark.streaming.media import stream_video_contains_image
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="stream_vci_")
+    store = MediaSignatureStore(spark, f"{base}/isigs", "image")
+    store.sign_and_append(mm.synthesize_image_corpus(docs, variant_every=None))
+    videos = mm.synthesize_video_with_planted_images(docs, plant_every=5)
+    videos.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
+    out = stream_video_contains_image(
+        spark,
+        f"{base}/arrivals",
+        f"{base}/matches",
+        f"{base}/ckpt",
+        image_sig=store,
+        max_files_per_trigger=1,
+    )
+    return out.select("video_id", "frame_no", "image_id", "hamming").orderBy(
+        "video_id"
+    )
+
+
+@_reg(
     "media_signature_store_dedup",
     """
 SELECT doc_id + 10000000 AS media_id, TRUE AS is_dup, doc_id AS dup_of,

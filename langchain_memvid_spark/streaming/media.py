@@ -148,3 +148,78 @@ def stream_media_dedup_vs_corpus(
             "media_id BIGINT, is_dup BOOLEAN, dup_of BIGINT, "
             "decoded BOOLEAN, batch_id INT",
         )
+
+
+def stream_video_contains_image(
+    spark: SparkSession,
+    media_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    image_sig: "DataFrame | MediaSignatureStore",
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+    salvage: bool = False,
+    every_n: int = 1,
+) -> DataFrame:
+    """STREAMING cross-modality gate: arriving VIDEOS are checked for
+    frames that match a known image corpus (re-encoded stills,
+    slideshow scrapes, blocked-content filters) — the streaming form
+    of multimodal.binary.video_contains_image_pairs, on the same
+    idempotent-foreachBatch recipe as the ingest gate above: each
+    microbatch signs ONLY its own videos, band-joins the persisted
+    image signature table (one image-side scan per microbatch, zero
+    image-side shuffle under the batch broadcast bound), and
+    OVERWRITES its own ``batch_id=<id>`` partition for exactly-once
+    replay.
+
+    ``image_sig`` is a persisted dhash_images output or — the typed
+    form — a MediaSignatureStore handle (width pinned by the table's
+    own sidecar).  Matches are batch-split-invariant: each arrival is
+    judged against the fixed image corpus, so the accumulated output
+    equals the batch operator's on the union of arrivals.
+
+    Returns a batch read of the accumulated matches
+    (video_id, frame_no, image_id, hamming, batch_id — the
+    partition-discovery column last, on the empty path too)."""
+    if hasattr(image_sig, "signatures"):
+        store = image_sig
+        if store.modality != "image":
+            raise ConfigError(
+                f"image_sig store must be the image modality, got "
+                f"{store.modality!r}"
+            )
+        image_sig = store.signatures()
+    if image_sig.isStreaming:  # pragma: no cover - contract guard
+        raise ValueError("image_sig must be a static (batch) table")
+    stream = _read_table_stream(
+        spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = mm.video_contains_image_pairs(
+            batch_df,
+            image_sig=image_sig,
+            max_hamming=max_hamming,
+            every_n=every_n,
+            salvage=salvage,
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_path)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        if cond != "PATH_NOT_FOUND":
+            raise
+        return spark.createDataFrame(
+            [],
+            "video_id BIGINT, frame_no INT, image_id BIGINT, "
+            "hamming INT, batch_id INT",
+        )

@@ -555,3 +555,45 @@ def test_stream_media_gate_store_handle_pins_config(spark, tmp_path):
         spark, str(tmp_path / "arrivals"), str(tmp_path / "verdicts2"),
         str(tmp_path / "ckpt2"), store=store, hash_bits=256, modality="image")
     assert out2.count() == 2
+
+
+def test_stream_video_contains_image(spark, sf_dir, tmp_path):
+    """Streaming cross-modality gate: accumulated matches across
+    microbatches equal the batch operator's on the union of arrivals
+    (batch-split-invariant), Hive-partitioned by batch_id; empty
+    source returns the typed frame with batch_id LAST; a non-image
+    store raises."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+    from langchain_memvid_spark.streaming.media import stream_video_contains_image
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    store = MediaSignatureStore(spark, str(tmp_path / "isigs"), "image")
+    store.sign_and_append(mm.synthesize_image_corpus(docs, variant_every=None))
+    videos = mm.synthesize_video_with_planted_images(docs, plant_every=5)
+    videos.repartition(3).write.parquet(str(tmp_path / "arrivals"))
+    out = stream_video_contains_image(
+        spark, str(tmp_path / "arrivals"), str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"), image_sig=store, max_files_per_trigger=1)
+    assert out.columns == ["video_id", "frame_no", "image_id", "hamming", "batch_id"]
+    got = sorted((r["video_id"], r["frame_no"], r["image_id"], r["hamming"])
+                 for r in out.collect())
+    want = sorted(map(tuple, mm.video_contains_image_pairs(
+        videos, image_sig=store.signatures()).collect()))
+    assert got == want and len(got) == 12  # 60 docs / 5 planted
+
+    # empty source: typed empty frame, batch_id last
+    spark.createDataFrame([], "media_id long, media_type string, content binary"
+                          ).write.parquet(str(tmp_path / "none"))
+    eout = stream_video_contains_image(
+        spark, str(tmp_path / "none"), str(tmp_path / "m2"),
+        str(tmp_path / "c2"), image_sig=store)
+    assert eout.columns == ["video_id", "frame_no", "image_id", "hamming", "batch_id"]
+    assert eout.count() == 0
+
+    astore = MediaSignatureStore(spark, str(tmp_path / "asigs"), "audio")
+    with pytest.raises(ConfigError, match="image modality"):
+        stream_video_contains_image(
+            spark, str(tmp_path / "arrivals"), str(tmp_path / "m3"),
+            str(tmp_path / "c3"), image_sig=astore)
