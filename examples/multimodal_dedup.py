@@ -67,5 +67,37 @@ scanned = mm.decode_media_info(mm.corrupt_media_prefix(kept, 11), salvage=True)
 bad = scanned.filter(F.col("error").isNotNull()).count()
 print("kept images:", kept.count(), "| quarantined in salvage scan:", bad)
 
+# -- 5. the PERSISTED lifecycle: MediaSignatureStore ------------------------
+# production shape: signatures live in a parquet table owned by the
+# store (config sidecar pins modality/width/stride; probes go through
+# the Hadoop FS, so the same code works on file://, HDFS, S3).  Gate
+# each batch against the table, append only the keepers, compact on a
+# maintenance cadence.
+import tempfile  # noqa: E402
+
+from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore  # noqa: E402
+
+store_path = tempfile.mkdtemp(prefix="example_sigstore_") + "/image_sigs"
+store = MediaSignatureStore(spark, store_path, "image")
+store.sign_and_append(images)  # corpus signed ONCE, 8 B/image persisted
+gate = store.dedup_batch(batch)  # tonight's scrape vs the table
+keepers = batch.join(
+    gate.filter(~F.col("is_dup") & F.col("decoded")).select("media_id"), "media_id"
+)
+appended = store.sign_and_append(keepers)
+store.compact()
+print("signature store:", store.count(), "signatures after appending",
+      appended, "keepers")
+
+# -- 6. cross-modality: which videos contain a known image? ------------------
+# frames and images share the dHash space — slideshow scrapes and
+# re-encoded stills surface as (video, frame, image) matches against
+# the SAME persisted signature table (width from the sidecar).
+planted = mm.synthesize_video_with_planted_images(docs, plant_every=5)
+matches = mm.video_contains_image_pairs(planted, image_sig=store)
+print("videos containing corpus images:",
+      matches.select("video_id").distinct().count(),
+      "| frame-level matches:", matches.count())
+
 spark.stop()
 print("multimodal dedup pipeline OK")
