@@ -5998,11 +5998,14 @@ _CHANGED_THIS_ROUND = (
     "video_exact_dup_groups",
     # size-derived hash_bits default (VERDICT r9 item 7) threads
     # through the image/audio pair ops — output unchanged at test SFs
-    # (derived width is 64 below 1e7 items), derivation path changed
+    # (derived width is 64 below 1e7 items), derivation path changed.
+    # The _wide variants pass hash_bits=256 explicitly and bypass the
+    # new derivation branch entirely — their executed plans are
+    # byte-identical to r9's, so they stay in the green tier and the
+    # 6-changed + 2-pending + 43-rotation front block fits the
+    # driver's ~50-query budget.
     "image_near_dup",
     "audio_near_dup",
-    "image_near_dup_wide",
-    "audio_near_dup_wide",
     # MediaSignatureStore rewritten onto the Hadoop FS (VERDICT r9
     # item 2): sidecar-before-append, no-sidecar refusal, schema
     # cross-check, single-materialization append — verdicts unchanged
