@@ -1664,6 +1664,11 @@ def video_contains_image_pairs(
     n_bands = 4
     if image_sig is not None:
         sig_like = [c for c in image_sig.columns if c.startswith("dhash")]
+        if not sig_like:
+            raise ValueError(
+                f"image_sig has no dhash columns (got {image_sig.columns}) — "
+                "pass dhash_images output or an image MediaSignatureStore"
+            )
         inferred = 64 * len(sig_like)
         if hash_bits is not None and hash_bits != inferred:
             raise ValueError(
