@@ -25,7 +25,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
 
 from langchain_memvid_spark.multimodal import binary as mm  # noqa: E402
 from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore  # noqa: E402
