@@ -1174,3 +1174,51 @@ def test_video_contains_image_accepts_store_handle(spark, tmp_path):
     astore = MediaSignatureStore(spark, str(tmp_path / "asigs"), "audio")
     with pytest.raises(ValueError, match="image modality"):
         mm.video_contains_image_pairs(videos, image_sig=astore)
+
+
+def test_collapse_video_groups_matches_exact_sequence_grouping(spark):
+    """The sign-time seq_key collapse must group EXACTLY like grouping
+    on the full ordered (frame_no, signature) sequence — same groups,
+    same min-id representatives, same member counts — including the
+    traps: same frames in a different order (different videos), a
+    prefix subset (different n_frames), and identical sequences under
+    different media_ids (one group)."""
+    import hashlib
+    from collections import defaultdict
+
+    w, h = 16, 8
+    f = [mm.encode_png(w, h, mm._stretch_bytes(b"sq%d" % i, w * h)) for i in range(3)]
+    vids = [
+        (0, [f[0], f[1], f[2]]),   # base
+        (1, [f[0], f[1], f[2]]),   # identical → groups with 0
+        (2, [f[2], f[1], f[0]]),   # same frames, reversed → own group
+        (3, [f[0], f[1]]),         # prefix → own group (n_frames differs)
+        (4, [f[0], f[1], f[2]]),   # identical → groups with 0
+    ]
+    media = spark.createDataFrame(
+        [(i, "video", mm.encode_avi(w, h, fr, 10)) for i, fr in vids],
+        "media_id long, media_type string, content binary",
+    )
+    sigs = mm.dhash_video_frames(media, with_seq_key=True)
+    members, rep_sigs = mm._collapse_video_groups(sigs, ["dhash"])
+    got = sorted(map(tuple, members.select(
+        "media_id", "rep_id", "n_members").collect()))
+
+    # exact reference grouping on the full sequence, computed in python
+    rows = sigs.collect()
+    seqs = defaultdict(list)
+    for mid in set(r["media_id"] for r in rows):
+        seq = tuple(sorted((r["frame_no"], r["dhash"], r["n_frames"])
+                           for r in rows if r["media_id"] == mid))
+        seqs[seq].append(mid)
+    want = sorted(
+        (mid, min(mids), len(mids))
+        for mids in seqs.values() for mid in mids
+    )
+    assert got == want
+    assert got == [(0, 0, 3), (1, 0, 3), (2, 2, 1), (3, 3, 1), (4, 0, 3)]
+    # representatives' frame rows: exactly one per (group, frame_no)
+    rep_rows = rep_sigs.groupBy("media_id").count().collect()
+    assert sorted((r["media_id"], r["count"]) for r in rep_rows) == [
+        (0, 3), (2, 3), (3, 2)
+    ]
