@@ -1345,6 +1345,61 @@ def dhash_video_frames(
     return media.filter(F.col("media_type") == "video").mapInPandas(sign, schema)
 
 
+def count_sampled_video_frames(media: DataFrame, every_n: int = 1) -> int:
+    """Exact SAMPLED-frame count of a video corpus from a header-only
+    container walk — the same seek-skipping chunk scan as
+    dhash_video_frames but with ZERO pixel decodes: '00dc' chunk
+    headers are counted and their payloads skipped via the size field.
+    Unwalkable blobs count 0 frames (they produce no signatures either
+    way), so the count matches what the signer will emit in salvage
+    mode.
+
+    This is the UNIT the hash-width rule is stated in (ADVICE r10: the
+    band table holds sampled frames, so hash_bits_for_corpus must see
+    sampled frames whichever way it is reached — n_band_rows/4 and
+    this fallback now agree).  It costs one blob scan, so at real
+    scale pass ``n_band_rows`` (or ``hash_bits``) instead and skip it;
+    at test SFs the walk is header arithmetic."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            total = 0
+            for content in pdf["content"]:
+                blob = bytes(content)
+                fno = 0
+                try:
+                    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+                        raise ValueError("not an AVI: bad RIFF header")
+                    stack = [(12, len(blob))]
+                    while stack:
+                        pos, end = stack.pop()
+                        while pos + 8 <= end:
+                            cid = blob[pos : pos + 4]
+                            (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+                            if cid == b"LIST":
+                                stack.append((pos + 8 + size + (size & 1), end))
+                                pos, end = pos + 12, pos + 8 + size
+                                continue
+                            if cid == b"00dc":
+                                fno += 1
+                            pos += 8 + size + (size & 1)
+                except Exception:  # noqa: BLE001 — unwalkable ⇒ 0 frames
+                    continue
+                total += -(-fno // every_n)  # ceil(fno / every_n)
+            yield pd.DataFrame({"n": pd.array([total], dtype="int64")})
+
+    rows = (
+        media.filter(F.col("media_type") == "video")
+        .select("content")
+        .mapInPandas(count, "n long")
+        .agg(F.sum("n").alias("n"))
+        .head()
+    )
+    return int(rows["n"] or 0)
+
+
 def _collapse_video_groups(
     sigs: DataFrame, sig_cols: list[str]
 ) -> tuple[DataFrame, DataFrame]:
@@ -1431,9 +1486,11 @@ def video_near_dup_pairs(
 
     ``hash_bits=256`` signs frames with the wide 16×16 dHash (4
     longs, 64-bit bands); the default ``None`` derives the width from
-    the exact item count (hash_bits_for_corpus over sampled frames =
-    n_band_rows/4 when given, else over a count of the video rows —
-    metadata-only on a real table scan).  Join strategy is the
+    the exact SAMPLED-FRAME count — the one unit the rule is stated in
+    (hash_bits_for_corpus over n_band_rows/4 when given, else over a
+    header-only container walk, count_sampled_video_frames — one
+    blob scan, no pixel decodes; pass n_band_rows or hash_bits at
+    real scale to skip it).  Join strategy is the
     exact-count pick (dedup.py _PAIR_BROADCAST_ROW_LIMIT) over the
     band-table size (4 rows per sampled frame); pass ``n_band_rows``
     to skip the eager count (the default localCheckpoints the
@@ -1449,10 +1506,15 @@ def video_near_dup_pairs(
 
     n_bands = 4
     if hash_bits is None:
+        # ONE unit — sampled frames, what the band table actually
+        # holds (ADVICE r10: the old fallback counted VIDEOS, so the
+        # same corpus near the 1e7 threshold could sign at 64 vs 256
+        # bits depending on call style): n_band_rows/4 when given,
+        # else a header-only container walk (no pixel decodes)
         hash_bits = hash_bits_for_corpus(
             n_band_rows // n_bands
             if n_band_rows is not None
-            else media.filter(F.col("media_type") == "video").count()
+            else count_sampled_video_frames(media, every_n)
         )
     band_bits = 16 if hash_bits == 64 else 64
     sig_cols = sig_col_names("dhash", hash_bits)
@@ -1654,7 +1716,12 @@ def video_contains_image_pairs(
     if image_sig is not None and hasattr(image_sig, "signatures"):
         store = image_sig
         if store.modality != "image":
-            raise ValueError(
+            # ConfigError, not ValueError: callers catch the
+            # config-drift family uniformly across the batch operator,
+            # the streaming gate, and the sigstore itself (ADVICE r10)
+            from langchain_memvid_spark.exceptions import ConfigError
+
+            raise ConfigError(
                 f"image_sig store must be the image modality, got "
                 f"{store.modality!r}"
             )
@@ -1671,7 +1738,11 @@ def video_contains_image_pairs(
             )
         inferred = 64 * len(sig_like)
         if hash_bits is not None and hash_bits != inferred:
-            raise ValueError(
+            # same ConfigError family as the streaming gate's
+            # contradicts-the-sidecar refusal (ADVICE r10)
+            from langchain_memvid_spark.exceptions import ConfigError
+
+            raise ConfigError(
                 f"hash_bits={hash_bits} contradicts image_sig's "
                 f"{len(sig_like)}-long layout ({inferred}-bit)"
             )
@@ -1723,6 +1794,255 @@ def video_contains_image_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def video_contains_clip_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    every_n: int = 1,
+    n_band_rows: int | None = None,
+    salvage: bool = False,
+    hash_bits: int | None = None,
+    max_bucket: int | None = _MEDIA_BUCKET_CAP,
+) -> DataFrame:
+    """CLIP / SUBSEQUENCE containment — video-in-video (VERDICT r10
+    item 3): which videos contain another video's FULL frame sequence
+    as a contiguous run — trimmed re-uploads, concatenations, re-intro
+    edits — the pairs video_near_dup_pairs deliberately refuses (it
+    requires equal n_frames: a clip sharing frames is NOT the same
+    video; containment is the separate, asymmetric question this
+    operator answers).
+
+    A composition of the existing kernels, not new machinery:
+    byte-identical signature sequences collapse first (sign-time
+    seq_key — a megacluster clip is ONE set of band rows), candidates
+    come from the shared (band, val) frame band join grouped by the
+    FRAME-OFFSET DELTA (offset = container_frame_no − clip_frame_no:
+    a true containment at offset o puts EVERY aligned frame pair in
+    the same delta group, pigeonhole ≥1 band each at max_hamming < 4
+    bands), and a (container, clip, offset) qualifies only when every
+    sampled clip frame verifies Σ bit_count(XOR) ≤ max_hamming against
+    the container frame at clip_frame_no + offset.  Strictly shorter
+    clips only (container n_frames > clip n_frames — equal lengths are
+    video_near_dup_pairs' job).  When the df-cap actually dropped
+    buckets, the verdict switches to the direct frame-grain verify
+    (the ADVICE r9 gating rule), candidates needing one surviving band
+    row at any delta.
+
+    With stride sampling (``every_n`` > 1) both sides sample frame_nos
+    ≡ 0 (mod every_n), so containment is detectable only at offsets
+    divisible by every_n — sign at every_n=1 when arbitrary-offset
+    clips matter; the sampled-set alignment is the documented trade.
+
+    Scale shape: candidates are always equi-join products on
+    (band, val) buckets (df-capped), never all-pairs in videos or
+    frames; the exact-count broadcast-vs-SMJ pick governs the
+    self-join; group expansion is output-proportional.
+
+    Reference anchor: the frame-grain access pattern
+    /root/reference/src/langchain_memvid/retriever.py:318-370, lifted
+    to one declarative join over offsets.
+
+    Returns (a_id container, b_id clip, offset, clip_frames,
+    max_hamming_seen) — one row per (container, clip, matching
+    offset)."""
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
+
+    n_bands = 4
+    if hash_bits is None:
+        hash_bits = hash_bits_for_corpus(
+            n_band_rows // n_bands
+            if n_band_rows is not None
+            else count_sampled_video_frames(media, every_n)
+        )
+    band_bits = 16 if hash_bits == 64 else 64
+    sig_cols = sig_col_names("dhash", hash_bits)
+    sigs = dhash_video_frames(
+        media, every_n=every_n, salvage=salvage, hash_bits=hash_bits,
+        with_seq_key=True,
+    )
+    if n_band_rows is None:
+        sigs = sigs.localCheckpoint(eager=True)
+        n_band_rows = sigs.count() * n_bands
+    else:
+        # signing feeds the band table, both verify sides, and the
+        # member expansion — materialize once, never re-walk containers
+        sigs = sigs.cache()
+    members, rep_sigs = _collapse_video_groups(sigs, sig_cols)
+    rep_sigs = rep_sigs.cache()
+    bands = hamming_band_table(
+        rep_sigs.select("media_id", "frame_no", "n_frames", *sig_cols),
+        sig_cols,
+        n_bands=n_bands,
+        band_bits=band_bits,
+    )
+    # join key here is (band, val) ALONE — offsets pair frame x with
+    # frame y — so the cap keys drop frame_no (a value ultra-common
+    # across ANY frames is the hot bucket)
+    bands, dropped = _drop_hot_buckets(
+        bands, n_band_rows // n_bands, max_bucket,
+        keys=("band", "val"), return_dropped=True,
+    )
+    b_ns = F.ceil(F.col("b_nf") / F.lit(every_n)).cast("int")
+    a_sig = [f"__a{j}" for j in range(len(sig_cols))]
+    b_sig = [f"__b{j}" for j in range(len(sig_cols))]
+    a = bands.select(
+        F.col("media_id").alias("a_id"),
+        F.col("n_frames").alias("a_nf"),
+        F.col("frame_no").alias("a_fno"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("b_id"),
+        F.col("n_frames").alias("b_nf"),
+        F.col("frame_no").alias("b_fno"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
+        "band", "val",
+    )
+    if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = F.broadcast(a).join(b, ["band", "val"])
+    else:
+        joined = a.hint("merge").join(b, ["band", "val"])
+    offset = F.col("a_fno") - F.col("b_fno")
+    pair_base = joined.filter(
+        (F.col("a_id") != F.col("b_id"))
+        & (F.col("a_nf") > F.col("b_nf"))
+        & (offset >= 0)
+        & (offset <= F.col("a_nf") - F.col("b_nf"))
+        & (offset % every_n == 0)
+    ).withColumn("offset", offset.cast("int"))
+    if not dropped:
+        # INLINE verify (no-drop common path): every aligned true
+        # frame pair shares ≥1 surviving band, so the join rows at one
+        # delta ARE full verification coverage — hamming folds into
+        # the join output, one partial-agg groupBy settles every
+        # (container, clip, offset)
+        frame_hits = pair_base.select(
+            "a_id", "b_id", "offset", "b_fno", "b_nf",
+            b_ns.alias("b_ns"),
+            hamming_distance_col(a_sig, b_sig).alias("hamming"),
+        ).filter(F.col("hamming") <= max_hamming)
+        rep_pairs = (
+            frame_hits.groupBy("a_id", "b_id", "offset", "b_ns", "b_nf")
+            .agg(
+                F.countDistinct("b_fno").alias("ok_frames"),
+                F.max("hamming").alias("max_hamming_seen"),
+            )
+            .filter(F.col("ok_frames") == F.col("b_ns"))
+            .select(
+                "a_id", "b_id", "offset",
+                F.col("b_nf").alias("clip_frames"),
+                "max_hamming_seen",
+            )
+        )
+    else:
+        # DIRECT verify — buckets were dropped: a capped frame can no
+        # longer produce its band hit, so hit-counting would falsely
+        # reject; candidates need ONE surviving hit at the delta, the
+        # verdict comes from the frame-grain join at that alignment
+        cand = pair_base.select("a_id", "b_id", "offset").distinct()
+        fb = rep_sigs.select(
+            F.col("media_id").alias("b_id"),
+            F.col("n_frames").alias("b_nf"),
+            F.col("frame_no").alias("b_fno"),
+            *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
+        )
+        fa = rep_sigs.select(
+            F.col("media_id").alias("a_id"),
+            F.col("frame_no").alias("a_fno"),
+            *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
+        )
+        if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+            cand = F.broadcast(cand)
+        rep_pairs = (
+            cand.join(fb, "b_id")
+            .withColumn("a_fno", F.col("b_fno") + F.col("offset"))
+            .join(fa, ["a_id", "a_fno"])
+            .groupBy("a_id", "b_id", "offset", "b_nf")
+            .agg(
+                F.count("*").alias("ok_frames"),
+                F.max(hamming_distance_col(a_sig, b_sig)).alias(
+                    "max_hamming_seen"
+                ),
+            )
+            .filter(
+                (F.col("ok_frames") == F.ceil(F.col("b_nf") / F.lit(every_n)))
+                & (F.col("max_hamming_seen") <= max_hamming)
+            )
+            .select(
+                "a_id", "b_id", "offset",
+                F.col("b_nf").alias("clip_frames"),
+                "max_hamming_seen",
+            )
+        )
+    # ASYMMETRIC expansion (container stays container, clip stays
+    # clip — no least/greatest): members of the container group each
+    # contain members of the clip group at the same offset; no
+    # within-group pairs exist (equal lengths can't strictly contain)
+    ma = members.select(F.col("rep_id").alias("a_id"), F.col("media_id").alias("__ma"))
+    mb = members.select(F.col("rep_id").alias("b_id"), F.col("media_id").alias("__mb"))
+    return (
+        rep_pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(
+            F.col("__ma").alias("a_id"),
+            F.col("__mb").alias("b_id"),
+            "offset",
+            "clip_frames",
+            "max_hamming_seen",
+        )
+    )
+
+
+def synthesize_video_clip_corpus(
+    documents: DataFrame, clip_every: int = 5
+) -> DataFrame:
+    """Deterministic CLIP-CONTAINMENT fixture: every document becomes
+    one unique video of n = 3 + d%4 frames (pixel seeds salted with a
+    ``clip:`` prefix no other fixture uses), and every
+    ``clip_every``-th doc additionally emits a CLIP at media_id =
+    d + VARIANT_ID_OFFSET holding the base's frames o..o+n-2
+    (clip length n-1, offset o = d % 2) with BYTE-IDENTICAL PNG frame
+    bytes — so the expected video_contains_clip_pairs answer is
+    EXACTLY {(d, d+OFFSET, d%2, 2+d%4, 0) : d % clip_every == 0} —
+    SQL-computable (the media_salvage_scan closed-form protocol)."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                n = 3 + doc_id % 4
+                fps = 5 + doc_id % 10
+                seed = f"clip:{text}:{doc_id}".encode("utf-8")
+                frames = [
+                    encode_png(
+                        w, h,
+                        _stretch_bytes(seed + fno.to_bytes(4, "big"), w * h),
+                    )
+                    for fno in range(n)
+                ]
+                out["media_id"].append(doc_id)
+                out["media_type"].append("video")
+                out["content"].append(encode_avi(w, h, frames, fps))
+                if doc_id % clip_every == 0:
+                    o = doc_id % 2
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("video")
+                    out["content"].append(
+                        encode_avi(w, h, frames[o : o + n - 1], fps)
+                    )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
     )
 
 

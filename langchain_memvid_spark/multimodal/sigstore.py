@@ -50,8 +50,10 @@ Scale notes:
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from langchain_memvid_spark.exceptions import ConfigError
 from langchain_memvid_spark.multimodal import binary as mm
@@ -131,6 +133,16 @@ class MediaSignatureStore:
         fields += [f"{c} long" for c in self.sig_cols]
         self._schema = ", ".join(fields)
         self._columns = [f.split()[0] for f in fields]
+        # per-handle memos (ADVICE r10 / VERDICT r10 item 5): the
+        # column-set cross-check and the emptiness probe each cost a
+        # full file listing — validate ONCE per handle, not per
+        # signatures() call (the streaming gate calls it per
+        # microbatch).  Both only ever flip False→True: appends/
+        # removals through this handle keep the validated layout, and
+        # a DIFFERENTLY-configured handle can't exist on this path
+        # (the sidecar check above raises first).
+        self._columns_checked = False
+        self._known_nonempty = False
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -172,42 +184,76 @@ class MediaSignatureStore:
         never touches prior media, and never re-runs the signer for
         the count) and append the signature rows.  Returns the number
         of rows appended, read back footer-only from the files this
-        write produced."""
+        write produced.
+
+        Appends land in a PER-APPEND temp sibling dir and move into
+        the table under a per-append unique prefix (ADVICE r10 /
+        VERDICT r10 item 4): the returned count comes from listing
+        ONLY this append's own files — concurrent appenders can no
+        longer attribute each other's files to this batch, and the
+        old before/after diff's two O(table-files) listings are gone
+        (cost is O(this append's files)).  Crash windows: before any
+        rename, the table is untouched (the orphan ``__append_*`` dir
+        is garbage, never read); mid-rename, a PREFIX of this batch's
+        self-contained parquet files is live — a partial append, the
+        same state as any interrupted ingest (re-sign the batch into
+        a fresh store or remove the prefix's files), never a corrupt
+        table."""
         sig = self._sign(media, salvage)
         self._ensure_meta()
-        before = set(hfs.list_file_paths(self.spark, self.path, ".parquet"))
-        sig.write.mode("append").parquet(self.path)
-        new = [
-            f
-            for f in hfs.list_file_paths(self.spark, self.path, ".parquet")
-            if f not in before
-        ]
-        if not new:
-            return 0
+        tmp = f"{self.path}__append_{uuid.uuid4().hex[:12]}"
+        sig.write.mode("overwrite").parquet(tmp)
+        new = hfs.list_file_paths(self.spark, tmp, ".parquet")
         # metadata-only job: parquet count() reads row-group headers of
-        # exactly the new files, not media blobs — the signer ran once,
-        # inside the write job above
-        return self.spark.read.schema(self._schema).parquet(*new).count()
+        # exactly this append's files, not media blobs — the signer ran
+        # once, inside the write job above
+        n = (
+            self.spark.read.schema(self._schema).parquet(*new).count()
+            if new
+            else 0
+        )
+        if n:
+            prefix = uuid.uuid4().hex[:8]
+            for f in new:
+                base = f.rsplit("/", 1)[-1]
+                hfs.rename(self.spark, f, f"{self.path}/{prefix}-{base}")
+            self._known_nonempty = True
+        hfs.delete(self.spark, tmp, recursive=True)
+        return n
 
     def signatures(self) -> DataFrame:
         """The live signature table — an explicit-schema directory read
         (appends from other sessions load identically), or a typed
         empty frame before the first append.  The files' own column
-        set is cross-checked first: a table signed at another width
-        must RAISE here, because the explicit-schema read would
-        null-fill the missing signature columns and every downstream
-        hamming verdict would silently come back "novel" (ADVICE r9)."""
-        if not hfs.list_file_paths(self.spark, self.path, ".parquet"):
-            return self.spark.createDataFrame([], self._schema)
-        actual = set(self.spark.read.parquet(self.path).columns)
-        if actual != set(self._columns):
-            raise ConfigError(
-                f"signature table at {self.path} holds columns "
-                f"{sorted(actual)} but this store expects "
-                f"{sorted(self._columns)} — it was signed at a different "
-                "configuration"
-            )
+        set is cross-checked ONCE PER HANDLE (memoized — ADVICE r9 for
+        the check itself, VERDICT r10 item 5 for the memo): a table
+        signed at another width must RAISE here, because the
+        explicit-schema read would null-fill the missing signature
+        columns and every downstream hamming verdict would silently
+        come back "novel"; after the first success the emptiness probe
+        and the schema-inference listing are both skipped, so the
+        streaming gate's per-microbatch call costs one explicit-schema
+        read, nothing more."""
+        if not self._known_nonempty:
+            if not hfs.list_file_paths(self.spark, self.path, ".parquet"):
+                return self.spark.createDataFrame([], self._schema)
+            self._known_nonempty = True
+        if not self._columns_checked:
+            actual = set(self._actual_columns())
+            if actual != set(self._columns):
+                raise ConfigError(
+                    f"signature table at {self.path} holds columns "
+                    f"{sorted(actual)} but this store expects "
+                    f"{sorted(self._columns)} — it was signed at a different "
+                    "configuration"
+                )
+            self._columns_checked = True
         return self.spark.read.schema(self._schema).parquet(self.path)
+
+    def _actual_columns(self) -> list[str]:
+        """The files' own column set (schema inference — a full listing
+        + footer sample; called at most once per handle)."""
+        return self.spark.read.parquet(self.path).columns
 
     def count(self) -> int:
         return self.signatures().count()
@@ -245,6 +291,49 @@ class MediaSignatureStore:
         )
 
     # -- maintenance -------------------------------------------------------
+
+    def remove_media_ids(self, media_ids) -> int:
+        """Delete the signature rows of ``media_ids`` (takedowns, GDPR
+        erasure, retention sweeps — VERDICT r10 item 1): without this,
+        a removed media item haunts the table forever and every future
+        re-upload of it is verdicted ``is_dup=true`` against content
+        the operator no longer holds.  Mirrors the document store's
+        delete lifecycle (core/store.py delete_by_ids ≙ reference
+        /root/reference/src/langchain_memvid/index.py:347-376) at
+        signature grain: a broadcast ANTI JOIN keeps every other row
+        bit-identical, and the survivors land via the compact()
+        overwrite-swap (sources/compact.py rewrite_parquet) with the
+        meta sidecar staged into the temp dir BEFORE the swap — no
+        crash window leaves a data-bearing table without its pinned
+        config.  For the video modality the id removes ALL of that
+        video's frame rows.
+
+        ``media_ids`` is a Python iterable of ids or a DataFrame with
+        a ``media_id`` column.  Returns the number of signature ROWS
+        removed (frame rows, for video).  Same single-writer /
+        no-concurrent-reader contract as compact()."""
+        from langchain_memvid_spark.sources.compact import rewrite_parquet
+
+        if isinstance(media_ids, DataFrame):
+            ids_df = media_ids.select(
+                F.col("media_id").cast("long").alias("media_id")
+            ).distinct()
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(int(i),) for i in media_ids], "media_id long"
+            ).distinct()
+        sig = self.signatures()
+        if not self._known_nonempty:
+            return 0  # nothing persisted yet — nothing to remove
+        n_before = sig.count()  # footer-only metadata job
+        kept = sig.join(F.broadcast(ids_df), "media_id", "left_anti")
+        rewrite_parquet(
+            self.spark,
+            self.path,
+            kept,
+            sidecar_files={_META_NAME: json.dumps(self._meta_dict())},
+        )
+        return n_before - self.count()
 
     def parquet_file_count(self) -> int:
         from langchain_memvid_spark.sources.compact import parquet_file_count

@@ -819,11 +819,50 @@ def q_embedding_topk_join(spark, sf_dir):
 @_reg(
     "edit_distance_pairs",
     """
-WITH n AS (SELECT doc_id, substring(trim(text),1,20) AS s FROM documents)
-SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.s AS a_str, b.s AS b_str,
-  levenshtein(a.s, b.s)::INT AS edit_distance
-FROM n a JOIN n b ON a.doc_id < b.doc_id
-WHERE levenshtein(a.s, b.s) <= 4
+WITH n AS (SELECT doc_id, substring(trim(text),1,20) AS s FROM documents),
+longs AS (SELECT * FROM n WHERE length(s) >= 18),
+seg AS (
+  SELECT doc_id, s, k, substring(s, (1 + 3*k)::INT, 3) AS t
+  FROM (SELECT doc_id, s, unnest(range(0, 6)) AS k FROM longs)
+),
+idx AS (
+  SELECT b1.doc_id, b1.s, b1.k AS k1, b2.k AS k2, b1.t AS t1, b2.t AS t2
+  FROM seg b1 JOIN seg b2 ON b1.doc_id = b2.doc_id AND b1.k < b2.k
+),
+probe AS (
+  SELECT doc_id, s, k1, k2,
+         substring(s, (1 + 3*k1 + d1)::INT, 3) AS u1,
+         substring(s, (1 + 3*k2 + d2)::INT, 3) AS u2
+  FROM (
+    SELECT doc_id, s, k1, k2, d1, unnest(range(-4,5)) AS d2
+    FROM (
+      SELECT doc_id, s, k1, k2, unnest(range(-4,5)) AS d1
+      FROM (
+        SELECT doc_id, s, k1, unnest(range(0,6)) AS k2
+        FROM (SELECT doc_id, s, unnest(range(0,6)) AS k1 FROM longs)
+      ) WHERE k1 < k2
+    )
+  )
+  WHERE abs(d1) + abs(d2 - d1) <= 4
+    AND 1 + 3*k1 + d1 >= 1 AND 1 + 3*k1 + d1 + 2 <= length(s)
+    AND 1 + 3*k2 + d2 >= 1 AND 1 + 3*k2 + d2 + 2 <= length(s)
+),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.s AS a_str, b.s AS b_str
+  FROM probe a JOIN idx b
+    ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.u1 = b.t1 AND a.u2 = b.t2
+   AND a.doc_id < b.doc_id
+  WHERE abs(length(a.s) - length(b.s)) <= 4
+  UNION
+  SELECT a.doc_id, b.doc_id, a.s, b.s
+  FROM n a JOIN n b ON a.doc_id < b.doc_id
+  WHERE least(length(a.s), length(b.s)) < 18
+    AND abs(length(a.s) - length(b.s)) <= 4
+)
+SELECT a_id, b_id, a_str, b_str,
+  levenshtein(a_str, b_str)::INT AS edit_distance
+FROM cand
+WHERE levenshtein(a_str, b_str) <= 4
 """,
 )
 def q_edit_distance_pairs(spark, sf_dir):
@@ -831,9 +870,31 @@ def q_edit_distance_pairs(spark, sf_dir):
     positional q-gram blocking with the PROVABLE zero-false-negative
     count bound (q=3, d=4: 18 grams per title, 4 edits destroy ≤ 12 —
     sharing a position-aligned gram is NECESSARY), exact levenshtein
-    verify on candidates only.  The oracle is the brute-force all-pairs
-    filter, so a blocked-join false negative hash-mismatches — the
-    zero-FN claim is driver-checked, not argued."""
+    verify on candidates only.
+
+    The ORACLE (r11, VERDICT r10 item 6) applies the same standard —
+    its own independent zero-FN prefilter instead of DuckDB's
+    quadratic all-pairs levenshtein (2,124 s of the r10 sf1 sweep in
+    this one query).  Single-gram blocking is NOT enough here: titles
+    are words from a small vocabulary, so any one aligned gram is hot
+    (~4% df) and the candidate join stays near-quadratic.  The filter
+    therefore keys on PAIRS of intact segments (the PassJoin pigeonhole
+    one level up): partition each ≥18-char string into 6 disjoint
+    3-char segments — each edit op destroys ≤ 1 segment of the indexed
+    string, so ed ≤ 4 leaves ≥ 2 segments appearing EXACTLY in the
+    other string, the first shifted by δ1 and the second by δ2 where
+    δ are the cumulative indel balances before each segment —
+    disjoint op sets, hence |δ1| + |δ2−δ1| ≤ 4 (the rhombus cut).
+    The equi-join key is (k1, k2, text1, text2): two-word-ish keys,
+    quadratically shallower buckets than any single gram.  Pairs where
+    the SHORTER side is under 18 chars (none in this corpus — titles
+    are exactly 20) fall back to brute force among that subset.
+    Measured at sf1: 275 s vs 2,124 s, byte-identical output at
+    sf0.001/0.01/0.1 and on an adversarial short-string table.
+    Exactness is preserved — both sides verify full levenshtein on
+    candidates; the oracle's blocking is INDEPENDENT of the Spark
+    side's single-segment PassJoin, so a Spark false negative still
+    hash-mismatches."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring(F.trim(F.col("text")), 1, 20).alias("title")
     )
@@ -3039,6 +3100,105 @@ def q_stream_video_contains_image(spark, sf_dir):
     return out.select("video_id", "frame_no", "image_id", "hamming").orderBy(
         "video_id"
     )
+
+
+@_reg(
+    "video_contains_clip",
+    """
+SELECT doc_id AS a_id, doc_id + 10000000 AS b_id,
+       (doc_id % 2)::INT AS "offset",
+       (2 + doc_id % 4)::INT AS clip_frames,
+       0::INT AS max_hamming_seen
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY a_id
+""",
+)
+def q_video_contains_clip(spark, sf_dir):
+    """CLIP / SUBSEQUENCE containment (VERDICT r10 item 3): trimmed
+    re-uploads — a video whose FULL frame sequence appears as a
+    contiguous run inside a longer video — the pairs video_near_dup
+    deliberately refuses (equal n_frames required there).  Candidates
+    come from the shared (band, val) frame band join GROUPED BY THE
+    FRAME-OFFSET DELTA; a (container, clip, offset) qualifies only
+    when every sampled clip frame verifies ≤ max_hamming against the
+    container frame at clip_frame + offset.  Closed-form oracle: every
+    5th doc's video (n = 3+d%4 frames) has a clip of its frames
+    o..o+n-2 (o = d%2) planted at media_id d+OFFSET, byte-identical ⇒
+    exactly {(d, d+OFFSET, d%2, 2+d%4, 0)}; a missed containment, a
+    phantom pair, or a wrong offset all flip the hash."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    r = docs.select(
+        F.sum(3 + d % 4).alias("fr_base"),
+        F.sum(F.when(d % 5 == 0, 2 + d % 4).otherwise(0)).alias("fr_clip"),
+    ).head()
+    n_frames_total = int(r["fr_base"] or 0) + int(r["fr_clip"] or 0)
+    media = mm.synthesize_video_clip_corpus(docs, clip_every=5)
+    return (
+        mm.video_contains_clip_pairs(
+            media, max_hamming=3, n_band_rows=4 * n_frames_total
+        )
+        .orderBy("a_id")
+    )
+
+
+@_reg(
+    "sigstore_takedown",
+    """
+SELECT CAST(-1 AS BIGINT) AS media_id, TRUE AS is_dup,
+       (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS dup_of,
+       TRUE AS decoded
+UNION ALL
+SELECT doc_id + 10000000 AS media_id,
+       (doc_id % 5 <> 0) AS is_dup,
+       CASE WHEN doc_id % 5 <> 0 THEN doc_id END AS dup_of,
+       TRUE AS decoded
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 20000000 AS media_id, FALSE AS is_dup, NULL AS dup_of,
+       TRUE AS decoded
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY media_id
+""",
+)
+def q_sigstore_takedown(spark, sf_dir):
+    """Signature-table DELETION lifecycle (VERDICT r10 item 1): the
+    corpus is signed once into a persisted MediaSignatureStore, every
+    5th item is then REMOVED (takedown / GDPR erasure —
+    remove_media_ids: broadcast anti join + the compact()
+    overwrite-swap with the sidecar staged before the swap, mirroring
+    the document store's delete path ≙ reference lmv/index.py:347-376
+    at signature grain), and the scrape batch re-gates against the
+    post-removal table: variants of REMOVED items now verdict NOVEL
+    (no ghost-dup against content the operator no longer holds),
+    variants of kept items still verdict dup, novels stay novel.  The
+    leading witness row pins the exact removed-row count.  A ghost
+    dup, a lost kept-signature, or a miscounted removal all flip the
+    hash."""
+    import tempfile
+
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+
+    docs = _t(spark, sf_dir, "documents")
+    c = _media_fixture_counts(docs)
+    store = MediaSignatureStore(
+        spark, tempfile.mkdtemp(prefix="sigstore_rm_") + "/sigs", "image"
+    )
+    store.sign_and_append(mm.synthesize_image_corpus(docs, variant_every=None))
+    removed_ids = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+    n_removed = store.remove_media_ids(removed_ids)
+    batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+    verdicts = store.dedup_batch(batch, n_new=c["n_v7"] + c["n_v73"])
+    witness = spark.createDataFrame(
+        [(-1, True, n_removed, True)],
+        "media_id long, is_dup boolean, dup_of long, decoded boolean",
+    )
+    return witness.unionByName(verdicts).orderBy("media_id")
 
 
 @_reg(
@@ -5981,68 +6141,70 @@ _DRIVER_GREEN = {
     "image_exact_dup_groups", "audio_exact_dup_groups",
     "video_exact_dup_groups", "media_signature_store_dedup",
     "stream_media_ingest_gate",
+    # CORRECTNESS_r10.json: 50 full hash passes, zero failures.  New
+    # names not already listed above:
+    "video_contains_image", "stream_video_contains_image",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 10:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 11:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
-# actually landed belong here.
+# actually landed belongs here.
 _CHANGED_THIS_ROUND = (
-    # round 10: video near-dup decouples candidate generation from the
-    # full-depth verify (ADVICE r9 medium — the df-cap false-negative
-    # mode is gone) and the exact-sequence collapse now groups on the
-    # signer-emitted sha256 seq_key (VERDICT r9 item 5) — pair output
-    # identical on the closed-form fixtures, plan changed
-    "video_near_dup",
-    "video_exact_dup_groups",
-    # size-derived hash_bits default (VERDICT r9 item 7) threads
-    # through the image/audio pair ops — output unchanged at test SFs
-    # (derived width is 64 below 1e7 items), derivation path changed.
-    # The _wide variants pass hash_bits=256 explicitly and bypass the
-    # new derivation branch entirely — their executed plans are
-    # byte-identical to r9's, so they stay in the green tier and the
-    # 6-changed + 2-pending + 43-rotation front block fits the
-    # driver's ~50-query budget.
-    "image_near_dup",
-    "audio_near_dup",
-    # MediaSignatureStore rewritten onto the Hadoop FS (VERDICT r9
-    # item 2): sidecar-before-append, no-sidecar refusal, schema
-    # cross-check, single-materialization append — verdicts unchanged
+    # round 11: the ORACLE SQL gained the banded (positional q-gram +
+    # length) prefilter so full sf1 sweeps stop paying DuckDB's
+    # quadratic levenshtein (VERDICT r10 item 6) — candidate-exact,
+    # same final filter, but the oracle text changed and must re-run
+    "edit_distance_pairs",
+    # sign_and_append rewritten onto per-append temp dirs (VERDICT r10
+    # item 4: concurrent-safe count attribution, no O(table) listings)
+    # and signatures() memoizes the column cross-check (item 5) —
+    # verdicts unchanged, persistence path changed
     "media_signature_store_dedup",
-    # streaming gate now constructed through the typed store handle
-    # (VERDICT r9 item 3) — verdicts unchanged
+    # both streaming gates read the store through the memoized
+    # signatures() path and the corpus lands via the new append layout
     "stream_media_ingest_gate",
+    "stream_video_contains_image",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 9 the newest-signal distribution is 43 queries
-# at r6, 42 at r7, 42 at r8, 50 at r9 (zero failures as latest
-# state).  Round 10 rotates onto the whole r6 block (VERDICT r9 item
-# 1): with ~8 changed and one new query this round, the ~50-query
-# budget covers changed + pending + the 43, after which nothing's
-# newest driver row is older than r7.
+# first.  After round 10 the newest-signal distribution is 1 query at
+# r6 (urgent_building_customers — the r10 off-by-one casualty), 43 at
+# r7, 42 at r8, 44 at r9, 50 at r10 (zero failures as latest state).
+# Round 11 re-greens the r6 straggler FIRST (VERDICT r10 item 2),
+# then the whole r7 block (43 minus edit_distance_pairs, which moved
+# to the changed tier).  4 changed + 2 pending + 43 rotation = 49 ≤
+# the ~50 budget (checked by _reorder_for_driver), after which
+# nothing's newest driver row is older than r8.
 _STALE_ROTATION = (
-    # newest signal is r6 — search / store / dedup / stream surface
-    # first, simple relational queries last
-    "knn_topk", "ivf_search", "mmr_search", "vs_metadata_filter_typed",
-    "vs_relevance_scores", "vs_storage_stats", "dedup_exact",
-    "decontaminate", "minhash_signatures", "minhash_band_pairs",
-    "simhash", "simhash_near_pairs", "ngram_jaccard",
-    "embedding_cosine_pairs", "embedding_quantization",
-    "text_fingerprint", "text_lang_id", "text_quality",
-    "text_token_counts", "stream_dedup_within_watermark",
-    "stream_near_dedup", "pretrain_pipeline_stats",
-    "pretrain_pipeline_v2", "udtf_bigram_counts", "sql_interface_demo",
-    "events_hourly", "events_json_stats", "events_sessionize",
-    "dense_hourly_counts", "cohort_retention", "customer_quartiles",
-    "customers_without_orders", "filtered_aggregates",
-    "order_age_buckets", "orders_rollup", "orders_unpivot",
-    "part_name_string_ops", "per_user_zscore", "q21_sole_late_supplier",
-    "rolling_30d_revenue", "running_revenue", "scalar_showcase",
+    # the r10 rotation overflow — first this round, unconditionally
     "urgent_building_customers",
+    # newest signal is r7 — search / store / dedup / stream / media
+    # surface first, relational + showcase queries last
+    "vs_ivf_search", "vs_near_dedup_ingest", "vs_score_threshold_search",
+    "vs_delete_renumber", "knn_topk_filtered", "knn_topk_l2",
+    "knn_topk_quantized", "knn_topk_requantized", "lsh_ann_search",
+    "ivf_centroid_stats", "ivf_kmeans_search", "ivfpq_search",
+    "pq_search", "pq_reconstruction_error", "incremental_dedup",
+    "incremental_embedding_dedup", "dedup_clusters",
+    "dedup_clusters_star", "token_budget_select", "corpus_shuffle",
+    "domain_weighted_sample", "pii_scrub",
+    "quality_filter_summary", "sequence_packing", "train_val_split",
+    "pretrain_pipeline_v3", "text_bpe_token_counts",
+    "text_repetition_stats", "unigram_logprob_scores",
+    "bigram_logprob_scores", "html_extract", "stream_ingest_ivf",
+    "stream_ingest_store", "media_header_info", "media_salvage_scan",
+    "multimodal_features", "image_resize_stats", "video_header_info",
+    "video_frame_sample", "video_frames_extract",
+    "metadata_first_match", "window_function_showcase",
 )
+
+
+# The driver's correctness sweep caps at ~this many queries per round;
+# the front block must fit it or the tail silently misses re-greening.
+_DRIVER_QUERY_BUDGET = 50
 
 
 def _reorder_for_driver() -> None:
@@ -6053,6 +6215,12 @@ def _reorder_for_driver() -> None:
     2. pending   — never had any driver row (new queries this round).
     3. rotation  — oldest-signal greens, re-verified this round.
     4. green     — remaining driver-green entries.
+
+    The front block (changed + pending + rotation) must FIT the
+    driver's ~50-query budget: round 10 silently overflowed by one and
+    cost the oldest-signal query its re-green (ADVICE r10), so the
+    arithmetic is now checked here — an overflow warns loudly at
+    import instead of failing silently at judge time.
     """
     global QUERIES
     changed = {n: QUERIES[n] for n in _CHANGED_THIS_ROUND if n in QUERIES}
@@ -6064,6 +6232,18 @@ def _reorder_for_driver() -> None:
         for n in _STALE_ROTATION
         if n in QUERIES and n not in changed and n not in pending
     }
+    front = len(changed) + len(pending) + len(rotation)
+    if front > _DRIVER_QUERY_BUDGET:
+        import warnings
+
+        warnings.warn(
+            f"driver front block is {front} queries "
+            f"({len(changed)} changed + {len(pending)} pending + "
+            f"{len(rotation)} rotation) > the ~{_DRIVER_QUERY_BUDGET} "
+            "budget — the tail of _STALE_ROTATION will miss "
+            "re-verification this round; trim the rotation list",
+            stacklevel=2,
+        )
     green = {
         n: q
         for n, q in QUERIES.items()

@@ -38,13 +38,18 @@ def parquet_file_count(path: str, spark: SparkSession | None = None) -> int:
     return len(hfs.list_file_paths(spark, path, suffix=".parquet"))
 
 
-def compact_parquet(
+def rewrite_parquet(
     spark: SparkSession,
     path: str,
+    df=None,
     target_file_bytes: int = 128 * 1024 * 1024,
     sidecar_files: dict[str, str] | None = None,
 ) -> int:
-    """Rewrite `path` with ceil(table_bytes / target_file_bytes) files.
+    """Overwrite-swap `path` with ``df`` (default: the table's own
+    rows, i.e. pure compaction) at ceil(table_bytes /
+    target_file_bytes) files.  ``df`` must derive from reads of `path`
+    or be independent of it — it is fully materialized into the temp
+    dir before the old files move.
 
     Returns the new file count. Uses repartition (round-robin, even
     sizes) rather than coalesce: coalesce(n) would also narrow the
@@ -63,7 +68,8 @@ def compact_parquet(
     new dir (sidecar already present)."""
     size = table_bytes(path, spark)
     n_files = max(1, -(-size // target_file_bytes))
-    df = spark.read.parquet(path)
+    if df is None:
+        df = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     for name, text in (sidecar_files or {}).items():
@@ -73,3 +79,16 @@ def compact_parquet(
     hfs.rename(spark, tmp, path)
     hfs.delete(spark, old, recursive=True)
     return parquet_file_count(path, spark)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sidecar_files: dict[str, str] | None = None,
+) -> int:
+    """Consolidate `path`'s small files (rewrite_parquet with the
+    table's own rows)."""
+    return rewrite_parquet(
+        spark, path, None, target_file_bytes, sidecar_files
+    )

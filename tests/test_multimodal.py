@@ -1107,7 +1107,9 @@ def test_video_contains_image_pairs_semantics_and_plan(spark, sf_dir):
     wide = mm.video_contains_image_pairs(
         videos, image_sig=wide_sig, n_band_rows=4 * sum(n_frames.values()))
     assert sorted(map(tuple, wide.collect())) == want
-    with pytest.raises(ValueError, match="contradicts"):
+    from langchain_memvid_spark.exceptions import ConfigError
+
+    with pytest.raises(ConfigError, match="contradicts"):
         mm.video_contains_image_pairs(videos, image_sig=wide_sig, hash_bits=64)
     with pytest.raises(ValueError, match="exactly one"):
         mm.video_contains_image_pairs(videos)
@@ -1172,7 +1174,9 @@ def test_video_contains_image_accepts_store_handle(spark, tmp_path):
         videos, image_sig=store, n_band_rows=8).collect()))
     assert got == [(100, 1, 7, 0)]
     astore = MediaSignatureStore(spark, str(tmp_path / "asigs"), "audio")
-    with pytest.raises(ValueError, match="image modality"):
+    from langchain_memvid_spark.exceptions import ConfigError
+
+    with pytest.raises(ConfigError, match="image modality"):
         mm.video_contains_image_pairs(videos, image_sig=astore)
 
 
@@ -1222,3 +1226,320 @@ def test_collapse_video_groups_matches_exact_sequence_grouping(spark):
     assert sorted((r["media_id"], r["count"]) for r in rep_rows) == [
         (0, 3), (2, 3), (3, 2)
     ]
+
+
+# ---------------------------------------------------------------------------
+# round 11: signature-table deletion, append attribution, memoized
+# validation, clip containment, hash-width units
+# ---------------------------------------------------------------------------
+
+
+def _img_rows(prefix: bytes, ids, w=16, h=8):
+    return [
+        (i, "image", mm.encode_png(w, h, mm._stretch_bytes(prefix + b"%d" % i, w * h)))
+        for i in ids
+    ]
+
+
+def test_sigstore_remove_media_ids(spark, tmp_path):
+    """VERDICT r10 item 1: remove_media_ids deletes signature rows via
+    anti join + the sidecar-staged overwrite-swap — a removed item's
+    re-upload verdicts NOVEL afterwards (no ghost dup against content
+    the operator no longer holds), other items' verdicts unchanged,
+    the sidecar survives, and a reopened handle still adopts the
+    table's config."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+    from langchain_memvid_spark.sources import fs as hfs
+
+    path = str(tmp_path / "sigs")
+    store = ss.MediaSignatureStore(spark, path, "image")
+    rows = _img_rows(b"rm", range(4))
+    assert store.sign_and_append(spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary")) == 4
+
+    n_removed = store.remove_media_ids([1, 3, 999])  # 999 absent: no-op
+    assert n_removed == 2
+    assert store.count() == 2
+
+    # re-uploads of removed items are novel; kept items still dup
+    batch = spark.createDataFrame(
+        [(100 + i, mt, c) for i, mt, c in rows],
+        "media_id long, media_type string, content binary",
+    )
+    v = {r["media_id"]: r for r in store.dedup_batch(batch).collect()}
+    assert v[100]["is_dup"] and v[100]["dup_of"] == 0
+    assert v[102]["is_dup"] and v[102]["dup_of"] == 2
+    assert not v[101]["is_dup"] and v[101]["dup_of"] is None
+    assert not v[103]["is_dup"]
+
+    # sidecar survived the swap; a fresh handle adopts the config
+    assert hfs.exists(spark, f"{path}/{ss._META_NAME}")
+    reopened = ss.MediaSignatureStore(spark, path, "image")
+    assert reopened.hash_bits == store.hash_bits and reopened.count() == 2
+
+    # removing nothing (or from an id-DataFrame) round-trips too
+    assert store.remove_media_ids([1]) == 0
+    ids_df = spark.createDataFrame([(0,)], "media_id long")
+    assert store.remove_media_ids(ids_df) == 1
+    assert store.count() == 1
+
+    # a never-written store removes nothing and writes nothing
+    empty = ss.MediaSignatureStore(spark, str(tmp_path / "none"), "image")
+    assert empty.remove_media_ids([1, 2]) == 0
+    assert not hfs.list_file_paths(spark, str(tmp_path / "none"), ".parquet")
+
+
+def test_sigstore_remove_crash_window_keeps_sidecar(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 1 (crash window): an interrupted removal swap
+    must never leave a data-bearing dir without the meta sidecar —
+    whichever rename/delete step dies, every surviving dir that holds
+    parquet data also holds the sidecar (the no-sidecar refusal would
+    otherwise brick recovery)."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+    from langchain_memvid_spark.sources import compact as cp
+    from langchain_memvid_spark.sources import fs as hfs
+
+    def build(name):
+        store = ss.MediaSignatureStore(spark, str(tmp_path / name), "image")
+        store.sign_and_append(spark.createDataFrame(
+            _img_rows(b"cw", range(3)),
+            "media_id long, media_type string, content binary"))
+        return store
+
+    def sidecared_data_dirs(base_parent):
+        out = []
+        for d in hfs.list_file_paths(spark, base_parent, ".parquet"):
+            out.append(d.rsplit("/", 1)[0])
+        return {d: hfs.exists(spark, f"{d}/{ss._META_NAME}") for d in set(out)}
+
+    # kill the SECOND rename (tmp -> live): live path is gone, but the
+    # temp dir (fully written, sidecar staged BEFORE the first rename)
+    # and the __old dir both carry the sidecar
+    store = build("s1")
+    real_rename = hfs.rename
+    calls = {"n": 0}
+
+    def failing_rename(spk, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise IOError("injected crash between the two renames")
+        real_rename(spk, src, dst)
+
+    monkeypatch.setattr(cp.hfs, "rename", failing_rename)
+    with pytest.raises(IOError, match="injected"):
+        store.remove_media_ids([0])
+    monkeypatch.setattr(cp.hfs, "rename", real_rename)
+    dirs = sidecared_data_dirs(str(tmp_path))
+    assert dirs, "expected surviving data dirs"
+    assert all(dirs.values()), f"data dir without sidecar: {dirs}"
+
+    # kill the final delete: the live table IS swapped in, rows and
+    # sidecar correct (the orphan __old dir is recoverable garbage)
+    store = build("s2")
+    real_delete = hfs.delete
+
+    def failing_delete(spk, p, recursive=True):
+        if "__old_" in p:
+            raise IOError("injected crash before old-dir cleanup")
+        return real_delete(spk, p, recursive)
+
+    monkeypatch.setattr(cp.hfs, "delete", failing_delete)
+    with pytest.raises(IOError, match="injected"):
+        store.remove_media_ids([0])
+    monkeypatch.setattr(cp.hfs, "delete", real_delete)
+    assert store.count() == 2  # swap completed before the injected crash
+    assert hfs.exists(spark, str(tmp_path / "s2") + "/" + ss._META_NAME)
+
+
+def test_sigstore_concurrent_appends_attribute_counts(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 4 / ADVICE r10: append counts come from the
+    append's OWN temp dir, so a second writer landing files in the
+    table mid-append can no longer be mis-attributed.  Emulated
+    interleave: while store1's append is between its write and its
+    count, store2 completes a full append into the same table — the
+    old before/after listing diff would have counted store2's files
+    as store1's."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+    from langchain_memvid_spark.sources import fs as hfs
+
+    path = str(tmp_path / "sigs")
+    store1 = ss.MediaSignatureStore(spark, path, "image")
+    store2 = ss.MediaSignatureStore(spark, path, "image")
+
+    real_list = hfs.list_file_paths
+    state = {"fired": False}
+
+    def interleaving_list(spk, p, suffix=None):
+        if "__append_" in p and not state["fired"]:
+            state["fired"] = True  # restore-before-recurse
+            n2 = store2.sign_and_append(spark.createDataFrame(
+                _img_rows(b"w2", range(100, 103)),
+                "media_id long, media_type string, content binary"))
+            assert n2 == 3
+        return real_list(spk, p, suffix)
+
+    monkeypatch.setattr(ss.hfs, "list_file_paths", interleaving_list)
+    n1 = store1.sign_and_append(spark.createDataFrame(
+        _img_rows(b"w1", range(2)),
+        "media_id long, media_type string, content binary"))
+    monkeypatch.setattr(ss.hfs, "list_file_paths", real_list)
+    assert state["fired"]
+    assert n1 == 2  # store2's 3 files not attributed to store1's batch
+    assert store1.count() == 5
+
+
+def test_sigstore_signatures_column_check_memoized(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 5 / ADVICE r10: the column-set cross-check (a
+    schema-inference directory listing) runs ONCE per handle — the
+    streaming gate calls signatures() per microbatch and must not pay
+    a full listing each time.  The drift refusal still fires on a
+    fresh handle (test_sigstore_schema_crosscheck_raises_on_width_drift
+    covers that path)."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    path = str(tmp_path / "sigs")
+    store = ss.MediaSignatureStore(spark, path, "image")
+    store.sign_and_append(spark.createDataFrame(
+        _img_rows(b"memo", range(2)),
+        "media_id long, media_type string, content binary"))
+
+    calls = {"n": 0}
+    real = ss.MediaSignatureStore._actual_columns
+
+    def counting(self):
+        calls["n"] += 1
+        return real(self)
+
+    monkeypatch.setattr(ss.MediaSignatureStore, "_actual_columns", counting)
+    fresh = ss.MediaSignatureStore(spark, path, "image")
+    assert fresh.signatures().count() == 2
+    assert fresh.signatures().count() == 2
+    assert fresh.count() == 2
+    assert calls["n"] == 1  # validated once, served directly after
+
+
+def test_count_sampled_video_frames_unit(spark):
+    """ADVICE r10: the hash-width fallback's unit is SAMPLED FRAMES —
+    the header-only walk counts exactly what the signer will emit, at
+    any stride, and unwalkable blobs count zero (salvage parity)."""
+    w, h = 16, 8
+    f = [mm.encode_png(w, h, mm._stretch_bytes(b"cf%d" % i, w * h)) for i in range(5)]
+    media = spark.createDataFrame(
+        [
+            (0, "video", mm.encode_avi(w, h, f[:3], 10)),
+            (1, "video", mm.encode_avi(w, h, f, 10)),
+            (2, "video", b"not an avi"),
+            (3, "image", f[0]),  # non-video rows ignored
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    assert mm.count_sampled_video_frames(media) == 8
+    assert mm.count_sampled_video_frames(media, every_n=2) == 5  # ceil(3/2)+ceil(5/2)
+    assert mm.count_sampled_video_frames(media, every_n=5) == 2
+
+
+def test_video_contains_clip_pairs_basic(spark):
+    """Clip containment (VERDICT r10 item 3): a strictly-shorter video
+    whose full frame run appears contiguously inside a longer one is
+    reported with its offset; near-clips within max_hamming qualify;
+    unrelated videos and equal-length pairs (video_near_dup's job) do
+    not."""
+    w, h = 16, 8
+    px = [bytearray(mm._stretch_bytes(b"cc%d" % i, w * h)) for i in range(4)]
+    f = [mm.encode_png(w, h, bytes(p)) for p in px]
+    near = []
+    for p in (px[1], px[2]):
+        q = bytearray(p)
+        q[0] ^= 0x80  # ≤2 dHash bits, the corpus-fixture perturbation
+        near.append(mm.encode_png(w, h, bytes(q)))
+    media = spark.createDataFrame(
+        [
+            (0, "video", mm.encode_avi(w, h, f, 10)),            # container
+            (1, "video", mm.encode_avi(w, h, f[1:3], 10)),       # exact clip @1
+            (2, "video", mm.encode_avi(w, h, near, 10)),         # near clip @1
+            (3, "video", mm.encode_avi(w, h, [f[2], f[1]], 10)), # wrong ORDER
+            (4, "video", mm.encode_avi(w, h, [mm.encode_png(
+                w, h, mm._stretch_bytes(b"zz", w * h))] * 2, 10)),  # unrelated
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["offset"]): r
+        for r in mm.video_contains_clip_pairs(media, max_hamming=3).collect()
+    }
+    assert set(got) == {(0, 1, 1), (0, 2, 1)}
+    assert got[(0, 1, 1)]["max_hamming_seen"] == 0
+    assert got[(0, 1, 1)]["clip_frames"] == 2
+    assert 0 < got[(0, 2, 1)]["max_hamming_seen"] <= 3
+
+
+def test_video_contains_clip_group_expansion(spark):
+    """Byte-identical containers and byte-identical clips collapse to
+    one representative pair and expand back to ALL member pairs —
+    asymmetric expansion (containers stay containers)."""
+    w, h = 16, 8
+    f = [mm.encode_png(w, h, mm._stretch_bytes(b"ge%d" % i, w * h)) for i in range(3)]
+    media = spark.createDataFrame(
+        [
+            (0, "video", mm.encode_avi(w, h, f, 10)),
+            (1, "video", mm.encode_avi(w, h, f, 10)),        # container copy
+            (2, "video", mm.encode_avi(w, h, f[0:2], 10)),
+            (3, "video", mm.encode_avi(w, h, f[0:2], 10)),   # clip copy
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["offset"])
+        for r in mm.video_contains_clip_pairs(media).collect()
+    )
+    assert got == [(0, 2, 0), (0, 3, 0), (1, 2, 0), (1, 3, 0)]
+
+
+def test_video_contains_clip_direct_verify_under_cap(spark):
+    """The df-cap gating rule (ADVICE r9, applied to containment): when
+    a ubiquitous frame's buckets are dropped, the verdict must come
+    from the full-depth direct verify — a true containment whose TITLE
+    frame lost all its buckets still verifies through the frame-grain
+    join (inline hit-counting would falsely reject it)."""
+    w, h = 16, 8
+    title = mm.encode_png(w, h, mm._stretch_bytes(b"title", w * h))
+    x = mm.encode_png(w, h, mm._stretch_bytes(b"xx", w * h))
+    y = mm.encode_png(w, h, mm._stretch_bytes(b"yy", w * h))
+    rows = [(100, "video", mm.encode_avi(w, h, [title, x, y], 10)),
+            (101, "video", mm.encode_avi(w, h, [title, x], 10))]
+    for i in range(10):  # title frame is ubiquitous → its buckets cap out
+        uniq = mm.encode_png(w, h, mm._stretch_bytes(b"u%d" % i, w * h))
+        rows.append((i, "video", mm.encode_avi(w, h, [title, uniq], 10)))
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary")
+    got = {
+        (r["a_id"], r["b_id"], r["offset"])
+        for r in mm.video_contains_clip_pairs(
+            media, max_hamming=3, max_bucket=2
+        ).collect()
+    }
+    assert (100, 101, 0) in got
+    # nothing else contains anything (equal lengths excluded; unique
+    # second frames match nowhere; title-only agreement was capped)
+    assert got == {(100, 101, 0)}
+
+
+def test_video_contains_image_store_modality_raises_configerror(spark, tmp_path):
+    """ADVICE r10: the batch operator and the streaming gate raise the
+    SAME exception family (ConfigError) for a wrong-modality store, so
+    callers can catch config drift uniformly."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    wav = mm.encode_wav(8000, 1, mm._stretch_bytes(b"a", 300 * 2))
+    astore = ss.MediaSignatureStore(spark, str(tmp_path / "a"), "audio")
+    astore.sign_and_append(spark.createDataFrame(
+        [(0, "audio", wav)], "media_id long, media_type string, content binary"))
+    w, h = 16, 8
+    vids = spark.createDataFrame(
+        [(0, "video", mm.encode_avi(
+            w, h, [mm.encode_png(w, h, mm._stretch_bytes(b"v", w * h))], 10))],
+        "media_id long, media_type string, content binary",
+    )
+    with pytest.raises(ConfigError, match="image modality"):
+        mm.video_contains_image_pairs(vids, image_sig=astore)
