@@ -114,6 +114,12 @@ def stream_media_dedup_vs_corpus(
     stream = _read_table_stream(
         spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
     )
+    # the corpus signature table is scanned once PER MICROBATCH —
+    # persist it across the stream so K microbatches pay one parquet
+    # scan, not K (8–32 B/item: a 10⁹-item table is tens of GB, well
+    # inside a cluster's aggregate MEMORY_AND_DISK cache; the r11
+    # gate-only ladder showed the K re-scans dominating the 100× wall)
+    corpus_sig = corpus_sig.persist()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         kwargs = dict(
@@ -133,7 +139,10 @@ def stream_media_dedup_vs_corpus(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        corpus_sig.unpersist()
     try:
         return spark.read.parquet(out_path)
     except AnalysisException as e:
@@ -194,6 +203,9 @@ def stream_video_contains_image(
     stream = _read_table_stream(
         spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
     )
+    # one parquet scan of the image signature table for the WHOLE
+    # stream, not one per microbatch (see stream_media_dedup_vs_corpus)
+    image_sig = image_sig.persist()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = mm.video_contains_image_pairs(
@@ -211,7 +223,10 @@ def stream_video_contains_image(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        image_sig.unpersist()
     try:
         return spark.read.parquet(out_path)
     except AnalysisException as e:
