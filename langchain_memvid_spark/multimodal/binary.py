@@ -2000,6 +2000,157 @@ def video_contains_clip_pairs(
     )
 
 
+def video_contains_clip_vs_corpus(
+    new_videos: DataFrame,
+    clip_sig=None,
+    *,
+    max_hamming: int = 3,
+    every_n: int | None = None,
+    n_band_rows: int | None = None,
+    salvage: bool = False,
+    hash_bits: int | None = None,
+) -> DataFrame:
+    """Clip containment in the BATCH-VS-CORPUS shape — the
+    blocked-content-filter / licensed-clip-detection production form:
+    arriving full videos are checked for containing any KNOWN corpus
+    clip as a contiguous frame run.  ``clip_sig`` is the persisted
+    clip signature table (dhash_video_frames output at frame grain —
+    a video-modality MediaSignatureStore.signatures() read, or the
+    handle itself: the typed form, width and stride pinned by the
+    table's own sidecar; contradicting kwargs raise ConfigError).
+
+    The 100 TB shape mirrors the incremental dedups: the VIDEO batch
+    side signs once and its band table broadcasts under the
+    exact-count pick; the CLIP corpus is scanned once with zero
+    corpus-side shuffle.  Candidates come from the (band, val) join
+    grouped by frame-offset delta; a (video, clip, offset) qualifies
+    only when EVERY sampled clip frame verifies ≤ max_hamming at
+    clip_frame_no + offset (pigeonhole: max_hamming < 4 bands puts
+    every aligned true frame pair in the join, so the inline count is
+    exact — this shape takes no df-cap, matching the other
+    incrementals).  Strictly shorter clips only: an arrival EQUAL to
+    a corpus clip is the dup gate's verdict, not containment.
+
+    Returns (video_id, clip_id, offset, clip_frames,
+    max_hamming_seen) — one row per (arrival, corpus clip, matching
+    offset)."""
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
+
+    if clip_sig is None:
+        raise ValueError("pass clip_sig (a signature table or store handle)")
+    if hasattr(clip_sig, "signatures"):
+        store = clip_sig
+        from langchain_memvid_spark.exceptions import ConfigError
+
+        if store.modality != "video":
+            raise ConfigError(
+                f"clip_sig store must be the video modality, got "
+                f"{store.modality!r}"
+            )
+        for name, given, pinned in (
+            ("hash_bits", hash_bits, store.hash_bits),
+            ("every_n", every_n, store.every_n),
+        ):
+            if given is not None and given != pinned:
+                raise ConfigError(
+                    f"{name}={given!r} contradicts the clip signature "
+                    f"table's sidecar ({name}={pinned!r} at {store.path})"
+                )
+        hash_bits, every_n = store.hash_bits, store.every_n
+        clip_sig = store.signatures()
+    else:
+        sig_like = [c for c in clip_sig.columns if c.startswith("dhash")]
+        if not sig_like:
+            raise ValueError(
+                f"clip_sig has no dhash columns (got {clip_sig.columns}) — "
+                "pass dhash_video_frames output or a video "
+                "MediaSignatureStore"
+            )
+        inferred = 64 * len(sig_like)
+        if hash_bits is not None and hash_bits != inferred:
+            from langchain_memvid_spark.exceptions import ConfigError
+
+            raise ConfigError(
+                f"hash_bits={hash_bits} contradicts clip_sig's "
+                f"{len(sig_like)}-long layout ({inferred}-bit)"
+            )
+        hash_bits = inferred
+    if every_n is None:
+        every_n = 1
+    n_bands = 4
+    band_bits = 16 if hash_bits == 64 else 64
+    sig_cols = sig_col_names("dhash", hash_bits)
+    frames = dhash_video_frames(
+        new_videos, every_n=every_n, salvage=salvage, hash_bits=hash_bits
+    )
+    if n_band_rows is None:
+        frames = frames.localCheckpoint(eager=True)
+        n_band_rows = frames.count() * n_bands
+    else:
+        frames = frames.cache()
+    a_sig = [f"__a{j}" for j in range(len(sig_cols))]
+    b_sig = [f"__b{j}" for j in range(len(sig_cols))]
+    fb = hamming_band_table(
+        frames.select("media_id", "frame_no", "n_frames", *sig_cols),
+        sig_cols, n_bands=n_bands, band_bits=band_bits,
+    ).select(
+        F.col("media_id").alias("video_id"),
+        F.col("n_frames").alias("a_nf"),
+        F.col("frame_no").alias("a_fno"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
+        "band", "val",
+    )
+    cb = hamming_band_table(
+        clip_sig.select("media_id", "frame_no", "n_frames", *sig_cols),
+        sig_cols, n_bands=n_bands, band_bits=band_bits,
+    ).select(
+        F.col("media_id").alias("clip_id"),
+        F.col("n_frames").alias("b_nf"),
+        F.col("frame_no").alias("b_fno"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
+        "band", "val",
+    )
+    if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = cb.join(F.broadcast(fb), ["band", "val"])
+    else:
+        joined = cb.hint("merge").join(fb, ["band", "val"])
+    offset = F.col("a_fno") - F.col("b_fno")
+    b_ns = F.ceil(F.col("b_nf") / F.lit(every_n)).cast("int")
+    hits = (
+        joined.filter(
+            (F.col("a_nf") > F.col("b_nf"))
+            & (offset >= 0)
+            & (offset <= F.col("a_nf") - F.col("b_nf"))
+            & (offset % every_n == 0)
+        )
+        .select(
+            "video_id", "clip_id",
+            offset.cast("int").alias("offset"),
+            "b_fno", "b_nf",
+            b_ns.alias("b_ns"),
+            hamming_distance_col(a_sig, b_sig).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (
+        hits.groupBy("video_id", "clip_id", "offset", "b_ns", "b_nf")
+        .agg(
+            F.countDistinct("b_fno").alias("ok_frames"),
+            F.max("hamming").alias("max_hamming_seen"),
+        )
+        .filter(F.col("ok_frames") == F.col("b_ns"))
+        .select(
+            "video_id", "clip_id", "offset",
+            F.col("b_nf").alias("clip_frames"),
+            "max_hamming_seen",
+        )
+    )
+
+
 def synthesize_video_clip_corpus(
     documents: DataFrame, clip_every: int = 5
 ) -> DataFrame:

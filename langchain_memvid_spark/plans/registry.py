@@ -3145,6 +3145,57 @@ def q_video_contains_clip(spark, sf_dir):
 
 
 @_reg(
+    "stream_video_contains_clip",
+    """
+SELECT doc_id AS video_id, doc_id + 10000000 AS clip_id,
+       (doc_id % 2)::INT AS "offset",
+       (2 + doc_id % 4)::INT AS clip_frames,
+       0::INT AS max_hamming_seen
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY video_id
+""",
+)
+def q_stream_video_contains_clip(spark, sf_dir):
+    """STREAMING clip-containment gate — the blocked-content-filter
+    production shape: the KNOWN clips (every 5th doc's spliced-out
+    frame run) are signed once into a VIDEO MediaSignatureStore at
+    frame grain, then the full videos arrive as a THREE-microbatch
+    file stream; every microbatch signs only its own arrivals and
+    band-joins the persisted clip table (one corpus scan per stream —
+    persisted across microbatches), groups by frame-offset delta,
+    verifies the full clip run, exactly-once via idempotent
+    per-batch-partition overwrite.  Batch-split-invariant ⇒ the
+    accumulated union hashes against the same closed-form planted-clip
+    oracle as the batch operator."""
+    import tempfile
+
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+    from langchain_memvid_spark.streaming.media import stream_video_contains_clip
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="stream_vcc_")
+    corpus = mm.synthesize_video_clip_corpus(docs, clip_every=5)
+    store = MediaSignatureStore(spark, f"{base}/csigs", "video")
+    store.sign_and_append(
+        corpus.filter(F.col("media_id") >= mm.VARIANT_ID_OFFSET)
+    )
+    arrivals = corpus.filter(F.col("media_id") < mm.VARIANT_ID_OFFSET)
+    arrivals.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
+    out = stream_video_contains_clip(
+        spark,
+        f"{base}/arrivals",
+        f"{base}/matches",
+        f"{base}/ckpt",
+        clip_sig=store,
+        max_files_per_trigger=1,
+    )
+    return out.select(
+        "video_id", "clip_id", "offset", "clip_frames", "max_hamming_seen"
+    ).orderBy("video_id")
+
+
+@_reg(
     "sigstore_takedown",
     """
 SELECT CAST(-1 AS BIGINT) AS media_id, TRUE AS is_dup,
@@ -6175,7 +6226,7 @@ _CHANGED_THIS_ROUND = (
 # r7, 42 at r8, 44 at r9, 50 at r10 (zero failures as latest state).
 # Round 11 re-greens the r6 straggler FIRST (VERDICT r10 item 2),
 # then the whole r7 block (43 minus edit_distance_pairs, which moved
-# to the changed tier).  4 changed + 2 pending + 43 rotation = 49 ≤
+# to the changed tier).  4 changed + 3 pending + 43 rotation = 50 ≤
 # the ~50 budget (checked by _reorder_for_driver), after which
 # nothing's newest driver row is older than r8.
 _STALE_ROTATION = (

@@ -159,6 +159,91 @@ def stream_media_dedup_vs_corpus(
         )
 
 
+def stream_video_contains_clip(
+    spark: SparkSession,
+    media_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    clip_sig: "DataFrame | MediaSignatureStore",
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+    salvage: bool = False,
+    every_n: int | None = None,
+) -> DataFrame:
+    """STREAMING clip-containment gate: arriving full videos are
+    checked for containing any KNOWN corpus clip as a contiguous frame
+    run (blocked-content filters, licensed-clip detection) — the
+    streaming form of video_contains_clip_vs_corpus on the
+    idempotent-foreachBatch recipe shared by the other media gates:
+    each microbatch signs ONLY its own arrivals, band-joins the
+    persisted clip signature table (persisted across microbatches —
+    one parquet scan per stream), groups candidates by frame-offset
+    delta, verifies the full clip run at each offset, and OVERWRITES
+    its own ``batch_id=<id>`` partition for exactly-once replay.
+
+    ``clip_sig`` is a persisted dhash_video_frames output or — the
+    typed form — a VIDEO-modality MediaSignatureStore handle (width
+    and stride pinned by the table's own sidecar; a wrong-modality
+    store raises ConfigError).  Matches are batch-split-invariant.
+
+    Returns a batch read of the accumulated matches
+    (video_id, clip_id, offset, clip_frames, max_hamming_seen,
+    batch_id — the partition-discovery column last, on the empty path
+    too)."""
+    if hasattr(clip_sig, "signatures"):
+        store = clip_sig
+        if store.modality != "video":
+            raise ConfigError(
+                f"clip_sig store must be the video modality, got "
+                f"{store.modality!r}"
+            )
+        if every_n is not None and every_n != store.every_n:
+            raise ConfigError(
+                f"gate every_n={every_n!r} contradicts the clip table's "
+                f"sidecar (every_n={store.every_n!r} at {store.path})"
+            )
+        every_n = store.every_n
+        clip_sig = store.signatures()
+    if clip_sig.isStreaming:  # pragma: no cover - contract guard
+        raise ValueError("clip_sig must be a static (batch) table")
+    stream = _read_table_stream(
+        spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
+    )
+    clip_sig = clip_sig.persist()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = mm.video_contains_clip_vs_corpus(
+            batch_df,
+            clip_sig=clip_sig,
+            max_hamming=max_hamming,
+            every_n=every_n,
+            salvage=salvage,
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        clip_sig.unpersist()
+    try:
+        return spark.read.parquet(out_path)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        if cond != "PATH_NOT_FOUND":
+            raise
+        return spark.createDataFrame(
+            [],
+            "video_id BIGINT, clip_id BIGINT, offset INT, "
+            "clip_frames INT, max_hamming_seen INT, batch_id INT",
+        )
+
+
 def stream_video_contains_image(
     spark: SparkSession,
     media_path: str,

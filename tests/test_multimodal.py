@@ -1543,3 +1543,43 @@ def test_video_contains_image_store_modality_raises_configerror(spark, tmp_path)
     )
     with pytest.raises(ConfigError, match="image modality"):
         mm.video_contains_image_pairs(vids, image_sig=astore)
+
+
+def test_video_contains_clip_vs_corpus(spark, tmp_path):
+    """Batch-vs-corpus clip containment (the blocked-content-filter
+    shape): arrivals are checked against a persisted clip signature
+    table — typed store handle pins width/stride; wrong modality and
+    contradicting kwargs raise ConfigError; equal-length arrivals are
+    NOT containment."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    w, h = 16, 8
+    f = [mm.encode_png(w, h, mm._stretch_bytes(b"vc%d" % i, w * h)) for i in range(4)]
+    clip = mm.encode_avi(w, h, f[1:3], 10)           # known clip (frames 1..2)
+    cstore = ss.MediaSignatureStore(spark, str(tmp_path / "clips"), "video")
+    assert cstore.sign_and_append(spark.createDataFrame(
+        [(7, "video", clip)],
+        "media_id long, media_type string, content binary")) == 2  # frame rows
+    arrivals = spark.createDataFrame(
+        [
+            (100, "video", mm.encode_avi(w, h, f, 10)),        # contains @1
+            (101, "video", mm.encode_avi(w, h, f[1:3], 10)),   # EQUAL length
+            (102, "video", mm.encode_avi(w, h, [f[3], f[0]], 10)),  # unrelated
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    got = sorted(map(tuple, mm.video_contains_clip_vs_corpus(
+        arrivals, clip_sig=cstore).collect()))
+    assert got == [(100, 7, 1, 2, 0)]
+    # loose form: signature DataFrame, width inferred from columns
+    got2 = sorted(map(tuple, mm.video_contains_clip_vs_corpus(
+        arrivals, clip_sig=cstore.signatures()).collect()))
+    assert got2 == got
+    with pytest.raises(ConfigError, match="video modality"):
+        istore = ss.MediaSignatureStore(spark, str(tmp_path / "i"), "image")
+        mm.video_contains_clip_vs_corpus(arrivals, clip_sig=istore)
+    with pytest.raises(ConfigError, match="contradicts"):
+        mm.video_contains_clip_vs_corpus(arrivals, clip_sig=cstore, hash_bits=256)
+    with pytest.raises(ConfigError, match="contradicts"):
+        mm.video_contains_clip_vs_corpus(arrivals, clip_sig=cstore, every_n=2)
