@@ -99,5 +99,30 @@ print("videos containing corpus images:",
       matches.select("video_id").distinct().count(),
       "| frame-level matches:", matches.count())
 
+# -- 7. takedowns: remove_media_ids --------------------------------------
+# a deleted/DMCA'd media item must stop producing dup verdicts — the
+# anti-join + sidecar-staged swap removes its signature rows.  NOTE
+# the production subtlety: remove the whole NEAR-DUP CLUSTER, not one
+# id — image 0's 1-pixel variant would otherwise still catch the
+# re-upload (dedup_exact's keeper rule gives you the member list).
+cluster_0 = [0, 0 + mm.VARIANT_ID_OFFSET]
+removed = store.remove_media_ids(cluster_0 + [5])
+reuploads = images.filter(F.col("media_id").isin(0, 5)).select(
+    (F.col("media_id") + 900).alias("media_id"), "media_type", "content"
+)
+regate = store.dedup_batch(reuploads)
+print("takedown removed", removed, "signature rows |",
+      "re-uploads of removed items still gating as dup:",
+      regate.filter(F.col("is_dup")).count(), "of", regate.count())
+
+# -- 8. clip containment: video-in-video ---------------------------------
+# trimmed re-uploads escape near-dup (equal frame counts required
+# there); containment groups the frame band join by offset delta and
+# verifies the full clip run at each offset.
+clips = mm.synthesize_video_clip_corpus(docs, clip_every=5)
+pairs = mm.video_contains_clip_pairs(clips, max_hamming=3)
+print("clip containments:", pairs.count(),
+      "| sample:", pairs.orderBy("a_id").limit(3).collect())
+
 spark.stop()
 print("multimodal dedup pipeline OK")
