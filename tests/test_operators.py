@@ -1627,3 +1627,32 @@ def test_media_dedup_plan_construction_runs_zero_jobs(spark):
         sc.setJobGroup(None, None)
     assert list(jobs) == []
     assert all(p is not None for p in plans)
+
+
+def test_driver_front_block_budget_guard():
+    """ADVICE r10 / VERDICT r10 item 2: the rotation arithmetic is
+    guarded — a front block (changed + pending + rotation) exceeding
+    the driver's ~50-query budget warns loudly at reorder time instead
+    of silently dropping the tail's re-green; the CURRENT tiers fit
+    the budget and reorder silently."""
+    import warnings
+
+    from langchain_memvid_spark.plans import registry as reg
+
+    orig_rot, orig_changed = reg._STALE_ROTATION, reg._CHANGED_THIS_ROUND
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            reg._reorder_for_driver()  # real tiers: must be silent
+        assert not [x for x in w if "front block" in str(x.message)]
+
+        reg._STALE_ROTATION = tuple(reg.QUERIES)[:60]
+        reg._CHANGED_THIS_ROUND = ()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            reg._reorder_for_driver()
+        assert [x for x in w if "front block" in str(x.message)]
+    finally:
+        reg._STALE_ROTATION = orig_rot
+        reg._CHANGED_THIS_ROUND = orig_changed
+        reg._reorder_for_driver()  # restore the shipped tier order
