@@ -75,8 +75,9 @@ class MediaSignatureStore:
     ``signatures()`` returns the live table (typed empty frame before
     the first append); ``dedup_batch(new_media)`` runs the modality's
     incremental near-dup against the current table WITHOUT appending
-    (gate first, append the keepers); ``compact()`` consolidates
-    append files.
+    (gate first, append the keepers); ``remove_media_ids(ids)``
+    deletes items' signature rows (takedowns/GDPR — re-uploads gate
+    as novel afterwards); ``compact()`` consolidates append files.
 
     ``hash_bits``/``every_n`` may be omitted: an existing table's
     sidecar pins them (the handle adopts the table's own config —
