@@ -115,10 +115,11 @@ EXTENDED = [
     # persisted image signature table)
     "video_contains_image",
     "stream_video_contains_image",
-    # round-11 operators: clip/subsequence containment (batch and
-    # streaming-vs-corpus forms) and the signature-table deletion
-    # lifecycle (sign → remove → re-gate)
+    # round-11 operators: clip/subsequence containment (video batch,
+    # audio-span, and streaming-vs-corpus forms) and the
+    # signature-table deletion lifecycle (sign → remove → re-gate)
     "video_contains_clip",
+    "audio_contains_clip",
     "stream_video_contains_clip",
     "sigstore_takedown",
 ]

@@ -1873,6 +1873,34 @@ def video_contains_clip_pairs(
         # signing feeds the band table, both verify sides, and the
         # member expansion — materialize once, never re-walk containers
         sigs = sigs.cache()
+    return _contains_clip_pairs_from_sigs(
+        sigs, sig_cols, max_hamming, every_n, n_band_rows, max_bucket,
+        band_bits,
+    )
+
+
+def _contains_clip_pairs_from_sigs(
+    sigs: DataFrame,
+    sig_cols: list[str],
+    max_hamming: int,
+    every_n: int,
+    n_band_rows: int,
+    max_bucket: int | None,
+    band_bits: int,
+) -> DataFrame:
+    """Modality-independent clip-containment kernel over a signed
+    frame/span table (media_id, frame_no, n_frames, sig_cols...,
+    seq_key) — the body video_contains_clip_pairs and
+    audio_contains_clip_pairs share: seq_key collapse, (band, val)
+    self-join grouped by frame-offset delta, df-cap-gated inline vs
+    direct verify, asymmetric member expansion."""
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
+
+    n_bands = 4
     members, rep_sigs = _collapse_video_groups(sigs, sig_cols)
     rep_sigs = rep_sigs.cache()
     bands = hamming_band_table(
@@ -2305,6 +2333,12 @@ def envelope_hash_wav_longs(blob: bytes, n_windows: int = 64) -> list[int]:
     invariant to duration (windows scale with length) — near-identical
     recordings at different sample counts hash close.  n_windows=64 is
     the 64-bit default; 256 the 4-long wide hash."""
+    return _envelope_longs(_wav_samples(blob), n_windows)
+
+
+def _wav_samples(blob: bytes) -> np.ndarray:
+    """Channel-averaged float64 samples of one PCM WAV (the decode
+    half of envelope_hash_wav_longs, shared with the span signer)."""
     info = parse_wav_info(blob)
     nch = info["n_channels"]
     pos, data = 12, None
@@ -2318,6 +2352,12 @@ def envelope_hash_wav_longs(blob: bytes, n_windows: int = 64) -> list[int]:
     samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
     if nch > 1:
         samples = samples[: (len(samples) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return samples
+
+
+def _envelope_longs(samples: np.ndarray, n_windows: int) -> list[int]:
+    """Envelope difference hash of a sample array (the hash half of
+    envelope_hash_wav_longs, shared with the span signer)."""
     n = len(samples)
     k = n_windows + 1
     amp = np.abs(samples)
@@ -2374,6 +2414,193 @@ def envelope_hash_audio(
         media.filter(F.col("media_type") == "audio")
         .select(F.col(id_col), "content")
         .mapInPandas(sign, schema)
+    )
+
+
+def envelope_hash_audio_spans(
+    media: DataFrame,
+    span_samples: int = 1024,
+    salvage: bool = False,
+    hash_bits: int = 64,
+    with_seq_key: bool = False,
+) -> DataFrame:
+    """(media_id, frame_no, n_frames, ahash…) — envelope hashes at
+    FIXED-DURATION span grain: the clip's samples split into
+    consecutive spans of ``span_samples``, each span enveloped
+    independently (same difference-hash as envelope_hash_wav_longs).
+    This is the audio analog of dhash_video_frames' frame grain — the
+    whole-clip envelope hash is duration-NORMALIZED (windows scale
+    with length), which is right for near-dup but destroys alignment
+    composition; fixed spans make a sub-clip's signatures
+    byte-identical to the matching run of its source, so the clip
+    CONTAINMENT kernel applies unchanged.  The trailing partial span
+    is dropped (its envelope would differ from the source's at the
+    same offset); containment is therefore detectable at span-aligned
+    offsets, the documented trade (the video analog is every_n
+    stride alignment).
+
+    ``with_seq_key=True`` emits the sha256 sequence key per clip (the
+    collapse key — see dhash_video_frames)."""
+    if span_samples < 1:
+        raise ValueError(f"span_samples must be >= 1, got {span_samples}")
+    cols = sig_col_names("ahash", hash_bits)
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "frame_no": [], "n_frames": [],
+                **{c: [] for c in cols},
+            }
+            if with_seq_key:
+                rows["seq_key"] = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples = _wav_samples(bytes(c))
+                    n_spans = len(samples) // span_samples
+                    spans = [
+                        _envelope_longs(
+                            samples[i * span_samples : (i + 1) * span_samples],
+                            hash_bits,
+                        )
+                        for i in range(n_spans)
+                    ]
+                except Exception:  # noqa: BLE001 — drop the clip, never fail the scan
+                    if salvage:
+                        continue
+                    raise
+                if with_seq_key:
+                    h = hashlib.sha256(n_spans.to_bytes(8, "big"))
+                    for sno, hs in enumerate(spans):
+                        h.update(sno.to_bytes(8, "big"))
+                        for v in hs:
+                            h.update(v.to_bytes(8, "big", signed=True))
+                    seq_key = h.digest()
+                for sno, hs in enumerate(spans):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_no"].append(sno)
+                    rows["n_frames"].append(n_spans)
+                    for name, v in zip(cols, hs):
+                        rows[name].append(v)
+                    if with_seq_key:
+                        rows["seq_key"].append(seq_key)
+            out = {
+                "media_id": pd.array(rows["media_id"], dtype="int64"),
+                "frame_no": pd.array(rows["frame_no"], dtype="int32"),
+                "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+            }
+            for name in cols:
+                out[name] = pd.array(rows[name], dtype="int64")
+            if with_seq_key:
+                out["seq_key"] = rows["seq_key"]
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        ["media_id long", "frame_no int", "n_frames int"]
+        + [f"{c} long" for c in cols]
+        + (["seq_key binary"] if with_seq_key else [])
+    )
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(sign, schema)
+    )
+
+
+def audio_contains_clip_pairs(
+    media: DataFrame,
+    span_samples: int = 1024,
+    max_hamming: int = 3,
+    n_band_rows: int | None = None,
+    salvage: bool = False,
+    hash_bits: int | None = None,
+    max_bucket: int | None = _MEDIA_BUCKET_CAP,
+) -> DataFrame:
+    """AUDIO clip containment — audio-in-audio: which clips contain
+    another clip's FULL span sequence as a contiguous run (sampled
+    jingles, trimmed re-uploads, spliced intros).  Exactly
+    video_contains_clip_pairs with fixed-duration envelope spans in
+    place of video frames — the SAME modality-independent kernel
+    (_contains_clip_pairs_from_sigs: seq_key collapse, (band, val)
+    self-join grouped by span-offset delta, df-cap-gated verify,
+    asymmetric expansion).  Offsets are in span units (span-aligned
+    detection — the fixed-span trade documented on the signer);
+    strictly shorter clips only.
+
+    Returns (a_id container, b_id clip, offset, clip_frames,
+    max_hamming_seen) — offset and clip_frames counted in spans."""
+    sigs0 = None
+    if hash_bits is None:
+        # the unit is SPANS — the band table's rows (the ADVICE r10
+        # one-unit rule); n_band_rows/4 when given, else sign once and
+        # count (the signature table is reused below)
+        if n_band_rows is not None:
+            hash_bits = hash_bits_for_corpus(n_band_rows // 4)
+        else:
+            sigs0 = envelope_hash_audio_spans(
+                media, span_samples=span_samples, salvage=salvage,
+                hash_bits=64, with_seq_key=True,
+            ).localCheckpoint(eager=True)
+            n_spans = sigs0.count()
+            hash_bits = hash_bits_for_corpus(n_spans)
+            if hash_bits != 64:
+                sigs0 = None  # re-sign wide below
+            n_band_rows = n_spans * 4
+    band_bits = 16 if hash_bits == 64 else 64
+    sig_cols = sig_col_names("ahash", hash_bits)
+    if sigs0 is not None:
+        sigs = sigs0
+    else:
+        sigs = envelope_hash_audio_spans(
+            media, span_samples=span_samples, salvage=salvage,
+            hash_bits=hash_bits, with_seq_key=True,
+        )
+        if n_band_rows is None:
+            sigs = sigs.localCheckpoint(eager=True)
+            n_band_rows = sigs.count() * 4
+        else:
+            sigs = sigs.cache()
+    return _contains_clip_pairs_from_sigs(
+        sigs, sig_cols, max_hamming, 1, n_band_rows, max_bucket, band_bits
+    )
+
+
+def synthesize_audio_clip_corpus(
+    documents: DataFrame, clip_every: int = 5, span_samples: int = 256
+) -> DataFrame:
+    """Deterministic AUDIO clip-containment fixture —
+    synthesize_video_clip_corpus on the audio modality: every document
+    becomes one unique mono WAV of S = 3 + d%4 spans of
+    ``span_samples`` samples (seeds salted with an ``aclip:`` prefix
+    no other fixture uses), and every ``clip_every``-th doc
+    additionally emits a CLIP at media_id = d + VARIANT_ID_OFFSET
+    holding the base's spans o..o+S-2 (S-1 spans, offset o = d % 2)
+    with BYTE-IDENTICAL samples — so the expected
+    audio_contains_clip_pairs answer at this span size is EXACTLY
+    {(d, d+OFFSET, d%2, 2+d%4, 0) : d % clip_every == 0}."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                s_spans = 3 + doc_id % 4
+                rate = 8000 + 1000 * (doc_id % 4)
+                seed = f"aclip:{text}:{doc_id}".encode("utf-8")
+                samples = _stretch_bytes(seed, s_spans * span_samples * 2)
+                out["media_id"].append(doc_id)
+                out["media_type"].append("audio")
+                out["content"].append(encode_wav(rate, 1, samples))
+                if doc_id % clip_every == 0:
+                    o = doc_id % 2
+                    lo = o * span_samples * 2
+                    hi = (o + s_spans - 1) * span_samples * 2
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("audio")
+                    out["content"].append(encode_wav(rate, 1, samples[lo:hi]))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
     )
 
 

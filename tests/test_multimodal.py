@@ -1583,3 +1583,39 @@ def test_video_contains_clip_vs_corpus(spark, tmp_path):
         mm.video_contains_clip_vs_corpus(arrivals, clip_sig=cstore, hash_bits=256)
     with pytest.raises(ConfigError, match="contradicts"):
         mm.video_contains_clip_vs_corpus(arrivals, clip_sig=cstore, every_n=2)
+
+
+def test_audio_contains_clip_pairs(spark):
+    """Audio-in-audio containment: fixed-duration envelope spans make
+    a sub-clip's signatures byte-identical to its source run, so the
+    clip kernel applies — exact clip found with its span offset;
+    equal-length and unrelated clips refused; the trailing PARTIAL
+    span is dropped (span alignment documented on the signer)."""
+    span = 256
+    import numpy as np
+
+    rng = [bytes((i * 37 + j * 11) % 256 for j in range(span * 2))
+           for i in range(5)]
+    base = b"".join(rng)                       # 5 full spans
+    clip = b"".join(rng[1:4])                  # spans 1..3 -> offset 1
+    partial = b"".join(rng[1:4]) + rng[4][:100]  # tail partial span dropped
+    media = spark.createDataFrame(
+        [
+            (0, "audio", mm.encode_wav(8000, 1, base)),
+            (1, "audio", mm.encode_wav(8000, 1, clip)),
+            (2, "audio", mm.encode_wav(9000, 1, partial)),
+            (3, "audio", mm.encode_wav(8000, 1, base[: span * 2 * 5])),  # equal len
+            (4, "audio", mm.encode_wav(8000, 1, mm._stretch_bytes(b"zz", span * 4))),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["offset"]): r
+        for r in mm.audio_contains_clip_pairs(media, span_samples=span).collect()
+    }
+    # clips 1 and 2 hash identically (partial tail dropped) and both
+    # sit in base 0 AND its byte-identical copy 3 at offset 1; the
+    # equal-length copy (3 vs 0) is NOT containment
+    assert set(got) == {(0, 1, 1), (0, 2, 1), (3, 1, 1), (3, 2, 1)}
+    assert all(r["max_hamming_seen"] == 0 and r["clip_frames"] == 3
+               for r in got.values())
