@@ -961,9 +961,13 @@ def _collapsed_near_dup_pairs(
     Output pair set is EXACTLY the hamming-≤max_hamming pair listing
     the pre-collapse plan produced: within-group pairs carry hamming
     0, cross-group pairs the verified signature distance."""
-    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
+    )
 
     n_bands = 4
+    check_pigeonhole(max_hamming, n_bands)
     # .cache() (lazy — localCheckpoint launches a job even with
     # eager=False on this Spark line) marks the signer scan and the
     # collapsed groups for block-level reuse across the plan branches
@@ -1112,6 +1116,9 @@ def image_near_dup_pairs(
     for the unconditional pigeonhole guarantee.
 
     Returns (a_id, b_id, hamming) with a_id < b_id."""
+    from langchain_memvid_spark.operators.dedup import check_pigeonhole
+
+    check_pigeonhole(max_hamming, n_bands=4)
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "image").count()
     if hash_bits is None:
@@ -1351,8 +1358,13 @@ def count_sampled_video_frames(media: DataFrame, every_n: int = 1) -> int:
     dhash_video_frames but with ZERO pixel decodes: '00dc' chunk
     headers are counted and their payloads skipped via the size field.
     Unwalkable blobs count 0 frames (they produce no signatures either
-    way), so the count matches what the signer will emit in salvage
-    mode.
+    way) — WALKABLE-CONTAINER parity with the signer (ADVICE r11): a
+    container that walks cleanly but whose frame PAYLOADS fail to
+    decode is dropped entirely by dhash_video_frames(salvage=True)
+    yet still counted here, so near the 1e7-frame threshold this
+    fallback can pick 256-bit where a decode-failure-aware count
+    would pick 64 — a conservative (wider-hash) divergence that only
+    affects the width pick, never correctness.
 
     This is the UNIT the hash-width rule is stated in (ADVICE r10: the
     band table holds sampled frames, so hash_bits_for_corpus must see
@@ -1500,11 +1512,13 @@ def video_near_dup_pairs(
     a_id < b_id."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
         hamming_band_table,
         hamming_distance_col,
     )
 
     n_bands = 4
+    check_pigeonhole(max_hamming, n_bands)
     if hash_bits is None:
         # ONE unit — sampled frames, what the band table actually
         # holds (ADVICE r10: the old fallback counted VIDEOS, so the
@@ -1709,6 +1723,7 @@ def video_contains_image_pairs(
     impossible by construction)."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
         hamming_band_table,
         hamming_distance_col,
     )
@@ -1729,6 +1744,7 @@ def video_contains_image_pairs(
     if (images is None) == (image_sig is None):
         raise ValueError("pass exactly one of images / image_sig")
     n_bands = 4
+    check_pigeonhole(max_hamming, n_bands)
     if image_sig is not None:
         sig_like = [c for c in image_sig.columns if c.startswith("dhash")]
         if not sig_like:
@@ -1849,11 +1865,13 @@ def video_contains_clip_pairs(
     offset)."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
         hamming_band_table,
         hamming_distance_col,
     )
 
     n_bands = 4
+    check_pigeonhole(max_hamming, n_bands)
     if hash_bits is None:
         hash_bits = hash_bits_for_corpus(
             n_band_rows // n_bands
@@ -1896,11 +1914,13 @@ def _contains_clip_pairs_from_sigs(
     direct verify, asymmetric member expansion."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
         hamming_band_table,
         hamming_distance_col,
     )
 
     n_bands = 4
+    check_pigeonhole(max_hamming, n_bands)
     members, rep_sigs = _collapse_video_groups(sigs, sig_cols)
     rep_sigs = rep_sigs.cache()
     bands = hamming_band_table(
@@ -2064,10 +2084,12 @@ def video_contains_clip_vs_corpus(
     offset)."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
         hamming_band_table,
         hamming_distance_col,
     )
 
+    check_pigeonhole(max_hamming, n_bands=4)
     if clip_sig is None:
         raise ValueError("pass clip_sig (a signature table or store handle)")
     if hasattr(clip_sig, "signatures"):
@@ -2528,6 +2550,9 @@ def audio_contains_clip_pairs(
 
     Returns (a_id container, b_id clip, offset, clip_frames,
     max_hamming_seen) — offset and clip_frames counted in spans."""
+    from langchain_memvid_spark.operators.dedup import check_pigeonhole
+
+    check_pigeonhole(max_hamming, n_bands=4)
     sigs0 = None
     if hash_bits is None:
         # the unit is SPANS — the band table's rows (the ADVICE r10
@@ -2628,6 +2653,9 @@ def audio_near_dup_pairs(
     Pass ``n_media`` to skip the eager count.
 
     Returns (a_id, b_id, hamming) with a_id < b_id."""
+    from langchain_memvid_spark.operators.dedup import check_pigeonhole
+
+    check_pigeonhole(max_hamming, n_bands=4)
     if n_media is None:
         n_media = media.filter(F.col("media_type") == "audio").count()
     if hash_bits is None:
@@ -2804,11 +2832,13 @@ def _incremental_hamming_verdicts(
     verified-novel is the safe verdict for an ingest gate."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
         hamming_band_table,
         hamming_distance_col,
     )
 
     n_bands = 4
+    check_pigeonhole(max_hamming, n_bands)
     # the batch signature table feeds BOTH the band join and the
     # decoded-ids flag — a lazy .cache() stops the Arrow signer from
     # running once per plan branch without triggering a job at plan
@@ -2986,10 +3016,12 @@ def incremental_video_near_dup(
     verified-novel at an ingest gate)."""
     from langchain_memvid_spark.operators.dedup import (
         _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
         hamming_band_table,
         hamming_distance_col,
     )
 
+    check_pigeonhole(max_hamming, n_bands=4)
     if (corpus_media is None) == (corpus_sig is None):
         raise ValueError("pass exactly one of corpus_media / corpus_sig")
     if corpus_sig is None:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from langchain_memvid_spark.exceptions import ConfigError
 from langchain_memvid_spark.functions.hashing import stable_hash64
 from langchain_memvid_spark.functions.text import fingerprint, tokens, word_shingles
 from langchain_memvid_spark.functions.vector import cosine_sim
@@ -82,6 +83,28 @@ def rhp_band_bits_for(n: int, n_planes: int = RHP_PLANES) -> int:
 
     derived = _math.ceil(_math.log2(max(1.0, n / RHP_TARGET_OCCUPANCY)))
     return min(n_planes, max(RHP_BAND_BITS, derived))
+
+
+def check_pigeonhole(max_hamming: int, n_bands: int = 4) -> None:
+    """Runtime guard for the banded-candidate COMPLETENESS
+    precondition (VERDICT r11 item 2 / ADVICE r11): every hamming-LSH
+    operator's zero-false-negative claim rests on the pigeonhole
+    ``max_hamming < n_bands`` — max_hamming differing bits can dirty
+    at most that many bands, so ≥1 band always agrees on a true pair.
+    The constraint used to live only in docstrings; a caller passing
+    ``max_hamming=4`` over the default 4 bands got SILENT false
+    negatives (candidates never generated, so verify never saw them) —
+    and the clip-containment kernels' every-frame inline verify makes
+    that near-certain false rejection, not just one lost pair.  Raise
+    loudly at plan-construction time instead."""
+    if max_hamming >= n_bands:
+        raise ConfigError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"over {n_bands} bands (completeness needs max_hamming < "
+            f"n_bands): banded candidate generation would silently miss "
+            "true pairs — lower max_hamming, or use a wider signature "
+            "with more bands"
+        )
 
 
 def hamming_band_table(
@@ -1343,6 +1366,7 @@ def simhash_near_pairs(
     widen bands (more values) or add signature bits before widening
     the hamming radius."""
     n_bands, band_bits = 4, SIMHASH_BITS // 4
+    check_pigeonhole(max_hamming, n_bands)
     sh = simhash(documents, text_col)
     bands = hamming_band_table(sh, ["simhash"], n_bands=n_bands, band_bits=band_bits)
     a = bands.select(

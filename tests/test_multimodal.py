@@ -1619,3 +1619,58 @@ def test_audio_contains_clip_pairs(spark):
     assert set(got) == {(0, 1, 1), (0, 2, 1), (3, 1, 1), (3, 2, 1)}
     assert all(r["max_hamming_seen"] == 0 and r["clip_frames"] == 3
                for r in got.values())
+
+
+def test_pigeonhole_guard_raises_on_max_hamming_ge_bands(spark):
+    """VERDICT r11 item 2 / ADVICE r11: every banded hamming-LSH
+    operator must REFUSE max_hamming >= n_bands at plan-construction
+    time — the pigeonhole completeness claim breaks there and the old
+    behavior was silent false negatives (clip containment's every-frame
+    inline verify makes it near-certain false rejection).  The
+    documented max_hamming=3 contract is unchanged."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.operators.dedup import check_pigeonhole
+
+    # the documented contract still passes (covered end-to-end by every
+    # max_hamming=3 test in this file; asserted directly here)
+    check_pigeonhole(3, 4)
+
+    media = spark.createDataFrame(
+        [(0, "image", mm.encode_png(16, 8, mm._stretch_bytes(b"ph", 128)))],
+        "media_id long, media_type string, content binary",
+    )
+    corpus_sig = mm.dhash_images(media)
+    ops = [
+        lambda: mm.image_near_dup_pairs(media, max_hamming=4, n_media=1),
+        lambda: mm.audio_near_dup_pairs(media, max_hamming=4, n_media=1),
+        lambda: mm.video_near_dup_pairs(media, max_hamming=4, n_band_rows=4),
+        lambda: mm.video_contains_clip_pairs(media, max_hamming=4, n_band_rows=4),
+        lambda: mm.audio_contains_clip_pairs(media, max_hamming=4, n_band_rows=4),
+        lambda: mm.video_contains_image_pairs(
+            media, image_sig=corpus_sig, max_hamming=4, n_band_rows=4
+        ),
+        lambda: mm.video_contains_clip_vs_corpus(
+            media, clip_sig=corpus_sig, max_hamming=5, n_band_rows=4
+        ),
+        lambda: mm.incremental_image_near_dup(
+            media, corpus_sig=corpus_sig, max_hamming=4, n_new=1
+        ),
+        lambda: mm.incremental_audio_near_dup(
+            media, corpus_sig=corpus_sig, max_hamming=4, n_new=1
+        ),
+        lambda: mm.incremental_video_near_dup(
+            media, corpus_sig=corpus_sig, max_hamming=4, n_band_rows=4
+        ),
+    ]
+    for op in ops:
+        with pytest.raises(ConfigError, match="pigeonhole"):
+            op()
+
+
+def test_pigeonhole_guard_simhash(spark, sf_dir):
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    with pytest.raises(ConfigError, match="pigeonhole"):
+        simhash_near_pairs(docs, max_hamming=4, n_docs=2)
