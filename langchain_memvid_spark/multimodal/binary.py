@@ -1352,6 +1352,40 @@ def dhash_video_frames(
     return media.filter(F.col("media_type") == "video").mapInPandas(sign, schema)
 
 
+def banded_signature_table(
+    sig: DataFrame,
+    sig_cols: list[str] | tuple[str, ...],
+    *,
+    frame_grain: bool = False,
+) -> DataFrame:
+    """The CORPUS-SIDE band table in its generic (pre-rename) form —
+    hamming_band_table over exactly the columns the batch-vs-corpus
+    kernels band: (media_id, sig_cols…, band, val), plus
+    (frame_no, n_frames) at ``frame_grain`` (video frames / audio
+    spans).  Banding is a deterministic 4×-explode of the signature
+    table, so this output is PRECOMPUTABLE AND PERSISTABLE: the
+    streaming media gates (streaming/media.py) build it once per
+    stream and persist it, so K microbatches pay the explode once
+    instead of K times (VERDICT r11 item 1 — the per-microbatch
+    corpus band rebuild was the dominant term in the gates' 100×
+    gate-only cost; at 10⁹ corpus items the banded table is 4×
+    ~30 B/row, still well inside a cluster's aggregate
+    MEMORY_AND_DISK cache).  Batch callers with many batches against
+    one corpus can do the same and pass it as ``corpus_bands``.
+
+    Band width follows the one rule every kernel uses: a single
+    64-bit signature long splits 4×16; a wide multi-long hash bands
+    one 64-bit long per band."""
+    from langchain_memvid_spark.operators.dedup import hamming_band_table
+
+    sig_cols = list(sig_cols)
+    band_bits = 16 if len(sig_cols) == 1 else 64
+    cols = ["media_id"] + (["frame_no", "n_frames"] if frame_grain else [])
+    return hamming_band_table(
+        sig.select(*cols, *sig_cols), sig_cols, n_bands=4, band_bits=band_bits
+    )
+
+
 def count_sampled_video_frames(media: DataFrame, every_n: int = 1) -> int:
     """Exact SAMPLED-frame count of a video corpus from a header-only
     container walk — the same seek-skipping chunk scan as
@@ -1688,6 +1722,7 @@ def video_contains_image_pairs(
     n_band_rows: int | None = None,
     salvage: bool = False,
     hash_bits: int | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-MODALITY near-dup: which videos contain (as a frame) a
     known image — re-encoded stills, slideshow scrapes, logo bumpers
@@ -1791,10 +1826,14 @@ def video_contains_image_pairs(
         *[F.col(c).alias(al) for c, al in zip(sig_cols, f_sig)],
         "band", "val",
     )
-    ib = hamming_band_table(
-        image_sig.select("media_id", *sig_cols),
-        sig_cols, n_bands=n_bands, band_bits=band_bits,
-    ).select(
+    if corpus_bands is None:
+        corpus_bands = hamming_band_table(
+            image_sig.select("media_id", *sig_cols),
+            sig_cols, n_bands=n_bands, band_bits=band_bits,
+        )
+    # else: pre-banded corpus (banded_signature_table output,
+    # persisted across microbatches by the streaming gate)
+    ib = corpus_bands.select(
         F.col("media_id").alias("image_id"),
         *[F.col(c).alias(al) for c, al in zip(sig_cols, i_sig)],
         "band", "val",
@@ -2057,6 +2096,7 @@ def video_contains_clip_vs_corpus(
     n_band_rows: int | None = None,
     salvage: bool = False,
     hash_bits: int | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Clip containment in the BATCH-VS-CORPUS shape — the
     blocked-content-filter / licensed-clip-detection production form:
@@ -2154,10 +2194,14 @@ def video_contains_clip_vs_corpus(
         *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
         "band", "val",
     )
-    cb = hamming_band_table(
-        clip_sig.select("media_id", "frame_no", "n_frames", *sig_cols),
-        sig_cols, n_bands=n_bands, band_bits=band_bits,
-    ).select(
+    if corpus_bands is None:
+        corpus_bands = hamming_band_table(
+            clip_sig.select("media_id", "frame_no", "n_frames", *sig_cols),
+            sig_cols, n_bands=n_bands, band_bits=band_bits,
+        )
+    # else: pre-banded frame-grain corpus (banded_signature_table with
+    # frame_grain=True, persisted across microbatches by the gate)
+    cb = corpus_bands.select(
         F.col("media_id").alias("clip_id"),
         F.col("n_frames").alias("b_nf"),
         F.col("frame_no").alias("b_fno"),
@@ -2724,6 +2768,7 @@ def incremental_image_near_dup(
     n_new: int | None = None,
     salvage: bool = False,
     hash_bits: int = 64,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch of images against an EXISTING corpus — the
     production ingest shape (every scrape batch vs billions of
@@ -2761,6 +2806,7 @@ def incremental_image_near_dup(
         n_new=n_new,
         max_hamming=max_hamming,
         band_bits=16 if hash_bits == 64 else 64,
+        corpus_bands=corpus_bands,
     )
 
 
@@ -2773,6 +2819,7 @@ def incremental_audio_near_dup(
     n_new: int | None = None,
     salvage: bool = False,
     hash_bits: int = 64,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """incremental_image_near_dup on the audio modality: a new batch of
     clips checks against the persisted corpus ENVELOPE signature table
@@ -2794,6 +2841,7 @@ def incremental_audio_near_dup(
         n_new=n_new,
         max_hamming=max_hamming,
         band_bits=16 if hash_bits == 64 else 64,
+        corpus_bands=corpus_bands,
     )
 
 
@@ -2806,6 +2854,7 @@ def _incremental_hamming_verdicts(
     n_new: int,
     max_hamming: int,
     band_bits: int = 16,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Shared batch-vs-corpus kernel for every hamming signature space
     (image dHash, audio envelope hash, 64-bit or wide): band the
@@ -2863,7 +2912,18 @@ def _incremental_hamming_verdicts(
         )
 
     new_bands = bandify(new_sig, "new")
-    corpus_bands = bandify(corpus_sig, "old")
+    if corpus_bands is None:
+        corpus_bands = bandify(corpus_sig, "old")
+    else:
+        # pre-banded corpus (banded_signature_table output, persisted
+        # across microbatches by the streaming gates — VERDICT r11
+        # item 1): same content as bandify(corpus_sig), renamed here
+        corpus_bands = corpus_bands.select(
+            F.col("media_id").alias("old_id"),
+            *[F.col(c).alias(f"old_sg{j}") for j, c in enumerate(sig_cols)],
+            "band",
+            "val",
+        )
     if n_new * n_bands <= _PAIR_BROADCAST_ROW_LIMIT:
         joined = corpus_bands.join(F.broadcast(new_bands), ["band", "val"])
     else:
@@ -2987,6 +3047,7 @@ def incremental_video_near_dup(
     n_band_rows: int | None = None,
     salvage: bool = False,
     hash_bits: int = 64,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup on the VIDEO modality — video_near_dup_pairs'
     temporally-aligned full-depth verify in the batch-vs-corpus shape:
@@ -3063,7 +3124,19 @@ def incremental_video_near_dup(
         )
 
     new_bands = bandify(new_sig, "new")
-    corpus_bands = bandify(corpus_sig, "old")
+    if corpus_bands is None:
+        corpus_bands = bandify(corpus_sig, "old")
+    else:
+        # pre-banded frame-grain corpus (banded_signature_table with
+        # frame_grain=True — VERDICT r11 item 1): rename only
+        corpus_bands = corpus_bands.select(
+            F.col("media_id").alias("old_id"),
+            F.col("n_frames").alias("old_nf"),
+            *[F.col(c).alias(f"old_sg{j}") for j, c in enumerate(sig_cols)],
+            "frame_no",
+            "band",
+            "val",
+        )
     if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
         joined = corpus_bands.join(F.broadcast(new_bands), ["frame_no", "band", "val"])
     else:

@@ -251,6 +251,20 @@ class MediaSignatureStore:
             self._columns_checked = True
         return self.spark.read.schema(self._schema).parquet(self.path)
 
+    def banded_signatures(self) -> DataFrame:
+        """The live table in its PRE-BANDED form (binary.py
+        banded_signature_table — the deterministic 4×-explode every
+        batch-vs-corpus kernel builds from the signatures): callers
+        that hit the corpus repeatedly (the streaming gates, a batch
+        loop) persist THIS once and pass it as ``corpus_bands`` so K
+        joins pay the explode once, not K times (VERDICT r11
+        item 1)."""
+        return mm.banded_signature_table(
+            self.signatures(),
+            self.sig_cols,
+            frame_grain=(self.modality == "video"),
+        )
+
     def _actual_columns(self) -> list[str]:
         """The files' own column set (schema inference — a full listing
         + footer sample; called at most once per handle)."""

@@ -19,7 +19,11 @@ The corpus side is the PERSISTED signature table —
 MediaSignatureStore.signatures() or any signer output written at
 ingest (8–32 bytes per item): re-decoding 100 TB of corpus media per
 microbatch would be absurd, and the stream never re-signs prior
-arrivals either (each batch signs exactly its own blobs).
+arrivals either (each batch signs exactly its own blobs).  The gates
+band that table ONCE per stream and persist the BANDED form
+(_persisted_corpus_bands), so each microbatch's (band, val) join
+reads cached band rows — the per-microbatch corpus cost is gone
+entirely, not just the parquet scan (VERDICT r11 item 1).
 """
 
 from __future__ import annotations
@@ -43,6 +47,38 @@ _INCREMENTALS = {
     "audio": mm.incremental_audio_near_dup,
     "video": mm.incremental_video_near_dup,
 }
+
+_SIG_BASES = {"image": "dhash", "audio": "ahash", "video": "dhash"}
+
+
+def _persisted_corpus_bands(
+    corpus_sig: DataFrame, sig_cols, frame_grain: bool
+) -> DataFrame:
+    """The gates' shared corpus-side prep (VERDICT r11 item 1): band
+    the persisted signature table ONCE per stream and persist the
+    BANDED form, so every microbatch's (band, val) join reads cached
+    band rows instead of re-scanning + re-exploding the corpus —
+    K microbatches pay the 4×-explode once, and the per-microbatch
+    gate cost drops to the batch-side work.  Only the DataFrame this
+    function derives is persisted — never the caller's ``corpus_sig``
+    (ADVICE r11: persisting a caller-owned frame clobbered its cache
+    level, and persist() raises on an already-cached non-default
+    level)."""
+    return mm.banded_signature_table(
+        corpus_sig, sig_cols, frame_grain=frame_grain
+    ).persist()
+
+
+def _infer_sig_cols(sig: DataFrame, base: str, what: str) -> list:
+    """Signature column list from the table's own layout (the same
+    width-inference rule the batch operators use)."""
+    sig_like = [c for c in sig.columns if c.startswith(base)]
+    if not sig_like:
+        raise ValueError(
+            f"{what} has no {base} columns (got {sig.columns}) — "
+            "pass a signer output or a MediaSignatureStore"
+        )
+    return mm.sig_col_names(base, 64 * len(sig_like))
 
 
 def stream_media_dedup_vs_corpus(
@@ -114,16 +150,21 @@ def stream_media_dedup_vs_corpus(
     stream = _read_table_stream(
         spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
     )
-    # the corpus signature table is scanned once PER MICROBATCH —
-    # persist it across the stream so K microbatches pay one parquet
-    # scan, not K (8–32 B/item: a 10⁹-item table is tens of GB, well
-    # inside a cluster's aggregate MEMORY_AND_DISK cache; the r11
-    # gate-only ladder showed the K re-scans dominating the 100× wall)
-    corpus_sig = corpus_sig.persist()
+    # ONE corpus prep per stream (r11 persisted the signature table —
+    # one parquet scan per stream; r12 persists the BANDED form, so
+    # the per-microbatch 4×-explode rebuild goes too and each
+    # microbatch's join reads cached band rows: ~4×30 B/item, well
+    # inside a cluster's aggregate MEMORY_AND_DISK cache at 10⁹ items)
+    corpus_bands = _persisted_corpus_bands(
+        corpus_sig,
+        mm.sig_col_names(_SIG_BASES[modality], hash_bits),
+        frame_grain=(modality == "video"),
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         kwargs = dict(
             corpus_sig=corpus_sig,
+            corpus_bands=corpus_bands,
             max_hamming=max_hamming,
             salvage=salvage,
             hash_bits=hash_bits,
@@ -142,7 +183,7 @@ def stream_media_dedup_vs_corpus(
     try:
         q.awaitTermination()
     finally:
-        corpus_sig.unpersist()
+        corpus_bands.unpersist()
     try:
         return spark.read.parquet(out_path)
     except AnalysisException as e:
@@ -176,9 +217,9 @@ def stream_video_contains_clip(
     streaming form of video_contains_clip_vs_corpus on the
     idempotent-foreachBatch recipe shared by the other media gates:
     each microbatch signs ONLY its own arrivals, band-joins the
-    persisted clip signature table (persisted across microbatches —
-    one parquet scan per stream), groups candidates by frame-offset
-    delta, verifies the full clip run at each offset, and OVERWRITES
+    clip table's PRE-BANDED form (banded once per stream, the banded
+    rows persisted across microbatches), groups candidates by
+    frame-offset delta, verifies the full clip run at each offset, and OVERWRITES
     its own ``batch_id=<id>`` partition for exactly-once replay.
 
     ``clip_sig`` is a persisted dhash_video_frames output or — the
@@ -209,12 +250,17 @@ def stream_video_contains_clip(
     stream = _read_table_stream(
         spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
     )
-    clip_sig = clip_sig.persist()
+    corpus_bands = _persisted_corpus_bands(
+        clip_sig,
+        _infer_sig_cols(clip_sig, "dhash", "clip_sig"),
+        frame_grain=True,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = mm.video_contains_clip_vs_corpus(
             batch_df,
             clip_sig=clip_sig,
+            corpus_bands=corpus_bands,
             max_hamming=max_hamming,
             every_n=every_n,
             salvage=salvage,
@@ -230,7 +276,7 @@ def stream_video_contains_clip(
     try:
         q.awaitTermination()
     finally:
-        clip_sig.unpersist()
+        corpus_bands.unpersist()
     try:
         return spark.read.parquet(out_path)
     except AnalysisException as e:
@@ -260,8 +306,9 @@ def stream_video_contains_image(
     slideshow scrapes, blocked-content filters) — the streaming form
     of multimodal.binary.video_contains_image_pairs, on the same
     idempotent-foreachBatch recipe as the ingest gate above: each
-    microbatch signs ONLY its own videos, band-joins the persisted
-    image signature table (one image-side scan per microbatch, zero
+    microbatch signs ONLY its own videos, band-joins the image
+    table's PRE-BANDED form (banded once per stream, persisted — zero
+    image-side work per microbatch beyond the cached-band read, zero
     image-side shuffle under the batch broadcast bound), and
     OVERWRITES its own ``batch_id=<id>`` partition for exactly-once
     replay.
@@ -288,14 +335,20 @@ def stream_video_contains_image(
     stream = _read_table_stream(
         spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
     )
-    # one parquet scan of the image signature table for the WHOLE
-    # stream, not one per microbatch (see stream_media_dedup_vs_corpus)
-    image_sig = image_sig.persist()
+    # ONE image-side prep for the WHOLE stream: the banded form is
+    # persisted, so each microbatch joins cached band rows (see
+    # stream_media_dedup_vs_corpus / _persisted_corpus_bands)
+    corpus_bands = _persisted_corpus_bands(
+        image_sig,
+        _infer_sig_cols(image_sig, "dhash", "image_sig"),
+        frame_grain=False,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = mm.video_contains_image_pairs(
             batch_df,
             image_sig=image_sig,
+            corpus_bands=corpus_bands,
             max_hamming=max_hamming,
             every_n=every_n,
             salvage=salvage,
@@ -311,7 +364,7 @@ def stream_video_contains_image(
     try:
         q.awaitTermination()
     finally:
-        image_sig.unpersist()
+        corpus_bands.unpersist()
     try:
         return spark.read.parquet(out_path)
     except AnalysisException as e:

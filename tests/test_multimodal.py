@@ -1674,3 +1674,62 @@ def test_pigeonhole_guard_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(2)
     with pytest.raises(ConfigError, match="pigeonhole"):
         simhash_near_pairs(docs, max_hamming=4, n_docs=2)
+
+
+def test_corpus_bands_path_matches_default(spark, tmp_path):
+    """VERDICT r11 item 1: a pre-banded persisted corpus
+    (banded_signature_table / MediaSignatureStore.banded_signatures)
+    passed as ``corpus_bands`` must produce BIT-IDENTICAL verdicts to
+    the default band-inside-the-kernel path, across the flat and
+    frame-grain kernels."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    imgs = spark.createDataFrame(
+        _img_rows(b"cb", range(6)),
+        "media_id long, media_type string, content binary",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, mt, c) for i, mt, c in _img_rows(b"cb", range(3))],
+        "media_id long, media_type string, content binary",
+    )
+    store = ss.MediaSignatureStore(spark, str(tmp_path / "sigs"), "image")
+    store.sign_and_append(imgs)
+    sig = store.signatures()
+    bands = store.banded_signatures().persist()
+    try:
+        want = sorted(
+            map(tuple, mm.incremental_image_near_dup(
+                batch, corpus_sig=sig).collect())
+        )
+        got = sorted(
+            map(tuple, mm.incremental_image_near_dup(
+                batch, corpus_sig=sig, corpus_bands=bands).collect())
+        )
+        assert got == want and any(r[1] for r in got)  # some dups found
+
+        # frame-grain: clip containment vs a video corpus
+        w, h = 16, 8
+        px = [mm.encode_png(w, h, mm._stretch_bytes(b"cb%d" % i, w * h))
+              for i in range(4)]
+        vids = spark.createDataFrame(
+            [(0, "video", mm.encode_avi(w, h, px, 10))],
+            "media_id long, media_type string, content binary",
+        )
+        arrivals = spark.createDataFrame(
+            [(7, "video", mm.encode_avi(w, h, [px[0]] + px + [px[0]], 10))],
+            "media_id long, media_type string, content binary",
+        )
+        vstore = ss.MediaSignatureStore(spark, str(tmp_path / "vsigs"), "video")
+        vstore.sign_and_append(vids)
+        vsig = vstore.signatures()
+        vbands = vstore.banded_signatures().persist()
+        try:
+            want_v = sorted(map(tuple, mm.video_contains_clip_vs_corpus(
+                arrivals, clip_sig=vsig).collect()))
+            got_v = sorted(map(tuple, mm.video_contains_clip_vs_corpus(
+                arrivals, clip_sig=vsig, corpus_bands=vbands).collect()))
+            assert got_v == want_v and len(got_v) == 1
+        finally:
+            vbands.unpersist()
+    finally:
+        bands.unpersist()
