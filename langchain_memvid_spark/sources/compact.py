@@ -44,21 +44,42 @@ def rewrite_parquet(
     df=None,
     target_file_bytes: int = 128 * 1024 * 1024,
     sidecar_files: dict[str, str] | None = None,
-) -> int:
+    with_rows: bool = False,
+):
     """Overwrite-swap `path` with ``df`` (default: the table's own
-    rows, i.e. pure compaction) at ceil(table_bytes /
+    rows, i.e. pure compaction) at ceil(output_bytes /
     target_file_bytes) files.  ``df`` must derive from reads of `path`
     or be independent of it — it is fully materialized into the temp
     dir before the old files move.
 
-    Returns the new file count. Uses repartition (round-robin, even
-    sizes) rather than coalesce: coalesce(n) would also narrow the
-    UPSTREAM read parallelism to n tasks, so a large compaction would
-    read with too few tasks; repartition keeps the scan wide and only
-    the write narrow. The rewrite lands in a temp sibling dir and swaps
-    in via two renames with the old data removed last — safe for a
-    single writer with no concurrent readers (see module docstring for
-    the exact crash/reader window).
+    SIZING (VERDICT r11 item 4): pure compaction (``df=None``) sizes
+    from the table's own bytes — output bytes equal input bytes there.
+    A SUPPLIED ``df``'s output size is unknowable up front (a takedown
+    may drop 90% of the rows), so it is materialized once into the
+    staging dir at the plan's own partitioning, sized from the bytes
+    that actually LANDED, and consolidated only when the landed file
+    count strays beyond 2× the target count — a near-full rewrite pays
+    one write (the landed layout is already right), a large delete
+    pays one cheap extra pass over the SURVIVOR bytes instead of
+    stranding proportionally undersized files until a second
+    compaction.
+
+    Returns the new file count; with ``with_rows=True`` returns
+    (file_count, row_count), the row count read footer-only from the
+    staged files BEFORE the swap — callers that need "how many rows
+    landed" (MediaSignatureStore.remove_media_ids) get it from the
+    rewrite's own output instead of re-listing the live table
+    (VERDICT r11 item 5).
+
+    Uses repartition (round-robin, even sizes) rather than coalesce:
+    coalesce(n) would also narrow the UPSTREAM read parallelism to n
+    tasks, so a large compaction would read with too few tasks;
+    repartition keeps the scan wide and only the write narrow. The
+    rewrite lands in a temp sibling dir and swaps in via two renames
+    with the old data removed last — safe for a single writer with no
+    concurrent readers (see module docstring for the exact
+    crash/reader window; an orphaned ``__rewrite_*`` staging dir is
+    garbage, never read, same as sign_and_append's ``__append_*``).
 
     ``sidecar_files`` maps basename → text for config sidecars that
     must SURVIVE the swap (e.g. MediaSignatureStore's meta): they are
@@ -66,19 +87,40 @@ def rewrite_parquet(
     window in which the live table exists without its sidecar — a
     crash mid-swap leaves either the old dir (sidecar intact) or the
     new dir (sidecar already present)."""
-    size = table_bytes(path, spark)
-    n_files = max(1, -(-size // target_file_bytes))
+    base = path.rstrip("/")
     if df is None:
+        size = table_bytes(path, spark)
+        n_files = max(1, -(-size // target_file_bytes))
         df = spark.read.parquet(path)
-    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        tmp = f"{base}__compact_{uuid.uuid4().hex[:8]}"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    else:
+        raw = f"{base}__rewrite_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(raw)
+        size = hfs.data_bytes(spark, raw)
+        n_files = max(1, -(-size // target_file_bytes))
+        n_raw = len(hfs.list_file_paths(spark, raw, suffix=".parquet"))
+        if n_raw > 2 * n_files or n_raw < max(1, n_files // 2):
+            tmp = f"{base}__compact_{uuid.uuid4().hex[:8]}"
+            spark.read.parquet(raw).repartition(n_files).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            hfs.delete(spark, raw, recursive=True)
+        else:
+            tmp = raw
+    n_rows = (
+        spark.read.parquet(tmp).count() if with_rows else None
+    )  # footer-only metadata job over the staged files
+    # file count from the STAGED dir too (these exact files are what
+    # the rename moves live) — no post-swap listing of the live table
+    n_out = len(hfs.list_file_paths(spark, tmp, suffix=".parquet"))
     for name, text in (sidecar_files or {}).items():
         hfs.write_text(spark, f"{tmp}/{name}", text)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    old = f"{base}__old_{uuid.uuid4().hex[:8]}"
     hfs.rename(spark, path, old)
     hfs.rename(spark, tmp, path)
     hfs.delete(spark, old, recursive=True)
-    return parquet_file_count(path, spark)
+    return (n_out, n_rows) if with_rows else n_out
 
 
 def compact_parquet(

@@ -1733,3 +1733,44 @@ def test_corpus_bands_path_matches_default(spark, tmp_path):
             vbands.unpersist()
     finally:
         bands.unpersist()
+
+
+def test_takedown_sizes_output_from_survivors_and_skips_live_listings(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 items 4+5: after a 90% takedown the rewritten table's
+    file count tracks the SURVIVING bytes (not the pre-delete layout),
+    and the removed-row count comes from the rewrite's own staged
+    files — remove_media_ids performs ZERO hfs listings of the live
+    table path (staging dirs only)."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+    from langchain_memvid_spark.sources import fs as hfs
+
+    path = str(tmp_path / "sigs")
+    store = ss.MediaSignatureStore(spark, path, "image")
+    # several appends -> a multi-file table
+    for lo in range(0, 40, 10):
+        store.sign_and_append(spark.createDataFrame(
+            _img_rows(b"tk", range(lo, lo + 10)),
+            "media_id long, media_type string, content binary"))
+    n_files_before = store.parquet_file_count()
+    assert n_files_before >= 4
+
+    live_listings = {"n": 0}
+    real_list = hfs.list_file_paths
+
+    def counting_list(spk, p, suffix=None):
+        if p.rstrip("/") == path:
+            live_listings["n"] += 1
+        return real_list(spk, p, suffix)
+
+    monkeypatch.setattr(ss.hfs, "list_file_paths", counting_list)
+    n_removed = store.remove_media_ids(range(36))  # keep 4 of 40
+    monkeypatch.setattr(ss.hfs, "list_file_paths", real_list)
+
+    assert n_removed == 36
+    assert live_listings["n"] == 0
+    # 4 tiny survivor rows consolidate far below the old file count
+    assert store.parquet_file_count() < n_files_before
+    assert store.parquet_file_count() == 1
+    assert store.count() == 4
