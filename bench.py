@@ -21,6 +21,10 @@ from langchain_memvid_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family, weighted toward the
 # scale-sensitive ones (joins, window aggs, dedup pipelines, ANN).
+# MEMBERSHIP IS FROZEN (20 names, unchanged since round 2 — VERDICT
+# r11 item 7): `value` sums exactly these, so headline_total_wall is
+# directly comparable across rounds.  New operators are timed in
+# EXTENDED only; never append here.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -255,25 +259,40 @@ def main() -> None:
         "extended": extended,
         "vector_grid": grid,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the headline basis is FIXED: `value` sums exactly the frozen
+        # 20-name HEADLINE list (unchanged since round 2); new
+        # operators appear under `extended` only, so round-over-round
+        # `value` comparisons need no membership archaeology
+        "headline_set": "frozen-20-since-r2",
         "notes": _run_notes(sf_dir),
     }
     print(json.dumps(payload))
     # VERDICT r10 item 8: the driver's BENCH_rN.json carries only a
     # truncated tail of the stdout line, so the headline + TPC-H +
     # core sections were unreadable to the judge.  Persist the COMPLETE
-    # per-section dict into the repo as bench_r{N}_full.json, N
-    # inferred as one past the newest driver-recorded round.
+    # per-section dict into the repo as bench_r{N}_full.json.  N comes
+    # from --round / $SPARK_GRAFT_BENCH_ROUND when given (ADVICE r11:
+    # re-running AFTER the driver has written this round's
+    # BENCH_rN.json would otherwise mislabel the artifact r{N+1});
+    # only when unset is it inferred as one past the newest
+    # driver-recorded round.
     try:
         import glob
         import re
 
         repo = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", f))
-        ]
-        n = (max(rounds) + 1) if rounds else 0
+        n = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+        if "--round" in sys.argv:
+            n = sys.argv[sys.argv.index("--round") + 1]
+        if n is not None:
+            n = int(n)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+                if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+            ]
+            n = (max(rounds) + 1) if rounds else 0
         full = os.path.join(repo, f"bench_r{n}_full.json")
         with open(full, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
