@@ -2489,6 +2489,7 @@ def envelope_hash_audio_spans(
     salvage: bool = False,
     hash_bits: int = 64,
     with_seq_key: bool = False,
+    hop_samples: int | None = None,
 ) -> DataFrame:
     """(media_id, frame_no, n_frames, ahash…) — envelope hashes at
     FIXED-DURATION span grain: the clip's samples split into
@@ -2502,13 +2503,27 @@ def envelope_hash_audio_spans(
     CONTAINMENT kernel applies unchanged.  The trailing partial span
     is dropped (its envelope would differ from the source's at the
     same offset); containment is therefore detectable at span-aligned
-    offsets, the documented trade (the video analog is every_n
-    stride alignment).
+    offsets by default, the documented trade (the video analog is
+    every_n stride alignment).
+
+    ``hop_samples`` (VERDICT r11 item 8) starts a span every ``hop``
+    samples instead of every ``span_samples`` — OVERLAPPING spans
+    (hop < span) make containment detectable at any HOP-aligned trim,
+    not just span-aligned ones (a production blocked-content filter
+    wants hop = span/2 or finer), at span/hop× the signature rows.
+    ``frame_no`` and all containment offsets are then counted in HOP
+    units; both sides of a containment query must sign at the same
+    (span, hop).  Default (None) keeps the non-overlapping
+    span-aligned contract: hop = span emits byte-identical output to
+    the previous layout.
 
     ``with_seq_key=True`` emits the sha256 sequence key per clip (the
     collapse key — see dhash_video_frames)."""
     if span_samples < 1:
         raise ValueError(f"span_samples must be >= 1, got {span_samples}")
+    hop = span_samples if hop_samples is None else hop_samples
+    if hop < 1:
+        raise ValueError(f"hop_samples must be >= 1, got {hop}")
     cols = sig_col_names("ahash", hash_bits)
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2522,10 +2537,14 @@ def envelope_hash_audio_spans(
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 try:
                     samples = _wav_samples(bytes(c))
-                    n_spans = len(samples) // span_samples
+                    n_spans = (
+                        0
+                        if len(samples) < span_samples
+                        else (len(samples) - span_samples) // hop + 1
+                    )
                     spans = [
                         _envelope_longs(
-                            samples[i * span_samples : (i + 1) * span_samples],
+                            samples[i * hop : i * hop + span_samples],
                             hash_bits,
                         )
                         for i in range(n_spans)
@@ -2580,6 +2599,7 @@ def audio_contains_clip_pairs(
     salvage: bool = False,
     hash_bits: int | None = None,
     max_bucket: int | None = _MEDIA_BUCKET_CAP,
+    hop_samples: int | None = None,
 ) -> DataFrame:
     """AUDIO clip containment — audio-in-audio: which clips contain
     another clip's FULL span sequence as a contiguous run (sampled
@@ -2588,12 +2608,16 @@ def audio_contains_clip_pairs(
     place of video frames — the SAME modality-independent kernel
     (_contains_clip_pairs_from_sigs: seq_key collapse, (band, val)
     self-join grouped by span-offset delta, df-cap-gated verify,
-    asymmetric expansion).  Offsets are in span units (span-aligned
-    detection — the fixed-span trade documented on the signer);
-    strictly shorter clips only.
+    asymmetric expansion).  Offsets are in span units by default
+    (span-aligned detection — the fixed-span trade documented on the
+    signer); ``hop_samples < span_samples`` signs OVERLAPPING spans so
+    any HOP-aligned trim is detectable (VERDICT r11 item 8 — offsets
+    and clip_frames then count in hop units, at span/hop× the
+    signature rows); strictly shorter clips only.
 
     Returns (a_id container, b_id clip, offset, clip_frames,
-    max_hamming_seen) — offset and clip_frames counted in spans."""
+    max_hamming_seen) — offset and clip_frames counted in spans (hop
+    units when ``hop_samples`` is set)."""
     from langchain_memvid_spark.operators.dedup import check_pigeonhole
 
     check_pigeonhole(max_hamming, n_bands=4)
@@ -2607,7 +2631,7 @@ def audio_contains_clip_pairs(
         else:
             sigs0 = envelope_hash_audio_spans(
                 media, span_samples=span_samples, salvage=salvage,
-                hash_bits=64, with_seq_key=True,
+                hash_bits=64, with_seq_key=True, hop_samples=hop_samples,
             ).localCheckpoint(eager=True)
             n_spans = sigs0.count()
             hash_bits = hash_bits_for_corpus(n_spans)
@@ -2621,7 +2645,7 @@ def audio_contains_clip_pairs(
     else:
         sigs = envelope_hash_audio_spans(
             media, span_samples=span_samples, salvage=salvage,
-            hash_bits=hash_bits, with_seq_key=True,
+            hash_bits=hash_bits, with_seq_key=True, hop_samples=hop_samples,
         )
         if n_band_rows is None:
             sigs = sigs.localCheckpoint(eager=True)
@@ -2663,6 +2687,49 @@ def synthesize_audio_clip_corpus(
                     o = doc_id % 2
                     lo = o * span_samples * 2
                     hi = (o + s_spans - 1) * span_samples * 2
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("audio")
+                    out["content"].append(encode_wav(rate, 1, samples[lo:hi]))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )
+
+
+def synthesize_audio_clip_corpus_hop(
+    documents: DataFrame, clip_every: int = 5, span_samples: int = 256
+) -> DataFrame:
+    """Deterministic fixture for OVERLAPPING-span audio containment
+    (hop = span/2 — VERDICT r11 item 8): every document becomes one
+    unique mono WAV of S = 3 + d%4 spans (seeds salted with an
+    ``ahop:`` prefix no other fixture uses), and every
+    ``clip_every``-th doc additionally emits a clip trimmed at a
+    NON-SPAN-ALIGNED offset — o_h = 1 + 2·(d%2) ∈ {1, 3} HOPS, i.e.
+    half-span or one-and-a-half-span into the base — of length
+    (S−2)·span samples.  Signed at (span, hop=span/2) the clip's
+    2S−5 hop-grain spans are byte-identical to the base's run at hop
+    offset o_h, so the expected audio_contains_clip_pairs answer is
+    EXACTLY {(d, d+OFFSET, o_h, 2S−5, 0) : d % clip_every == 0} —
+    offsets the span-aligned signer provably cannot see."""
+    hop = span_samples // 2
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                s_spans = 3 + doc_id % 4
+                rate = 8000 + 1000 * (doc_id % 4)
+                seed = f"ahop:{text}:{doc_id}".encode("utf-8")
+                samples = _stretch_bytes(seed, s_spans * span_samples * 2)
+                out["media_id"].append(doc_id)
+                out["media_type"].append("audio")
+                out["content"].append(encode_wav(rate, 1, samples))
+                if doc_id % clip_every == 0:
+                    o_h = 1 + 2 * (doc_id % 2)
+                    lo = o_h * hop * 2
+                    hi = lo + (s_spans - 2) * span_samples * 2
                     out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
                     out["media_type"].append("audio")
                     out["content"].append(encode_wav(rate, 1, samples[lo:hi]))

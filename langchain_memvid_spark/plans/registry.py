@@ -3184,6 +3184,46 @@ def q_audio_contains_clip(spark, sf_dir):
 
 
 @_reg(
+    "audio_contains_clip_hop",
+    """
+SELECT doc_id AS a_id, doc_id + 10000000 AS b_id,
+       (1 + 2 * (doc_id % 2))::INT AS "offset",
+       (2 * (3 + doc_id % 4) - 5)::INT AS clip_frames,
+       0::INT AS max_hamming_seen
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY a_id
+""",
+)
+def q_audio_contains_clip_hop(spark, sf_dir):
+    """OVERLAPPING-SPAN audio clip containment (VERDICT r11 item 8):
+    hop = span/2 signs a span every half-span, so a clip trimmed at
+    any HOP-aligned point is detectable — the fixture plants every
+    5th doc's clip at o_h = 1 + 2·(d%2) ∈ {1, 3} half-spans, offsets
+    the span-aligned default provably cannot see (o_h is always odd).
+    Same kernel, same closed-form protocol: expected answer is exactly
+    {(d, d+OFFSET, o_h, 2S−5, 0)} at 2× the signature rows (the
+    documented hop trade)."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # hop-grain span totals: base 2S−1, planted clip 2S−5 (S = 3+d%4)
+    r = docs.select(
+        F.sum(5 + 2 * (d % 4)).alias("sp_base"),
+        F.sum(F.when(d % 5 == 0, 1 + 2 * (d % 4)).otherwise(0)).alias("sp_clip"),
+    ).head()
+    n_spans = int(r["sp_base"] or 0) + int(r["sp_clip"] or 0)
+    media = mm.synthesize_audio_clip_corpus_hop(docs, clip_every=5, span_samples=256)
+    return (
+        mm.audio_contains_clip_pairs(
+            media, span_samples=256, hop_samples=128, max_hamming=3,
+            n_band_rows=4 * n_spans,
+        )
+        .orderBy("a_id")
+    )
+
+
+@_reg(
     "stream_video_contains_clip",
     """
 SELECT doc_id AS video_id, doc_id + 10000000 AS clip_id,

@@ -1774,3 +1774,41 @@ def test_takedown_sizes_output_from_survivors_and_skips_live_listings(
     assert store.parquet_file_count() < n_files_before
     assert store.parquet_file_count() == 1
     assert store.count() == 4
+
+
+def test_audio_hop_spans_detect_non_aligned_trim(spark):
+    """VERDICT r11 item 8: hop < span signs overlapping spans, so a
+    clip trimmed at a half-span offset is detected (offset in hop
+    units); the span-aligned default provably misses it.  hop=span
+    stays byte-identical to the old layout."""
+    span = 256
+    rng = [bytes((i * 53 + j * 7) % 256 for j in range(span * 2))
+           for i in range(5)]
+    base = b"".join(rng)                             # 5 full spans
+    half = span  # bytes per half-span (2 B/sample)
+    clip = base[3 * half: 3 * half + span * 2 * 3]   # 3 spans @ 1.5 spans in
+    media = spark.createDataFrame(
+        [
+            (0, "audio", mm.encode_wav(8000, 1, base)),
+            (1, "audio", mm.encode_wav(8000, 1, clip)),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    aligned = mm.audio_contains_clip_pairs(media, span_samples=span).collect()
+    assert aligned == []  # non-span-aligned trim invisible to the default
+    got = {
+        (r["a_id"], r["b_id"], r["offset"]): r
+        for r in mm.audio_contains_clip_pairs(
+            media, span_samples=span, hop_samples=span // 2
+        ).collect()
+    }
+    assert set(got) == {(0, 1, 3)}  # 1.5 spans = 3 hops
+    r = got[(0, 1, 3)]
+    assert r["max_hamming_seen"] == 0 and r["clip_frames"] == 5  # 2*3-1 hops
+
+    # hop=span (explicit or default) emits the previous layout exactly
+    a = mm.envelope_hash_audio_spans(media, span_samples=span).collect()
+    b = mm.envelope_hash_audio_spans(
+        media, span_samples=span, hop_samples=span
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
