@@ -6274,65 +6274,64 @@ _DRIVER_GREEN = {
     # CORRECTNESS_r10.json: 50 full hash passes, zero failures.  New
     # names not already listed above:
     "video_contains_image", "stream_video_contains_image",
+    # CORRECTNESS_r11.json: 50 full hash passes, zero failures.  New
+    # names not already listed above:
+    "video_contains_clip", "audio_contains_clip",
+    "stream_video_contains_clip", "sigstore_takedown",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 11:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 12:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
 # actually landed belongs here.
 _CHANGED_THIS_ROUND = (
-    # round 11: the ORACLE SQL gained the banded (positional q-gram +
-    # length) prefilter so full sf1 sweeps stop paying DuckDB's
-    # quadratic levenshtein (VERDICT r10 item 6) — candidate-exact,
-    # same final filter, but the oracle text changed and must re-run
-    "edit_distance_pairs",
-    # sign_and_append rewritten onto per-append temp dirs (VERDICT r10
-    # item 4: concurrent-safe count attribution, no O(table) listings)
-    # and signatures() memoizes the column cross-check (item 5) —
-    # verdicts unchanged, persistence path changed
-    "media_signature_store_dedup",
-    # both streaming gates read the store through the memoized
-    # signatures() path and the corpus lands via the new append layout
+    # round 12: all three streaming media gates now band the corpus
+    # once per stream and persist the BANDED form, and the per-batch
+    # kernels take it as corpus_bands= (VERDICT r11 item 1) — outputs
+    # unchanged, the corpus-side plan changed
     "stream_media_ingest_gate",
     "stream_video_contains_image",
+    "stream_video_contains_clip",
+    # remove_media_ids: survivors sized from landed bytes and the
+    # removed-row count read from the rewrite's own staged files
+    # (VERDICT r11 items 4+5) — persistence path changed
+    "sigstore_takedown",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 10 the newest-signal distribution is 1 query at
-# r6 (urgent_building_customers — the r10 off-by-one casualty), 43 at
-# r7, 42 at r8, 44 at r9, 50 at r10 (zero failures as latest state).
-# Round 11 re-greens the r6 straggler FIRST (VERDICT r10 item 2),
-# then the r7 block (43 minus edit_distance_pairs, which moved to the
-# changed tier, minus window_function_showcase — the EXPLICIT
-# overflow-to-r12 pick, unlike r10's silent one: it is the lowest-risk
-# r7 green (pure built-in window functions, no code path touched
-# since r7) and it re-passed this round's full 183-query sf1 sweep).
-# 4 changed + 4 pending + 42 rotation = 50 ≤ the ~50 budget (checked
-# by _reorder_for_driver), after which nothing's newest driver row is
-# older than r8 except that one named straggler.
+# first.  After round 11 the newest-signal distribution is 1 query at
+# r7 (window_function_showcase — the EXPLICITLY documented r11
+# overflow pick), 42 at r8, then r9/r10/r11 blocks, zero failures as
+# latest state anywhere.  Round 12 re-greens the r7 straggler FIRST
+# (VERDICT r11 item 3), then the ENTIRE r8 block — 4 changed +
+# 1 pending (audio_contains_clip_hop) + 43 rotation = 48 ≤ the ~50
+# budget (checked by _reorder_for_driver), after which nothing's
+# newest driver row is older than r9.
 _STALE_ROTATION = (
-    # the r10 rotation overflow — first this round, unconditionally
-    "urgent_building_customers",
-    # newest signal is r7 — search / store / dedup / stream / media
-    # surface first, relational + showcase queries last
-    "vs_ivf_search", "vs_near_dedup_ingest", "vs_score_threshold_search",
-    "vs_delete_renumber", "knn_topk_filtered", "knn_topk_l2",
-    "knn_topk_quantized", "knn_topk_requantized", "lsh_ann_search",
-    "ivf_centroid_stats", "ivf_kmeans_search", "ivfpq_search",
-    "pq_search", "pq_reconstruction_error", "incremental_dedup",
-    "incremental_embedding_dedup", "dedup_clusters",
-    "dedup_clusters_star", "token_budget_select", "corpus_shuffle",
-    "domain_weighted_sample", "pii_scrub",
-    "quality_filter_summary", "sequence_packing", "train_val_split",
-    "pretrain_pipeline_v3", "text_bpe_token_counts",
-    "text_repetition_stats", "unigram_logprob_scores",
-    "bigram_logprob_scores", "html_extract", "stream_ingest_ivf",
-    "stream_ingest_store", "media_header_info", "media_salvage_scan",
-    "multimodal_features", "image_resize_stats", "video_header_info",
-    "video_frame_sample", "video_frames_extract",
-    "metadata_first_match",
+    # the documented r11 overflow straggler — first, unconditionally
+    "window_function_showcase",
+    # newest signal is r8 — search / dedup / stream / pipeline surface
+    # first, relational + showcase queries last
+    "bm25_topk", "bm25_batch", "hybrid_rrf_search", "knn_graph_topk",
+    "knn_topk_int4", "embedding_quantization_int4",
+    "embedding_candidate_pairs", "embedding_topk_join",
+    "pq_compression_stats", "semantic_dedup",
+    "minhash_jaccard_estimates", "jaccard_containment",
+    "canonical_docs", "duplicate_span_stats", "dedup_spans_clean",
+    "stream_dedup_vs_corpus", "stratified_sample_exact",
+    "pretrain_pipeline_v4", "doc_length_histogram",
+    "vs_essential_projection", "vs_metadata_filter_range",
+    "event_funnel", "event_type_pivot", "purchase_attribution",
+    "order_gaps", "orders_cube", "monthly_order_stats",
+    "part_type_stats", "price_percentiles", "udaf_median_price",
+    "value_outliers_iqr", "above_avg_customers",
+    "big_spender_customers", "q4_late_shipment_priority",
+    "q6_forecast_revenue", "q7_nation_volume", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock",
+    "q13_customer_distribution", "q16_supplier_counts",
+    "q20_excess_shipments",
 )
 
 
