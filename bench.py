@@ -126,6 +126,8 @@ EXTENDED = [
     "audio_contains_clip",
     "stream_video_contains_clip",
     "sigstore_takedown",
+    # round-12 operator: overlapping-span (hop) audio containment
+    "audio_contains_clip_hop",
 ]
 
 
