@@ -124,5 +124,16 @@ pairs = mm.video_contains_clip_pairs(clips, max_hamming=3)
 print("clip containments:", pairs.count(),
       "| sample:", pairs.orderBy("a_id").limit(3).collect())
 
+# -- 9. audio containment at arbitrary trim points (hop spans) -----------
+# fixed spans detect span-aligned trims only; hop_samples < span signs
+# OVERLAPPING spans so any hop-aligned trim surfaces (blocked-content
+# filters want hop = span/2 or finer), at span/hop x the signature
+# rows — offsets then count in hop units.
+aclips = mm.synthesize_audio_clip_corpus_hop(docs, clip_every=5, span_samples=256)
+apairs = mm.audio_contains_clip_pairs(
+    aclips, span_samples=256, hop_samples=128, max_hamming=3
+)
+print("audio containments at half-span trims:", apairs.count())
+
 spark.stop()
 print("multimodal dedup pipeline OK")
