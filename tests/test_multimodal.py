@@ -1812,3 +1812,35 @@ def test_audio_hop_spans_detect_non_aligned_trim(spark):
         media, span_samples=span, hop_samples=span
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_corpus_bands_wide_hash_parity(spark, tmp_path):
+    """banded_signature_table at the 256-bit wide layout (4 longs, one
+    64-bit band per long) — the pre-banded path must stay verdict-
+    identical there too (the billion-item width the streaming gate's
+    @256bit ladder exercises)."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    imgs = spark.createDataFrame(
+        _img_rows(b"wb", range(6), w=18, h=16),
+        "media_id long, media_type string, content binary",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, mt, c) for i, mt, c in _img_rows(b"wb", range(3), w=18, h=16)],
+        "media_id long, media_type string, content binary",
+    )
+    store = ss.MediaSignatureStore(
+        spark, str(tmp_path / "wsigs"), "image", hash_bits=256
+    )
+    store.sign_and_append(imgs)
+    sig = store.signatures()
+    bands = store.banded_signatures().persist()
+    try:
+        want = sorted(map(tuple, mm.incremental_image_near_dup(
+            batch, corpus_sig=sig, hash_bits=256).collect()))
+        got = sorted(map(tuple, mm.incremental_image_near_dup(
+            batch, corpus_sig=sig, hash_bits=256, corpus_bands=bands
+        ).collect()))
+        assert got == want and any(r[1] for r in got)
+    finally:
+        bands.unpersist()
