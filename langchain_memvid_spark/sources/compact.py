@@ -100,20 +100,24 @@ def rewrite_parquet(
         size = hfs.data_bytes(spark, raw)
         n_files = max(1, -(-size // target_file_bytes))
         n_raw = len(hfs.list_file_paths(spark, raw, suffix=".parquet"))
-        if n_raw > 2 * n_files or n_raw < max(1, n_files // 2):
+        if n_raw and (n_raw > 2 * n_files or n_raw < max(1, n_files // 2)):
             tmp = f"{base}__compact_{uuid.uuid4().hex[:8]}"
             spark.read.parquet(raw).repartition(n_files).write.mode(
                 "overwrite"
             ).parquet(tmp)
             hfs.delete(spark, raw, recursive=True)
         else:
+            # n_raw == 0 (nothing survived — current Spark still writes
+            # one empty part file, but don't depend on it): swap as-is
             tmp = raw
-    n_rows = (
-        spark.read.parquet(tmp).count() if with_rows else None
-    )  # footer-only metadata job over the staged files
-    # file count from the STAGED dir too (these exact files are what
-    # the rename moves live) — no post-swap listing of the live table
-    n_out = len(hfs.list_file_paths(spark, tmp, suffix=".parquet"))
+    # file count from the STAGED dir (these exact files are what the
+    # rename moves live) — no post-swap listing of the live table
+    staged = hfs.list_file_paths(spark, tmp, suffix=".parquet")
+    n_out = len(staged)
+    n_rows = None
+    if with_rows:
+        # footer-only metadata job over the staged files
+        n_rows = spark.read.parquet(*staged).count() if staged else 0
     for name, text in (sidecar_files or {}).items():
         hfs.write_text(spark, f"{tmp}/{name}", text)
     old = f"{base}__old_{uuid.uuid4().hex[:8]}"

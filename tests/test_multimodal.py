@@ -1844,3 +1844,23 @@ def test_corpus_bands_wide_hash_parity(spark, tmp_path):
         assert got == want and any(r[1] for r in got)
     finally:
         bands.unpersist()
+
+
+def test_takedown_of_every_row_leaves_working_empty_table(spark, tmp_path):
+    """Removing ALL media ids must leave a valid (empty) table: exact
+    removed count returned, count()==0, the sidecar intact, and the
+    emptied store still gates a new batch (everything novel)."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+    from langchain_memvid_spark.sources import fs as hfs
+
+    path = str(tmp_path / "sigs")
+    store = ss.MediaSignatureStore(spark, path, "image")
+    rows = _img_rows(b"all", range(4))
+    store.sign_and_append(spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"))
+    assert store.remove_media_ids(range(4)) == 4
+    assert store.count() == 0
+    assert hfs.exists(spark, f"{path}/{ss._META_NAME}")
+    v = store.dedup_batch(spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary")).collect()
+    assert all(not r["is_dup"] and r["decoded"] for r in v) and len(v) == 4
