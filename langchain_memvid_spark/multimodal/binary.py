@@ -1366,12 +1366,14 @@ def banded_signature_table(
     table, so this output is PRECOMPUTABLE AND PERSISTABLE: the
     streaming media gates (streaming/media.py) build it once per
     stream and persist it, so K microbatches pay the explode once
-    instead of K times (VERDICT r11 item 1 — the per-microbatch
-    corpus band rebuild was the dominant term in the gates' 100×
-    gate-only cost; at 10⁹ corpus items the banded table is 4×
-    ~30 B/row, still well inside a cluster's aggregate
-    MEMORY_AND_DISK cache).  Batch callers with many batches against
-    one corpus can do the same and pass it as ``corpus_bands``.
+    instead of K times (VERDICT r11 item 1; note the r12 measured
+    decomposition — SCALE.md round-12 — found the gates' dominant
+    per-batch constant was actually signing parallelism, fixed by
+    `_widen_batch`; this pre-band removes the smaller corpus-side
+    rescan+re-explode term.  At 10⁹ corpus items the banded table is
+    4× ~30 B/row, well inside a cluster's aggregate MEMORY_AND_DISK
+    cache).  Batch callers with many batches against one corpus can
+    do the same and pass it as ``corpus_bands``.
 
     Band width follows the one rule every kernel uses: a single
     64-bit signature long splits 4×16; a wide multi-long hash bands
