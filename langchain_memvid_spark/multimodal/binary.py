@@ -1352,6 +1352,44 @@ def dhash_video_frames(
     return media.filter(F.col("media_type") == "video").mapInPandas(sign, schema)
 
 
+# widen_for_decode thresholds: a media frame with at least this many
+# stored bytes OR this many blobs (one decode each) gets the
+# full-width shuffle; anything smaller stays put — for a trivial
+# input the repartition's task overhead exceeds the decode it
+# parallelizes (A/B-measured at sf0.1, SCALE.md round-12).
+_WIDEN_MIN_BYTES = 8 << 20
+_WIDEN_MIN_ROWS = 8192
+
+
+def widen_for_decode(media: DataFrame) -> DataFrame:
+    """Widen a NARROW media frame to the session's core count before a
+    decode-heavy signer scan (the `_shingle_rows` rule, applied to
+    media r12): a frame read from one or two parquet files arrives in
+    one or two input partitions, so the Arrow signer — the dominant
+    cost of every media operator — runs near-single-threaded no matter
+    how many cores the cluster has.  The streaming gates apply this to
+    every microbatch (streaming/media.py); BATCH callers whose media
+    comes from a few files (a small scrape directory, a single-file
+    ingest drop) should wrap their input in this before any
+    near-dup/containment operator.  The repartition shuffles the blobs
+    once — decode dwarfs that IO for any input past the thresholds
+    (file-byte sum ≥ 8 MB or footer row count ≥ 8192; both metadata
+    probes) — and an already-wide input returns unchanged, so at real
+    scale (more files than cores) this is a no-op."""
+    spark = media.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() >= n:
+        return media
+    try:
+        from langchain_memvid_spark.sources import fs as hfs
+
+        size = sum(hfs.data_bytes(spark, f) for f in media.inputFiles())
+        wide = size >= _WIDEN_MIN_BYTES or media.count() >= _WIDEN_MIN_ROWS
+    except Exception:  # probe failure: widen unconditionally
+        wide = True
+    return media.repartition(n) if wide else media
+
+
 def banded_signature_table(
     sig: DataFrame,
     sig_cols: list[str] | tuple[str, ...],

@@ -69,49 +69,18 @@ def _persisted_corpus_bands(
     ).persist()
 
 
-# Widen thresholds: a microbatch with at least this many stored bytes
-# OR this many blobs (one decode each) gets the full-width shuffle;
-# anything smaller stays put — for a trivial batch the repartition's
-# task overhead exceeds the decode it parallelizes (the A/B-measured
-# sf0.1 regression).  Either signal suffices: many small blobs are
-# row-bound decode work, few huge blobs are byte-bound.  The byte
-# probe is a JVM-fs size sum over the batch's own files, but
-# inputFiles() is EMPTY on a foreachBatch frame (measured r12: the
-# bytes-only guard silently never widened), so the row count is the
-# probe that always works — a per-batch metadata job.
-_WIDEN_MIN_BYTES = 8 << 20
-_WIDEN_MIN_ROWS = 8192
-
-
 def _widen_batch(batch_df: DataFrame) -> DataFrame:
     """Widen a NARROW microbatch to the session's core count before
-    the decode-heavy signer (the `_shingle_rows` rule, found r12 by
-    decomposing the gate-only ladder: a file-stream microbatch is one
-    file → one-ish input partition, so the Arrow signer — the gates'
-    dominant per-batch cost — ran near-single-threaded per microbatch;
-    the r11 SCALE.md decomposition misattributed this constant to the
-    corpus band rebuild).  The repartition shuffles the microbatch's
-    own blobs once — decode dwarfs that IO at any batch past the
-    thresholds (a footer-only count and a file-size sum decide; both
-    are metadata probes) — and at real scale a microbatch spans more
-    files than cores, where the partition-count guard makes this a
-    no-op."""
-    spark = batch_df.sparkSession
-    n = spark.sparkContext.defaultParallelism
-    if batch_df.rdd.getNumPartitions() >= n:
-        return batch_df
-    try:
-        from langchain_memvid_spark.sources import fs as hfs
-
-        size = sum(
-            hfs.data_bytes(spark, f) for f in batch_df.inputFiles()
-        )
-        wide = size >= _WIDEN_MIN_BYTES or (
-            batch_df.count() >= _WIDEN_MIN_ROWS
-        )
-    except Exception:  # probe failure: widen unconditionally
-        wide = True
-    return batch_df.repartition(n) if wide else batch_df
+    the decode-heavy signer (binary.widen_for_decode — the
+    `_shingle_rows` rule, found r12 by decomposing the gate-only
+    ladder: a file-stream microbatch is one file → one-ish input
+    partition, so the Arrow signer — the gates' dominant per-batch
+    cost — ran near-single-threaded per microbatch; the r11 SCALE.md
+    decomposition misattributed this constant to the corpus band
+    rebuild).  Note inputFiles() is EMPTY on a foreachBatch frame
+    (measured r12: a bytes-only guard silently never widened), so the
+    helper's footer row-count probe is the one that fires here."""
+    return mm.widen_for_decode(batch_df)
 
 
 def _infer_sig_cols(sig: DataFrame, base: str, what: str) -> list:

@@ -1864,3 +1864,27 @@ def test_takedown_of_every_row_leaves_working_empty_table(spark, tmp_path):
     v = store.dedup_batch(spark.createDataFrame(
         rows, "media_id long, media_type string, content binary")).collect()
     assert all(not r["is_dup"] and r["decoded"] for r in v) and len(v) == 4
+
+
+def test_widen_for_decode_thresholds(spark, sf_dir, tmp_path):
+    """widen_for_decode: a trivial narrow input returns unchanged (the
+    shuffle would cost more than the decode it parallelizes); a
+    narrow input past the row threshold widens to the session core
+    count; an already-wide input is a no-op object-identity-wise."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = mm.synthesize_image_corpus(docs.limit(50), variant_every=None)
+    small.write.mode("overwrite").parquet(str(tmp_path / "small"))
+    narrow_small = spark.read.parquet(str(tmp_path / "small")).coalesce(1)
+    assert mm.widen_for_decode(narrow_small).rdd.getNumPartitions() == 1
+
+    n = spark.sparkContext.defaultParallelism
+    big = spark.range(20000).selectExpr(
+        "id AS media_id", "'image' AS media_type",
+        "CAST('x' AS BINARY) AS content",
+    ).coalesce(1)
+    big.write.mode("overwrite").parquet(str(tmp_path / "big"))
+    narrow_big = spark.read.parquet(str(tmp_path / "big")).coalesce(1)
+    assert mm.widen_for_decode(narrow_big).rdd.getNumPartitions() == n
+
+    wide = spark.range(100).repartition(n)
+    assert mm.widen_for_decode(wide) is wide
