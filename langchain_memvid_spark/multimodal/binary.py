@@ -1763,6 +1763,7 @@ def video_contains_image_pairs(
     salvage: bool = False,
     hash_bits: int | None = None,
     corpus_bands: DataFrame | None = None,
+    n_corpus_band_rows: int | None = None,
 ) -> DataFrame:
     """CROSS-MODALITY near-dup: which videos contain (as a frame) a
     known image — re-encoded stills, slideshow scrapes, logo bumpers
@@ -1881,7 +1882,24 @@ def video_contains_image_pairs(
     if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
         joined = ib.join(F.broadcast(fb), ["band", "val"])
     else:
-        joined = ib.hint("merge").join(fb, ["band", "val"])
+        # batch too big to broadcast: broadcast the CORPUS side if IT
+        # fits (big-arrivals-vs-small-still-corpus — see the clip
+        # vs-corpus op for the production shape and count rationale).
+        # For a raw ``images`` input count the BLOBS, not the derived
+        # signature frame (whose count would run the signer an extra
+        # pass); with salvage the blob count upper-bounds the
+        # signature count, an always-safe broadcast pick.
+        if n_corpus_band_rows is None:
+            src = (
+                image_sig
+                if images is None
+                else images.filter(F.col("media_type") == "image")
+            )
+            n_corpus_band_rows = 4 * src.count()
+        if n_corpus_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+            joined = fb.join(F.broadcast(ib), ["band", "val"])
+        else:
+            joined = ib.hint("merge").join(fb, ["band", "val"])
     return (
         joined.select(
             "video_id", "frame_no", "image_id",
@@ -2137,6 +2155,7 @@ def video_contains_clip_vs_corpus(
     salvage: bool = False,
     hash_bits: int | None = None,
     corpus_bands: DataFrame | None = None,
+    n_corpus_band_rows: int | None = None,
 ) -> DataFrame:
     """Clip containment in the BATCH-VS-CORPUS shape — the
     blocked-content-filter / licensed-clip-detection production form:
@@ -2251,7 +2270,19 @@ def video_contains_clip_vs_corpus(
     if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
         joined = cb.join(F.broadcast(fb), ["band", "val"])
     else:
-        joined = cb.hint("merge").join(fb, ["band", "val"])
+        # batch too big to broadcast: broadcast the CORPUS side if IT
+        # fits (the big-arrivals-vs-small-blocklist production shape —
+        # a blocked-content list of thousands of clips vs TB of daily
+        # arrivals) so the huge batch band table never shuffles; the
+        # count is footer-only on the 8 B/frame signature table (pass
+        # ``n_corpus_band_rows`` to skip it — the streaming gate
+        # counts its persisted band table once per stream)
+        if n_corpus_band_rows is None:
+            n_corpus_band_rows = 4 * clip_sig.count()
+        if n_corpus_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+            joined = fb.join(F.broadcast(cb), ["band", "val"])
+        else:
+            joined = cb.hint("merge").join(fb, ["band", "val"])
     offset = F.col("a_fno") - F.col("b_fno")
     b_ns = F.ceil(F.col("b_nf") / F.lit(every_n)).cast("int")
     hits = (

@@ -270,12 +270,17 @@ def stream_video_contains_clip(
         _infer_sig_cols(clip_sig, "dhash", "clip_sig"),
         frame_grain=True,
     )
+    # count ONCE per stream (this also materializes the persisted band
+    # cache before the first microbatch); feeds the per-batch
+    # broadcast-side pick without a per-batch corpus count
+    n_corpus_band_rows = corpus_bands.count()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = mm.video_contains_clip_vs_corpus(
             _widen_batch(batch_df),
             clip_sig=clip_sig,
             corpus_bands=corpus_bands,
+            n_corpus_band_rows=n_corpus_band_rows,
             max_hamming=max_hamming,
             every_n=every_n,
             salvage=salvage,
@@ -358,12 +363,16 @@ def stream_video_contains_image(
         _infer_sig_cols(image_sig, "dhash", "image_sig"),
         frame_grain=False,
     )
+    # once per stream: materializes the band cache + feeds the
+    # per-batch broadcast-side pick (see stream_video_contains_clip)
+    n_corpus_band_rows = corpus_bands.count()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = mm.video_contains_image_pairs(
             _widen_batch(batch_df),
             image_sig=image_sig,
             corpus_bands=corpus_bands,
+            n_corpus_band_rows=n_corpus_band_rows,
             max_hamming=max_hamming,
             every_n=every_n,
             salvage=salvage,

@@ -1888,3 +1888,58 @@ def test_widen_for_decode_thresholds(spark, sf_dir, tmp_path):
 
     wide = spark.range(100).repartition(n)
     assert mm.widen_for_decode(wide) is wide
+
+
+def test_vs_corpus_broadcasts_small_corpus_when_batch_too_big(spark, tmp_path):
+    """Big-arrivals-vs-small-blocklist pick: when the batch band table
+    exceeds the broadcast limit but the corpus side fits, the corpus
+    broadcasts (zero shuffle of the huge batch bands) instead of
+    falling to sort-merge; outputs identical either way.  Forced via
+    the n_band_rows kwarg (pretend the batch is huge)."""
+    from langchain_memvid_spark.multimodal import sigstore as ss
+    from langchain_memvid_spark.operators.dedup import _PAIR_BROADCAST_ROW_LIMIT
+
+    w, h = 16, 8
+    px = [mm.encode_png(w, h, mm._stretch_bytes(b"bc%d" % i, w * h))
+          for i in range(4)]
+    clips = spark.createDataFrame(
+        [(1, "video", mm.encode_avi(w, h, px[1:3], 10))],
+        "media_id long, media_type string, content binary",
+    )
+    arrivals = spark.createDataFrame(
+        [(7, "video", mm.encode_avi(w, h, px, 10))],
+        "media_id long, media_type string, content binary",
+    )
+    store = ss.MediaSignatureStore(spark, str(tmp_path / "bsigs"), "video")
+    store.sign_and_append(clips)
+    sig = store.signatures()
+
+    big = _PAIR_BROADCAST_ROW_LIMIT + 1
+    want = sorted(map(tuple, mm.video_contains_clip_vs_corpus(
+        arrivals, clip_sig=sig).collect()))
+    forced = mm.video_contains_clip_vs_corpus(
+        arrivals, clip_sig=sig, n_band_rows=big)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert sorted(map(tuple, forced.collect())) == want == [(7, 1, 1, 2, 0)]
+
+    # and with BOTH sides over the limit, the always-safe SMJ
+    smj = mm.video_contains_clip_vs_corpus(
+        arrivals, clip_sig=sig, n_band_rows=big, n_corpus_band_rows=big)
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, smj.collect())) == want
+
+    # cross-modality op: same pick
+    imgs = spark.createDataFrame(
+        [(11, "image", px[2])],
+        "media_id long, media_type string, content binary",
+    )
+    isig = mm.dhash_images(imgs)
+    want_i = sorted(map(tuple, mm.video_contains_image_pairs(
+        arrivals, image_sig=isig).collect()))
+    forced_i = mm.video_contains_image_pairs(
+        arrivals, image_sig=isig, n_band_rows=big)
+    plan_i = forced_i._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_i and "SortMergeJoin" not in plan_i
+    assert sorted(map(tuple, forced_i.collect())) == want_i
+    assert (7, 2, 11, 0) in want_i
