@@ -6297,6 +6297,14 @@ _CHANGED_THIS_ROUND = (
     # removed-row count read from the rewrite's own staged files
     # (VERDICT r11 items 4+5) — persistence path changed
     "sigstore_takedown",
+    # video_contains_image_pairs gained the corpus-side broadcast pick
+    # (a new join-strategy branch in its op body) — the sf0.01 plan is
+    # unchanged (batch under the broadcast limit) but the impl moved.
+    # NOT listed: the queries that only gained the output-neutral
+    # pigeonhole guard (a pure precondition raise at plan build) —
+    # all 185 re-passed the post-guard sf1 sweep, and the guarded ops'
+    # backing queries were oracle-re-gated at sf0.01 this round.
+    "video_contains_image",
 )
 
 
