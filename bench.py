@@ -285,7 +285,19 @@ def main() -> None:
         repo = os.path.dirname(os.path.abspath(__file__))
         n = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
         if "--round" in sys.argv:
-            n = sys.argv[sys.argv.index("--round") + 1]
+            # ADVICE r12: a trailing or non-integer --round used to die
+            # here (IndexError/ValueError) and silently skip the
+            # artifact; fail the FLAG loudly, fall back to inference
+            i = sys.argv.index("--round")
+            if i + 1 >= len(sys.argv) or not sys.argv[i + 1].lstrip("-").isdigit():
+                got = sys.argv[i + 1] if i + 1 < len(sys.argv) else "<missing>"
+                print(
+                    f"# --round needs an integer (got {got}); "
+                    "inferring the round from BENCH_r*.json instead",
+                    file=sys.stderr,
+                )
+            else:
+                n = sys.argv[i + 1]
         if n is not None:
             n = int(n)
         else:

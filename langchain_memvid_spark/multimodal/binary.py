@@ -1373,18 +1373,63 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
     ingest drop) should wrap their input in this before any
     near-dup/containment operator.  The repartition shuffles the blobs
     once — decode dwarfs that IO for any input past the thresholds
-    (file-byte sum ≥ 8 MB or footer row count ≥ 8192; both metadata
-    probes) — and an already-wide input returns unchanged, so at real
-    scale (more files than cores) this is a no-op."""
+    (byte sum ≥ 8 MB or row count ≥ 8192) — and a GENUINELY wide input
+    returns unchanged, so at real scale (more files than cores) this
+    is one row-count-only probe job, no shuffle.  'Wide' is judged by
+    NON-EMPTY partitions, not the plan's split count — a
+    single-row-group 157 MB file plans as 32 splits with 30 of them
+    empty and the signer runs 2-3 threads (the r13 measured term
+    behind the clip gate's 17× at 100×, tools/probe_sign_parallel.py).
+    File-backed frames use metadata-only size probes; a foreachBatch
+    frame (no files) probes the batch bytes directly with one agg over
+    length(content) (ADVICE r12 — the file-byte probe was silently
+    dead there, so byte-heavy low-row microbatches never widened)."""
     spark = media.sparkSession
     n = spark.sparkContext.defaultParallelism
     if media.rdd.getNumPartitions() >= n:
-        return media
+        # the partition COUNT lies for low-row-group parquet: a 157 MB
+        # single-file fixture plans as 32 splits but parquet cannot
+        # split below a row-group boundary, so 30 of them are EMPTY
+        # and the signer still runs 2-3 threads (measured r13,
+        # tools/probe_sign_parallel.py: 25.7 s as-read vs 3.3 s
+        # repartitioned for the same 750 k frames).  Count NON-EMPTY
+        # partitions before trusting the plan — the probe reads zero
+        # data columns (row-count-only scan), so it is metadata-grade
+        try:
+            nonempty = (
+                media.select(F.spark_partition_id().alias("__pid"))
+                .distinct()
+                .count()
+            )
+        except Exception:
+            nonempty = 0  # unprobeable: assume hollow, fall through
+        if nonempty >= n:
+            return media
     try:
         from langchain_memvid_spark.sources import fs as hfs
 
-        size = sum(hfs.data_bytes(spark, f) for f in media.inputFiles())
-        wide = size >= _WIDEN_MIN_BYTES or media.count() >= _WIDEN_MIN_ROWS
+        files = media.inputFiles()
+        if files:
+            size = sum(hfs.data_bytes(spark, f) for f in files)
+            wide = size >= _WIDEN_MIN_BYTES or media.count() >= _WIDEN_MIN_ROWS
+        elif "content" in media.columns:
+            # foreachBatch frames have NO files (inputFiles() is [],
+            # measured r12), so the file-byte probe was silently dead
+            # and a few-large-blob microbatch — the decode-heavy shape
+            # this helper targets — stayed narrow under the 8192-row
+            # gate (ADVICE r12).  Probe the batch bytes DIRECTLY: one
+            # agg computes rows + length(content) sum in a single pass
+            # (blob IO only, no decode) and feeds the same thresholds.
+            row = media.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("content")).alias("b"),
+            ).head()
+            wide = (
+                int(row["b"] or 0) >= _WIDEN_MIN_BYTES
+                or int(row["n"]) >= _WIDEN_MIN_ROWS
+            )
+        else:
+            wide = media.count() >= _WIDEN_MIN_ROWS
     except Exception:  # probe failure: widen unconditionally
         wide = True
     return media.repartition(n) if wide else media

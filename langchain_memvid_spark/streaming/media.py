@@ -78,8 +78,12 @@ def _widen_batch(batch_df: DataFrame) -> DataFrame:
     cost — ran near-single-threaded per microbatch; the r11 SCALE.md
     decomposition misattributed this constant to the corpus band
     rebuild).  Note inputFiles() is EMPTY on a foreachBatch frame
-    (measured r12: a bytes-only guard silently never widened), so the
-    helper's footer row-count probe is the one that fires here."""
+    (measured r12), so the helper probes batch bytes directly with one
+    agg over length(content) — rows + byte sum in a single pass —
+    instead of the file-metadata probe (ADVICE r12: the old bytes
+    guard was silently dead here, so a few-large-blob microbatch — the
+    decode-heavy shape widening targets — never widened under the
+    8192-row gate)."""
     return mm.widen_for_decode(batch_df)
 
 
@@ -174,6 +178,12 @@ def stream_media_dedup_vs_corpus(
         mm.sig_col_names(_SIG_BASES[modality], hash_bits),
         frame_grain=(modality == "video"),
     )
+    # materialize the band cache BEFORE microbatch 1, like the two
+    # containment gates below (VERDICT r12 item 6: without this the
+    # first microbatch paid the corpus banding inside its own wall
+    # time; the incrementals' broadcast pick is batch-side, so the
+    # count's only job here is the cache fill)
+    corpus_bands.count()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = _widen_batch(batch_df)

@@ -1890,6 +1890,35 @@ def test_widen_for_decode_thresholds(spark, sf_dir, tmp_path):
     assert mm.widen_for_decode(wide) is wide
 
 
+def test_widen_for_decode_hollow_partitions(spark, tmp_path):
+    """The r13 signer-parallelism regression: a big single-row-group
+    parquet file PLANS as >= core-count splits but parquet cannot split
+    below a row-group boundary, so all rows land in one partition and
+    the old partition-count guard skipped widening (measured 25.7 s vs
+    3.3 s for the same 750 k-frame microbatch,
+    tools/probe_sign_parallel.py).  widen_for_decode must count
+    NON-EMPTY partitions: a hollow-but-'wide' frame past the row
+    threshold gets repartitioned."""
+    n = spark.sparkContext.defaultParallelism
+    big = spark.range(20000).selectExpr(
+        "id AS media_id", "'image' AS media_type",
+        "CAST('x' AS BINARY) AS content",
+    ).coalesce(1)
+    big.write.mode("overwrite").parquet(str(tmp_path / "hollow"))
+    # hash-partition on a constant: n partitions, every row in ONE
+    # (the same hollow shape the single-row-group file read produces)
+    hollow = spark.read.parquet(str(tmp_path / "hollow")).repartition(
+        n, F.lit(1)
+    )
+    assert hollow.rdd.getNumPartitions() >= n
+    out = mm.widen_for_decode(hollow)
+    per_part = (
+        out.select(F.spark_partition_id().alias("p"))
+        .groupBy("p").count().agg(F.max("count")).head()[0]
+    )
+    assert per_part < 20000 / 2, "hollow frame was not redistributed"
+
+
 def test_vs_corpus_broadcasts_small_corpus_when_batch_too_big(spark, tmp_path):
     """Big-arrivals-vs-small-blocklist pick: when the batch band table
     exceeds the broadcast limit but the corpus side fits, the corpus
