@@ -128,6 +128,9 @@ EXTENDED = [
     "sigstore_takedown",
     # round-12 operator: overlapping-span (hop) audio containment
     "audio_contains_clip_hop",
+    # round-13 operator: soundtrack containment (a video's AUDIO TRACK
+    # vs the audio clip corpus — completes the containment matrix)
+    "video_audio_contains_clip",
 ]
 
 

@@ -3224,6 +3224,49 @@ def q_audio_contains_clip_hop(spark, sf_dir):
 
 
 @_reg(
+    "video_audio_contains_clip",
+    """
+SELECT doc_id AS video_id, doc_id + 10000000 AS clip_id,
+       (doc_id % 2)::INT AS "offset",
+       (2 + doc_id % 4)::INT AS clip_frames,
+       0::INT AS max_hamming_seen
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY video_id
+""",
+)
+def q_video_audio_contains_clip(spark, sf_dir):
+    """SOUNDTRACK containment — audio-track-in-video (VERDICT r12
+    item 3, completing the containment matrix: image-in-video,
+    video-in-video, audio-in-audio, now audio-in-VIDEO): arriving
+    videos' AUDIO TRACKS ('01wb' chunk walk of the AVI container,
+    then the exact envelope-span hash the WAV signer uses) are checked
+    for containing any known audio clip as a contiguous span run —
+    licensed-music detection and blocked-audio filters over video
+    uploads.  Zero new join machinery: the batch-vs-corpus containment
+    body is shared verbatim with video_contains_clip_vs_corpus.
+    Closed-form oracle: every 5th doc's soundtrack (S = 3+d%4 spans)
+    has its spans o..o+S-2 (o = d%2) re-encoded as a WAV clip with
+    byte-identical samples ⇒ exactly {(d, d+OFFSET, d%2, 2+d%4, 0)}."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # batch-side band rows: 4 per soundtrack span, S = 3 + d%4 per doc
+    r = docs.select(F.sum(3 + d % 4).alias("sp_vid")).head()
+    media = mm.synthesize_video_with_soundtrack(
+        docs, clip_every=5, span_samples=256
+    )
+    clip_sig = mm.envelope_hash_audio_spans(media, span_samples=256)
+    return mm.video_audio_contains_clip_vs_corpus(
+        media,
+        clip_sig=clip_sig,
+        span_samples=256,
+        max_hamming=3,
+        n_band_rows=4 * int(r["sp_vid"] or 0),
+    ).orderBy("video_id")
+
+
+@_reg(
     "stream_video_contains_clip",
     """
 SELECT doc_id AS video_id, doc_id + 10000000 AS clip_id,
@@ -6278,68 +6321,66 @@ _DRIVER_GREEN = {
     # names not already listed above:
     "video_contains_clip", "audio_contains_clip",
     "stream_video_contains_clip", "sigstore_takedown",
+    # CORRECTNESS_r12.json: 50 full hash passes, zero failures.  New
+    # names not already listed above:
+    "audio_contains_clip_hop",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 12:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 13:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
 # actually landed belongs here.
 _CHANGED_THIS_ROUND = (
-    # round 12: all three streaming media gates now band the corpus
-    # once per stream and persist the BANDED form, and the per-batch
-    # kernels take it as corpus_bands= (VERDICT r11 item 1) — outputs
-    # unchanged, the corpus-side plan changed
+    # round 13: widen_for_decode now judges wideness by NON-EMPTY
+    # partitions (the hollow single-row-group split stall behind the
+    # clip gate's 17x at 100x — VERDICT r12 item 1) and probes
+    # foreachBatch bytes with a length(content) agg (ADVICE r12);
+    # stream_media_dedup_vs_corpus additionally materializes its band
+    # cache before microbatch 1 (VERDICT r12 item 6); the vs-corpus
+    # clip kernel's join+verify body moved into the shared
+    # _contains_clip_vs_corpus_verify (audio-track containment reuses
+    # it).  Outputs unchanged; the per-batch plans changed.
+    # NOT listed: queries whose ops only share encode_avi, which
+    # gained optional soundtrack params — audio-less output is
+    # byte-identical (pinned by test_multimodal's byte-stable check).
     "stream_media_ingest_gate",
     "stream_video_contains_image",
     "stream_video_contains_clip",
-    # remove_media_ids: survivors sized from landed bytes and the
-    # removed-row count read from the rewrite's own staged files
-    # (VERDICT r11 items 4+5) — persistence path changed
-    "sigstore_takedown",
-    # video_contains_image_pairs gained the corpus-side broadcast pick
-    # (a new join-strategy branch in its op body) — the sf0.01 plan is
-    # unchanged (batch under the broadcast limit) but the impl moved.
-    # NOT listed: the queries that only gained the output-neutral
-    # pigeonhole guard (a pure precondition raise at plan build) —
-    # all 185 re-passed the post-guard sf1 sweep, and the guarded ops'
-    # backing queries were oracle-re-gated at sf0.01 this round.
-    "video_contains_image",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 11 the newest-signal distribution is 1 query at
-# r7 (window_function_showcase — the EXPLICITLY documented r11
-# overflow pick), 42 at r8, then r9/r10/r11 blocks, zero failures as
-# latest state anywhere.  Round 12 re-greens the r7 straggler FIRST
-# (VERDICT r11 item 3), then the ENTIRE r8 block — 4 changed +
-# 1 pending (audio_contains_clip_hop) + 43 rotation = 48 ≤ the ~50
-# budget (checked by _reorder_for_driver), after which nothing's
-# newest driver row is older than r9.
+# first.  After round 12 the newest-signal distribution is 43 queries
+# at r9, then 46 at r10, 46 at r11, 50 at r12 — zero failures as
+# latest state anywhere.  Round 13 re-greens the ENTIRE r9 block —
+# 3 changed + 1 pending (video_audio_contains_clip) + 43 rotation
+# = 47 ≤ the ~50 budget (checked by _reorder_for_driver), after which
+# nothing's newest driver row is older than r10.
 _STALE_ROTATION = (
-    # the documented r11 overflow straggler — first, unconditionally
-    "window_function_showcase",
-    # newest signal is r8 — search / dedup / stream / pipeline surface
-    # first, relational + showcase queries last
-    "bm25_topk", "bm25_batch", "hybrid_rrf_search", "knn_graph_topk",
-    "knn_topk_int4", "embedding_quantization_int4",
-    "embedding_candidate_pairs", "embedding_topk_join",
-    "pq_compression_stats", "semantic_dedup",
-    "minhash_jaccard_estimates", "jaccard_containment",
-    "canonical_docs", "duplicate_span_stats", "dedup_spans_clean",
-    "stream_dedup_vs_corpus", "stratified_sample_exact",
-    "pretrain_pipeline_v4", "doc_length_histogram",
-    "vs_essential_projection", "vs_metadata_filter_range",
-    "event_funnel", "event_type_pivot", "purchase_attribution",
-    "order_gaps", "orders_cube", "monthly_order_stats",
-    "part_type_stats", "price_percentiles", "udaf_median_price",
-    "value_outliers_iqr", "above_avg_customers",
-    "big_spender_customers", "q4_late_shipment_priority",
-    "q6_forecast_revenue", "q7_nation_volume", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock",
-    "q13_customer_distribution", "q16_supplier_counts",
-    "q20_excess_shipments",
+    # newest signal is r9 — media dedup / incremental / stream / vs
+    # surface first, relational queries last
+    "knn_batch", "vs_similarity_join", "vs_point_lookup",
+    "vs_semi_join", "payload_roundtrip",
+    "image_near_dup_wide", "audio_near_dup_wide",
+    "image_exact_dup_groups", "audio_exact_dup_groups",
+    "incremental_image_dedup",
+    "incremental_audio_dedup", "incremental_video_dedup",
+    "ivf_batch_search", "approx_distinct_stats",
+    "chunk_documents", "chunk_dedup", "distinct_counts",
+    "stream_tumbling_counts", "stream_session_windows",
+    "stream_user_lifetime", "stream_click_purchase_join",
+    "stream_sliding_activity", "stream_similarity_join",
+    "salted_skew_join", "bucketed_colocated_join",
+    "tfidf_top_terms", "vocab_top_terms",
+    "orders_grouping_sets", "priority_balance_full_outer",
+    "building_without_urgent_except", "cheapest_parts_per_type",
+    "top_customers_per_nation", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q5_regional_revenue", "q8_market_share",
+    "q12_priority_by_returnflag", "q14_promo_revenue_share",
+    "q15_top_suppliers", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
 )
 
 

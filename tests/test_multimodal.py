@@ -1585,6 +1585,63 @@ def test_video_contains_clip_vs_corpus(spark, tmp_path):
         mm.video_contains_clip_vs_corpus(arrivals, clip_sig=cstore, every_n=2)
 
 
+def test_video_audio_contains_clip_vs_corpus(spark, tmp_path):
+    """SOUNDTRACK containment (VERDICT r12 item 3): a video's AUDIO
+    TRACK ('01wb' chunks) is checked against an audio clip corpus at
+    envelope-span grain — contained clip found with its span offset;
+    an equal-length soundtrack is NOT containment; a SILENT video
+    (no audio stream) vacuously matches nothing instead of raising;
+    a whole-clip-grain store handle and a wrong-width kwarg raise."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    span = 256
+    rng = [bytes((i * 37 + j * 11) % 256 for j in range(span * 2))
+           for i in range(5)]
+    base = b"".join(rng)                    # 5 full spans
+    clip = b"".join(rng[1:4])               # spans 1..3 -> offset 1
+    w, h = 8, 8
+    f = [mm.encode_png(w, h, mm._stretch_bytes(b"va%d" % i, w * h))
+         for i in range(2)]
+    clips = spark.createDataFrame(
+        [(7, "audio", mm.encode_wav(8000, 1, clip))],
+        "media_id long, media_type string, content binary",
+    )
+    clip_sig = mm.envelope_hash_audio_spans(clips, span_samples=span)
+    arrivals = spark.createDataFrame(
+        [
+            # soundtrack = base -> contains clip @ span offset 1
+            (100, "video", mm.encode_avi(w, h, f, 10, audio_samples=base,
+                                         audio_rate=8000)),
+            # soundtrack EQUAL to the clip -> not containment
+            (101, "video", mm.encode_avi(w, h, f, 10, audio_samples=clip,
+                                         audio_rate=8000)),
+            # SILENT video: no audio stream -> vacuously no rows
+            (102, "video", mm.encode_avi(w, h, f, 10)),
+            # unrelated soundtrack
+            (103, "video", mm.encode_avi(
+                w, h, f, 10,
+                audio_samples=mm._stretch_bytes(b"zz", span * 8),
+                audio_rate=8000)),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    got = sorted(map(tuple, mm.video_audio_contains_clip_vs_corpus(
+        arrivals, clip_sig=clip_sig, span_samples=span).collect()))
+    assert got == [(100, 7, 1, 3, 0)]
+    # a whole-clip-grain audio store is the WRONG table: raise with
+    # the span-grain pointer instead of silently matching nothing
+    astore = ss.MediaSignatureStore(spark, str(tmp_path / "a"), "audio")
+    with pytest.raises(ConfigError, match="SPAN-grain"):
+        mm.video_audio_contains_clip_vs_corpus(arrivals, clip_sig=astore)
+    with pytest.raises(ValueError, match="span-grain envelope|ahash"):
+        mm.video_audio_contains_clip_vs_corpus(
+            arrivals, clip_sig=clips.select("media_id"))
+    with pytest.raises(ConfigError, match="contradicts"):
+        mm.video_audio_contains_clip_vs_corpus(
+            arrivals, clip_sig=clip_sig, span_samples=span, hash_bits=256)
+
+
 def test_audio_contains_clip_pairs(spark):
     """Audio-in-audio containment: fixed-duration envelope spans make
     a sub-clip's signatures byte-identical to its source run, so the
