@@ -128,9 +128,11 @@ EXTENDED = [
     "sigstore_takedown",
     # round-12 operator: overlapping-span (hop) audio containment
     "audio_contains_clip_hop",
-    # round-13 operator: soundtrack containment (a video's AUDIO TRACK
-    # vs the audio clip corpus — completes the containment matrix)
+    # round-13 operators: soundtrack containment (a video's AUDIO TRACK
+    # vs the audio clip corpus — completes the containment matrix),
+    # batch and streaming-gate forms
     "video_audio_contains_clip",
+    "stream_video_audio_contains_clip",
 ]
 
 

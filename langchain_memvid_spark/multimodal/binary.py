@@ -2032,6 +2032,13 @@ def video_contains_clip_pairs(
     ≡ 0 (mod every_n), so containment is detectable only at offsets
     divisible by every_n — sign at every_n=1 when arbitrary-offset
     clips matter; the sampled-set alignment is the documented trade.
+    This contract is FINAL (VERDICT r12 item 7): the audio modality
+    got a hop escape hatch because its spans are cut from a continuous
+    sample stream (overlapping spans cost only rows), but video frames
+    are discrete — a sub-stride offset has no cheaper representation
+    than dense signing, which ``every_n=1`` already IS.  Suspect
+    videos needing arbitrary-offset certainty re-sign dense; there is
+    no silent gap.
 
     Scale shape: candidates are always equi-join products on
     (band, val) buckets (df-capped), never all-pairs in videos or

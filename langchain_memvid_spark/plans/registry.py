@@ -3267,6 +3267,61 @@ def q_video_audio_contains_clip(spark, sf_dir):
 
 
 @_reg(
+    "stream_video_audio_contains_clip",
+    """
+SELECT doc_id AS video_id, doc_id + 10000000 AS clip_id,
+       (doc_id % 2)::INT AS "offset",
+       (2 + doc_id % 4)::INT AS clip_frames,
+       0::INT AS max_hamming_seen
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY video_id
+""",
+)
+def q_stream_video_audio_contains_clip(spark, sf_dir):
+    """STREAMING soundtrack gate — the production form of
+    video_audio_contains_clip (VERDICT r12 item 3): the KNOWN audio
+    clips are signed ONCE into a persisted span-grain envelope table,
+    then the videos arrive as a THREE-microbatch file stream; every
+    microbatch signs only its own arrivals' AUDIO TRACKS and
+    band-joins the clip table's pre-banded persisted form, groups by
+    span-offset delta, verifies the full clip run, exactly-once via
+    idempotent per-batch-partition overwrite.  Batch-split-invariant ⇒
+    the accumulated union hashes against the same closed-form
+    planted-soundtrack oracle as the batch operator."""
+    import tempfile
+
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.streaming.media import (
+        stream_video_audio_contains_clip,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="stream_vac_")
+    media = mm.synthesize_video_with_soundtrack(
+        docs, clip_every=5, span_samples=256
+    )
+    # the clip corpus signed once at ingest (span grain, persisted)
+    mm.envelope_hash_audio_spans(
+        media, span_samples=256
+    ).write.mode("overwrite").parquet(f"{base}/clip_spans")
+    clip_sig = spark.read.parquet(f"{base}/clip_spans")
+    arrivals = media.filter(F.col("media_type") == "video")
+    arrivals.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
+    out = stream_video_audio_contains_clip(
+        spark,
+        f"{base}/arrivals",
+        f"{base}/matches",
+        f"{base}/ckpt",
+        clip_sig=clip_sig,
+        span_samples=256,
+        max_files_per_trigger=1,
+    )
+    return out.select(
+        "video_id", "clip_id", "offset", "clip_frames", "max_hamming_seen"
+    ).orderBy("video_id")
+
+
+@_reg(
     "stream_video_contains_clip",
     """
 SELECT doc_id AS video_id, doc_id + 10000000 AS clip_id,

@@ -320,6 +320,94 @@ def stream_video_contains_clip(
         )
 
 
+def stream_video_audio_contains_clip(
+    spark: SparkSession,
+    media_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    clip_sig: DataFrame,
+    span_samples: int = 1024,
+    hop_samples: int | None = None,
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+    salvage: bool = False,
+) -> DataFrame:
+    """STREAMING soundtrack gate (VERDICT r12 item 3's production
+    form): arriving VIDEOS' AUDIO TRACKS are checked for containing
+    any KNOWN audio clip as a contiguous span run (licensed-music
+    detection, blocked-audio filters over video uploads) — the
+    streaming form of video_audio_contains_clip_vs_corpus on the
+    idempotent-foreachBatch recipe shared by the other media gates:
+    each microbatch signs ONLY its own arrivals' audio tracks
+    (envelope spans over the '01wb' chunk walk), band-joins the clip
+    table's PRE-BANDED persisted form, groups candidates by span-offset
+    delta, verifies the full clip run, and OVERWRITES its own
+    ``batch_id=<id>`` partition for exactly-once replay.
+
+    ``clip_sig`` is a persisted envelope_hash_audio_spans output (SPAN
+    grain — the whole-clip store table cannot compose under trimming,
+    see video_audio_contains_clip_vs_corpus); BOTH sides must sign at
+    the same (span_samples, hop_samples, hash_bits).  Offsets count in
+    span units (hop units when ``hop_samples`` is set).  Silent videos
+    vacuously match nothing.
+
+    Returns a batch read of the accumulated matches
+    (video_id, clip_id, offset, clip_frames, max_hamming_seen,
+    batch_id — the partition-discovery column last, on the empty path
+    too)."""
+    if hasattr(clip_sig, "signatures"):
+        raise ConfigError(
+            "MediaSignatureStore's audio modality signs whole-clip "
+            "envelope hashes; the soundtrack gate needs the SPAN-grain "
+            "table — pass envelope_hash_audio_spans(clips, ...) output"
+        )
+    if clip_sig.isStreaming:  # pragma: no cover - contract guard
+        raise ValueError("clip_sig must be a static (batch) table")
+    sig_cols = _infer_sig_cols(clip_sig, "ahash", "clip_sig")
+    stream = _read_table_stream(
+        spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
+    )
+    corpus_bands = _persisted_corpus_bands(clip_sig, sig_cols, frame_grain=True)
+    # once per stream: materializes the band cache + feeds the
+    # per-batch broadcast-side pick (see stream_video_contains_clip)
+    n_corpus_band_rows = corpus_bands.count()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = mm.video_audio_contains_clip_vs_corpus(
+            _widen_batch(batch_df),
+            clip_sig=clip_sig,
+            span_samples=span_samples,
+            hop_samples=hop_samples,
+            corpus_bands=corpus_bands,
+            n_corpus_band_rows=n_corpus_band_rows,
+            max_hamming=max_hamming,
+            salvage=salvage,
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        corpus_bands.unpersist()
+    try:
+        return spark.read.parquet(out_path)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        if cond != "PATH_NOT_FOUND":
+            raise
+        return spark.createDataFrame(
+            [],
+            "video_id BIGINT, clip_id BIGINT, offset INT, "
+            "clip_frames INT, max_hamming_seen INT, batch_id INT",
+        )
+
+
 def stream_video_contains_image(
     spark: SparkSession,
     media_path: str,

@@ -597,3 +597,55 @@ def test_stream_video_contains_image(spark, sf_dir, tmp_path):
         stream_video_contains_image(
             spark, str(tmp_path / "arrivals"), str(tmp_path / "m3"),
             str(tmp_path / "c3"), image_sig=astore)
+
+
+def test_stream_video_audio_contains_clip(spark, sf_dir, tmp_path):
+    """Streaming SOUNDTRACK gate (VERDICT r12 item 3's production
+    form): accumulated matches across microbatches equal the batch
+    operator's on the union of arrivals (batch-split-invariant),
+    Hive-partitioned by batch_id; empty source returns the typed
+    frame with batch_id LAST; a whole-clip-grain store handle raises
+    with the span-grain pointer."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+    from langchain_memvid_spark.streaming.media import (
+        stream_video_audio_contains_clip,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = mm.synthesize_video_with_soundtrack(docs, clip_every=5,
+                                                span_samples=256)
+    mm.envelope_hash_audio_spans(media, span_samples=256).write.parquet(
+        str(tmp_path / "clip_spans"))
+    clip_sig = spark.read.parquet(str(tmp_path / "clip_spans"))
+    videos = media.filter(F.col("media_type") == "video")
+    videos.repartition(3).write.parquet(str(tmp_path / "arrivals"))
+    out = stream_video_audio_contains_clip(
+        spark, str(tmp_path / "arrivals"), str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"), clip_sig=clip_sig, span_samples=256,
+        max_files_per_trigger=1)
+    assert out.columns == ["video_id", "clip_id", "offset", "clip_frames",
+                           "max_hamming_seen", "batch_id"]
+    got = sorted((r["video_id"], r["clip_id"], r["offset"],
+                  r["clip_frames"], r["max_hamming_seen"])
+                 for r in out.collect())
+    want = sorted(map(tuple, mm.video_audio_contains_clip_vs_corpus(
+        videos, clip_sig=clip_sig, span_samples=256).collect()))
+    assert got == want and len(got) == 12  # 60 docs / 5 planted
+
+    # empty source: typed empty frame, batch_id last
+    spark.createDataFrame([], "media_id long, media_type string, content binary"
+                          ).write.parquet(str(tmp_path / "none"))
+    eout = stream_video_audio_contains_clip(
+        spark, str(tmp_path / "none"), str(tmp_path / "m2"),
+        str(tmp_path / "c2"), clip_sig=clip_sig, span_samples=256)
+    assert eout.columns == ["video_id", "clip_id", "offset", "clip_frames",
+                            "max_hamming_seen", "batch_id"]
+    assert eout.count() == 0
+
+    astore = MediaSignatureStore(spark, str(tmp_path / "asigs"), "audio")
+    with pytest.raises(ConfigError, match="SPAN-grain"):
+        stream_video_audio_contains_clip(
+            spark, str(tmp_path / "arrivals"), str(tmp_path / "m3"),
+            str(tmp_path / "c3"), clip_sig=astore)

@@ -29,9 +29,10 @@ prune would delete nothing — this probe prints the measured distinct
 key count and the surviving-row fraction so the decision is data,
 not folklore.
 
-Usage: python tools/probe_clip_gate_decomp.py [sf_dir]
-       (default .localdata/sf10; fixtures pre-persisted untimed,
-        same protocol as tools/ladder_stream_vci.py)
+Usage: python tools/probe_clip_gate_decomp.py [sf_dir] [hash_bits]
+       (defaults .localdata/sf10 and 64; hash_bits=256 measures the
+        wide-hash knob at the same density — fixtures pre-persisted
+        untimed, same protocol as tools/ladder_stream_vci.py)
 """
 
 from __future__ import annotations
@@ -69,18 +70,21 @@ def timed(label: str, fn, res: dict) -> float:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf10"
+    hash_bits = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     spark = get_spark("probe-clip-gate-decomp")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="probe_clip_gate_")
-    res: dict = {"sf_dir": sf_dir}
+    res: dict = {"sf_dir": sf_dir, "hash_bits": hash_bits}
     try:
         # FIXTURES, untimed — identical to the registry query's split:
         # clips (spliced runs) signed into the store, full videos are
         # the arrivals, 3 files = 3 microbatches at maxFilesPerTrigger=1
         t0 = time.monotonic()
         corpus = mm.synthesize_video_clip_corpus(docs, clip_every=5)
-        store = MediaSignatureStore(spark, f"{base}/csigs", "video")
+        store = MediaSignatureStore(
+            spark, f"{base}/csigs", "video", hash_bits=hash_bits
+        )
         store.sign_and_append(corpus.filter(F.col("media_id") >= mm.VARIANT_ID_OFFSET))
         arrivals = corpus.filter(F.col("media_id") < mm.VARIANT_ID_OFFSET)
         arrivals.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
@@ -104,7 +108,9 @@ def main() -> None:
         part = sorted(glob.glob(f"{base}/arrivals/part-*"))[0]
         batch = spark.read.parquet(part)
 
-        frames = mm.dhash_video_frames(mm.widen_for_decode(batch)).persist()
+        frames = mm.dhash_video_frames(
+            mm.widen_for_decode(batch), hash_bits=hash_bits
+        ).persist()
         timed("sign", lambda: frames.count(), res)
 
         fb = hamming_band_table(
