@@ -1474,17 +1474,21 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
             # measured r12), so the file-byte probe was silently dead
             # and a few-large-blob microbatch — the decode-heavy shape
             # this helper targets — stayed narrow under the 8192-row
-            # gate (ADVICE r12).  Probe rows first (no blob IO — the
-            # common big-batch case decides there), then batch bytes
-            # directly with a length(content) agg ONLY for
-            # under-threshold frames, where the blob IO is bounded by
-            # the row gate and amortized by the decode that follows
-            # whenever the probe fires.
-            n_rows = media.count()
-            wide = n_rows >= _WIDEN_MIN_ROWS
-            if not wide and n_rows > 0:
-                b = media.agg(F.sum(F.length("content"))).head()[0]
-                wide = int(b or 0) >= _WIDEN_MIN_BYTES
+            # gate (ADVICE r12).  ONE agg probes rows + bytes in a
+            # single job (A/B-measured: two sequential probe jobs cost
+            # more than one content-reading agg at microbatch grain,
+            # and this path only runs for NARROW frames — few input
+            # splits, bounded content — so the blob IO is bounded at
+            # every scale and amortized by the decode that follows
+            # whenever the probe fires).
+            row = media.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("content")).alias("b"),
+            ).head()
+            wide = (
+                int(row["b"] or 0) >= _WIDEN_MIN_BYTES
+                or int(row["n"]) >= _WIDEN_MIN_ROWS
+            )
         else:
             wide = media.count() >= _WIDEN_MIN_ROWS
     except Exception:  # probe failure: widen unconditionally
