@@ -135,5 +135,20 @@ apairs = mm.audio_contains_clip_pairs(
 )
 print("audio containments at half-span trims:", apairs.count())
 
+# -- 10. soundtrack containment: audio-track-in-video --------------------
+# the containment matrix's fourth cell: an arriving video's AUDIO
+# TRACK ('01wb' chunk walk, the WAV signer's exact envelope-span
+# hash) checked against the known audio clip corpus — licensed-music
+# detection over video uploads.  Both sides sign at the same
+# (span_samples, hop, hash_bits).
+vmedia = mm.synthesize_video_with_soundtrack(docs, clip_every=5,
+                                             span_samples=256)
+clip_sig = mm.envelope_hash_audio_spans(vmedia, span_samples=256)
+smatches = mm.video_audio_contains_clip_vs_corpus(
+    vmedia, clip_sig=clip_sig, span_samples=256, max_hamming=3
+)
+print("soundtrack containments:", smatches.count(),
+      "| sample:", smatches.orderBy("video_id").limit(3).collect())
+
 spark.stop()
 print("multimodal dedup pipeline OK")
