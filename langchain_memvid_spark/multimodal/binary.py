@@ -2458,7 +2458,7 @@ def _contains_clip_vs_corpus_verify(
 
 def video_audio_contains_clip_vs_corpus(
     new_videos: DataFrame,
-    clip_sig: DataFrame = None,
+    clip_sig: DataFrame | None = None,
     *,
     span_samples: int = 1024,
     hop_samples: int | None = None,
