@@ -2456,6 +2456,182 @@ def _contains_clip_vs_corpus_verify(
     )
 
 
+def video_shared_run_pairs(
+    media: DataFrame,
+    min_run: int = 2,
+    max_hamming: int = 3,
+    n_band_rows: int | None = None,
+    salvage: bool = False,
+    hash_bits: int | None = None,
+) -> DataFrame:
+    """PARTIAL-OVERLAP detection — the video analog of the text
+    span-dedup family (duplicate_span_stats / dedup_spans_clean): two
+    videos sharing a contiguous frame RUN — co-derivative uploads,
+    shared licensed segments, common intros.  The proper-sub-run-of-
+    both case is the shape both existing kernels refuse by design
+    (near-dup requires equal n_frames; containment requires the FULL
+    shorter video inside the longer); equality and containment pairs
+    also surface here, as their (maximal) run — this operator reports
+    the RUN ITSELF, which neither of the others does.
+
+    Same candidate machinery as clip containment: the (band, val)
+    frame self-join grouped by the frame-offset delta (pigeonhole
+    ≥1 band per true aligned pair at max_hamming < 4 bands ⇒ every
+    aligned frame of a true shared run appears — no df-cap, matching
+    the incrementals, so run completeness is exact), then runs fall
+    out DECLARATIVELY with the gaps-and-islands window: row_number
+    over b_fno within (a, b, delta), island key = b_fno − row_number,
+    one partial-agg groupBy per island.  Pairs are canonicalized
+    a_id < b_id; every maximal run of ≥ ``min_run`` aligned frames is
+    reported (min_run=1 would report single-frame band coincidences —
+    noise at web scale; the default 2 requires temporal agreement).
+
+    Scale shape: candidates are equi-join products on (band, val),
+    never all-pairs; the islands window shuffles on (a, b, delta) —
+    output-proportional, like the containment groupBy.
+
+    Returns (a_id, b_id, a_start, b_start, run_frames,
+    max_hamming_seen) — one row per maximal shared run
+    (a_start/b_start are the run's first frame_no on each side)."""
+    from pyspark.sql import Window
+
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        check_pigeonhole,
+        hamming_band_table,
+        hamming_distance_col,
+    )
+
+    n_bands = 4
+    check_pigeonhole(max_hamming, n_bands)
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    if hash_bits is None:
+        hash_bits = hash_bits_for_corpus(
+            n_band_rows // n_bands
+            if n_band_rows is not None
+            else count_sampled_video_frames(media)
+        )
+    band_bits = 16 if hash_bits == 64 else 64
+    sig_cols = sig_col_names("dhash", hash_bits)
+    sigs = dhash_video_frames(media, salvage=salvage, hash_bits=hash_bits)
+    if n_band_rows is None:
+        sigs = sigs.localCheckpoint(eager=True)
+        n_band_rows = sigs.count() * n_bands
+    a_sig = [f"__a{j}" for j in range(len(sig_cols))]
+    b_sig = [f"__b{j}" for j in range(len(sig_cols))]
+    bands = hamming_band_table(
+        sigs.select("media_id", "frame_no", *sig_cols),
+        sig_cols, n_bands=n_bands, band_bits=band_bits,
+    )
+    a = bands.select(
+        F.col("media_id").alias("a_id"),
+        F.col("frame_no").alias("a_fno"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("b_id"),
+        F.col("frame_no").alias("b_fno"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
+        "band", "val",
+    )
+    if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = F.broadcast(a).join(b, ["band", "val"])
+    else:
+        joined = a.hint("merge").join(b, ["band", "val"])
+    hits = (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", "a_fno", "b_fno",
+            (F.col("a_fno") - F.col("b_fno")).alias("delta"),
+            hamming_distance_col(a_sig, b_sig).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a true aligned pair can arrive on up to n_bands band rows:
+        # keep one per aligned frame (min hamming is deterministic and
+        # band-independent — hamming is computed on the full hashes)
+        .groupBy("a_id", "b_id", "delta", "b_fno")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+    w = Window.partitionBy("a_id", "b_id", "delta").orderBy("b_fno")
+    runs = (
+        hits.withColumn("__island", F.col("b_fno") - F.row_number().over(w))
+        .groupBy("a_id", "b_id", "delta", "__island")
+        .agg(
+            F.count("*").alias("run_frames"),
+            F.min("b_fno").alias("b_start"),
+            F.max("hamming").alias("max_hamming_seen"),
+        )
+        .filter(F.col("run_frames") >= min_run)
+    )
+    return runs.select(
+        "a_id", "b_id",
+        (F.col("b_start") + F.col("delta")).cast("int").alias("a_start"),
+        F.col("b_start").cast("int"),
+        F.col("run_frames").cast("int").alias("run_frames"),
+        "max_hamming_seen",
+    )
+
+
+def synthesize_video_overlap_corpus(
+    documents: DataFrame, overlap_every: int = 5
+) -> DataFrame:
+    """Deterministic PARTIAL-OVERLAP fixture: every document becomes
+    one unique video of S = 3 + d%4 frames (pixel seeds salted with an
+    ``ovl:`` prefix no other fixture uses), and every
+    ``overlap_every``-th doc additionally emits a SECOND video at
+    media_id = d + VARIANT_ID_OFFSET that shares frames
+    o..o+L−1 of the base (L = 2 + d%2, o = d%2, byte-identical PNG
+    bytes) sandwiched between p = 1 + d%3 unique prefix frames and one
+    unique suffix frame — so neither video contains the other, their
+    lengths differ, and the expected video_shared_run_pairs answer is
+    EXACTLY {(d, d+OFFSET, o, p, L, 0) : d % overlap_every == 0}."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 8, 8 + doc_id % 5
+                s_frames = 3 + doc_id % 4
+                fps = 5 + doc_id % 10
+                seed = f"ovl:{text}:{doc_id}".encode("utf-8")
+                frames = [
+                    encode_png(
+                        w, h,
+                        _stretch_bytes(seed + fno.to_bytes(4, "big"), w * h),
+                    )
+                    for fno in range(s_frames)
+                ]
+                out["media_id"].append(doc_id)
+                out["media_type"].append("video")
+                out["content"].append(encode_avi(w, h, frames, fps))
+                if doc_id % overlap_every == 0:
+                    o, run = doc_id % 2, 2 + doc_id % 2
+                    p = 1 + doc_id % 3
+                    other = [
+                        encode_png(
+                            w, h,
+                            _stretch_bytes(
+                                seed + b"u" + k.to_bytes(4, "big"), w * h
+                            ),
+                        )
+                        for k in range(p + 1)
+                    ]
+                    shared = frames[o : o + run]
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("video")
+                    out["content"].append(
+                        encode_avi(w, h, other[:p] + shared + other[p:], fps)
+                    )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
+    )
+
+
 def video_audio_contains_clip_vs_corpus(
     new_videos: DataFrame,
     clip_sig: DataFrame | None = None,

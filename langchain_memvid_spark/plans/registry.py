@@ -3224,6 +3224,49 @@ def q_audio_contains_clip_hop(spark, sf_dir):
 
 
 @_reg(
+    "video_shared_runs",
+    """
+SELECT doc_id AS a_id, doc_id + 10000000 AS b_id,
+       (doc_id % 2)::INT AS a_start,
+       (1 + doc_id % 3)::INT AS b_start,
+       (2 + doc_id % 2)::INT AS run_frames,
+       0::INT AS max_hamming_seen
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY a_id
+""",
+)
+def q_video_shared_runs(spark, sf_dir):
+    """PARTIAL-OVERLAP detection — the video analog of the text
+    span-dedup family: two videos sharing a contiguous frame run that
+    is a proper sub-run of BOTH (co-derivative uploads, shared
+    licensed segments) — the shape near-dup (equal n_frames) and
+    containment (full clip inside) both refuse.  Runs fall out of the
+    (band, val) frame self-join grouped by offset delta plus the
+    gaps-and-islands window (row_number over b_fno; island key =
+    b_fno − row_number) — fully declarative, output-proportional.
+    Closed-form oracle: every 5th doc's video (S = 3+d%4 frames)
+    shares frames o..o+L−1 (o = d%2, L = 2+d%2, byte-identical) with
+    a second video that sandwiches them between p = 1+d%3 unique
+    prefix frames and one unique suffix ⇒ exactly
+    {(d, d+OFFSET, o, p, L, 0)}."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    r = docs.select(
+        F.sum(3 + d % 4).alias("fr_base"),
+        F.sum(
+            F.when(d % 5 == 0, 4 + d % 3 + d % 2).otherwise(0)
+        ).alias("fr_overlap"),
+    ).head()
+    n_frames_total = int(r["fr_base"] or 0) + int(r["fr_overlap"] or 0)
+    media = mm.synthesize_video_overlap_corpus(docs, overlap_every=5)
+    return mm.video_shared_run_pairs(
+        media, min_run=2, max_hamming=3, n_band_rows=4 * n_frames_total
+    ).orderBy("a_id")
+
+
+@_reg(
     "video_audio_contains_clip",
     """
 SELECT doc_id AS video_id, doc_id + 10000000 AS clip_id,

@@ -2029,3 +2029,50 @@ def test_vs_corpus_broadcasts_small_corpus_when_batch_too_big(spark, tmp_path):
     assert "BroadcastHashJoin" in plan_i and "SortMergeJoin" not in plan_i
     assert sorted(map(tuple, forced_i.collect())) == want_i
     assert (7, 2, 11, 0) in want_i
+
+
+def test_video_shared_run_pairs(spark):
+    """Partial-overlap detection: a shared contiguous run that is a
+    proper sub-run of BOTH videos is reported with its per-side start
+    frames and length; two disjoint runs at the same alignment emit
+    two rows (gaps-and-islands); a single shared frame is below the
+    default min_run=2; pairs canonicalize a_id < b_id."""
+    w, h = 16, 8
+    f = [mm.encode_png(w, h, mm._stretch_bytes(b"run%d" % i, w * h))
+         for i in range(8)]
+
+    def avi(frames):
+        return mm.encode_avi(w, h, frames, 10)
+
+    media = spark.createDataFrame(
+        [
+            # 0 and 1 share f[2:5]: 0 at positions 2..4, 1 at 1..3 —
+            # neither contains the other (0 has f0 f1 prefix, 1 has
+            # f6 suffix)
+            (0, "video", avi([f[0], f[1], f[2], f[3], f[4]])),
+            (1, "video", avi([f[5], f[2], f[3], f[4], f[6]])),
+            # 2 shares TWO disjoint runs with 3 at the same delta:
+            # positions 0..1 and 3..4 (f0,f1 ... f3,f4), broken by a
+            # unique middle frame on each side
+            (2, "video", avi([f[0], f[1], f[5], f[3], f[4]])),
+            (3, "video", avi([f[0], f[1], f[6], f[3], f[4]])),
+            # 4 shares only ONE frame with 5: below min_run=2
+            (4, "video", avi([f[7], f[5], f[6]])),
+            (5, "video", avi([f[1], f[7], f[2]])),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    got = sorted(map(tuple, mm.video_shared_run_pairs(media).collect()))
+    # (a_id, b_id, a_start, b_start, run_frames, max_hamming_seen);
+    # 0-1 pair: f[2:5] at a_start=2, b_start=1; 2-3: runs at 0 and 3.
+    # NOTE 0 and 5 also share f[2] and f[1] (single frames — filtered),
+    # 1 and 5 share f[2] (filtered), 2/3 pairs with 0 share f0,f1 at
+    # delta 0 (run of 2 — reported: overlap semantics, not a bug)
+    assert (0, 1, 2, 1, 3, 0) in got
+    assert (2, 3, 0, 0, 2, 0) in got and (2, 3, 3, 3, 2, 0) in got
+    assert not any(r[0] == 4 or r[1] == 4 for r in got)  # single frame
+    assert all(r[0] < r[1] for r in got)
+    assert all(r[4] >= 2 for r in got)
+    # min_run=1 surfaces the single shared frame too
+    got1 = mm.video_shared_run_pairs(media, min_run=1).collect()
+    assert any(r["a_id"] == 4 and r["b_id"] == 5 for r in got1)
