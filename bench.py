@@ -133,9 +133,10 @@ EXTENDED = [
     # batch and streaming-gate forms
     "video_audio_contains_clip",
     "stream_video_audio_contains_clip",
-    # round-13 operator: partial-overlap detection (shared contiguous
-    # frame runs — the video analog of the text span-dedup family)
+    # round-13 operators: partial-overlap detection (shared contiguous
+    # frame/span runs — the media analog of the text span-dedup family)
     "video_shared_runs",
+    "audio_shared_runs",
 ]
 
 

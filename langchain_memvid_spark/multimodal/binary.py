@@ -2493,14 +2493,7 @@ def video_shared_run_pairs(
     Returns (a_id, b_id, a_start, b_start, run_frames,
     max_hamming_seen) — one row per maximal shared run
     (a_start/b_start are the run's first frame_no on each side)."""
-    from pyspark.sql import Window
-
-    from langchain_memvid_spark.operators.dedup import (
-        _PAIR_BROADCAST_ROW_LIMIT,
-        check_pigeonhole,
-        hamming_band_table,
-        hamming_distance_col,
-    )
+    from langchain_memvid_spark.operators.dedup import check_pigeonhole
 
     n_bands = 4
     check_pigeonhole(max_hamming, n_bands)
@@ -2518,6 +2511,33 @@ def video_shared_run_pairs(
     if n_band_rows is None:
         sigs = sigs.localCheckpoint(eager=True)
         n_band_rows = sigs.count() * n_bands
+    return _shared_run_pairs_from_sigs(
+        sigs, sig_cols, min_run, max_hamming, n_band_rows, band_bits
+    )
+
+
+def _shared_run_pairs_from_sigs(
+    sigs: DataFrame,
+    sig_cols: list[str],
+    min_run: int,
+    max_hamming: int,
+    n_band_rows: int,
+    band_bits: int,
+) -> DataFrame:
+    """Modality-independent shared-run kernel over a signed frame/span
+    table (media_id, frame_no, sig_cols…) — the body
+    video_shared_run_pairs and audio_shared_run_pairs share: (band,
+    val) self-join grouped by the frame-offset delta, hamming verify,
+    gaps-and-islands maximal runs, canonical a_id < b_id."""
+    from pyspark.sql import Window
+
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
+
+    n_bands = 4
     a_sig = [f"__a{j}" for j in range(len(sig_cols))]
     b_sig = [f"__b{j}" for j in range(len(sig_cols))]
     bands = hamming_band_table(
@@ -2571,6 +2591,110 @@ def video_shared_run_pairs(
         F.col("b_start").cast("int"),
         F.col("run_frames").cast("int").alias("run_frames"),
         "max_hamming_seen",
+    )
+
+
+def audio_shared_run_pairs(
+    media: DataFrame,
+    span_samples: int = 1024,
+    min_run: int = 2,
+    max_hamming: int = 3,
+    n_band_rows: int | None = None,
+    salvage: bool = False,
+    hash_bits: int | None = None,
+    hop_samples: int | None = None,
+) -> DataFrame:
+    """PARTIAL-OVERLAP detection on the AUDIO modality — two clips
+    sharing a contiguous span run (sampled jingles inside different
+    programs, shared beds/stings): exactly video_shared_run_pairs with
+    fixed-duration envelope spans in place of video frames — the SAME
+    modality-independent kernel (_shared_run_pairs_from_sigs).
+    Offsets and run lengths count in span units (hop units when
+    ``hop_samples`` is set — both sides must sign at the same
+    (span, hop)).
+
+    Returns (a_id, b_id, a_start, b_start, run_frames,
+    max_hamming_seen) — one row per maximal shared run."""
+    from langchain_memvid_spark.operators.dedup import check_pigeonhole
+
+    check_pigeonhole(max_hamming, n_bands=4)
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    sigs0 = None
+    if hash_bits is None:
+        if n_band_rows is not None:
+            hash_bits = hash_bits_for_corpus(n_band_rows // 4)
+        else:
+            sigs0 = envelope_hash_audio_spans(
+                media, span_samples=span_samples, salvage=salvage,
+                hash_bits=64, hop_samples=hop_samples,
+            ).localCheckpoint(eager=True)
+            n_spans = sigs0.count()
+            hash_bits = hash_bits_for_corpus(n_spans)
+            if hash_bits != 64:
+                sigs0 = None  # re-sign wide below
+            n_band_rows = n_spans * 4
+    band_bits = 16 if hash_bits == 64 else 64
+    sig_cols = sig_col_names("ahash", hash_bits)
+    if sigs0 is not None:
+        sigs = sigs0
+    else:
+        sigs = envelope_hash_audio_spans(
+            media, span_samples=span_samples, salvage=salvage,
+            hash_bits=hash_bits, hop_samples=hop_samples,
+        )
+        if n_band_rows is None:
+            sigs = sigs.localCheckpoint(eager=True)
+            n_band_rows = sigs.count() * 4
+    return _shared_run_pairs_from_sigs(
+        sigs, sig_cols, min_run, max_hamming, n_band_rows, band_bits
+    )
+
+
+def synthesize_audio_overlap_corpus(
+    documents: DataFrame, overlap_every: int = 5, span_samples: int = 256
+) -> DataFrame:
+    """Deterministic AUDIO partial-overlap fixture —
+    synthesize_video_overlap_corpus on the audio modality: every
+    document becomes one unique mono WAV of S = 3 + d%4 spans of
+    ``span_samples`` samples (seeds salted with an ``aovl:`` prefix no
+    other fixture uses), and every ``overlap_every``-th doc
+    additionally emits a SECOND WAV at media_id = d + VARIANT_ID_OFFSET
+    sharing spans o..o+L−1 of the base (L = 2 + d%2, o = d%2,
+    byte-identical samples) between p = 1 + d%3 unique prefix spans
+    and one unique suffix span ⇒ the expected audio_shared_run_pairs
+    answer is EXACTLY {(d, d+OFFSET, o, p, L, 0) : d %
+    overlap_every == 0}."""
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": []}
+            sb = span_samples * 2  # bytes per span (16-bit mono)
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                s_spans = 3 + doc_id % 4
+                rate = 8000 + 1000 * (doc_id % 4)
+                seed = f"aovl:{text}:{doc_id}".encode("utf-8")
+                samples = _stretch_bytes(seed, s_spans * sb)
+                out["media_id"].append(doc_id)
+                out["media_type"].append("audio")
+                out["content"].append(encode_wav(rate, 1, samples))
+                if doc_id % overlap_every == 0:
+                    o, run = doc_id % 2, 2 + doc_id % 2
+                    p = 1 + doc_id % 3
+                    uniq = _stretch_bytes(seed + b"u", (p + 1) * sb)
+                    other = (
+                        uniq[: p * sb]
+                        + samples[o * sb : (o + run) * sb]
+                        + uniq[p * sb :]
+                    )
+                    out["media_id"].append(doc_id + VARIANT_ID_OFFSET)
+                    out["media_type"].append("audio")
+                    out["content"].append(encode_wav(rate, 1, other))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        make, "media_id long, media_type string, content binary"
     )
 
 

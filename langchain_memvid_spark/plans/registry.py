@@ -3267,6 +3267,47 @@ def q_video_shared_runs(spark, sf_dir):
 
 
 @_reg(
+    "audio_shared_runs",
+    """
+SELECT doc_id AS a_id, doc_id + 10000000 AS b_id,
+       (doc_id % 2)::INT AS a_start,
+       (1 + doc_id % 3)::INT AS b_start,
+       (2 + doc_id % 2)::INT AS run_frames,
+       0::INT AS max_hamming_seen
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY a_id
+""",
+)
+def q_audio_shared_runs(spark, sf_dir):
+    """PARTIAL-OVERLAP detection on the audio modality (the
+    video_shared_runs kernel verbatim over fixed-duration envelope
+    spans): two clips sharing a contiguous span run — sampled jingles
+    inside different programs, shared beds — neither near-dup nor
+    containment can report.  Same closed-form planted-overlap
+    protocol: every 5th doc's WAV (S = 3+d%4 spans) shares spans
+    o..o+L−1 (o = d%2, L = 2+d%2, byte-identical samples) with a
+    second WAV behind p = 1+d%3 unique prefix spans ⇒ exactly
+    {(d, d+OFFSET, o, p, L, 0)}."""
+    from langchain_memvid_spark.multimodal import binary as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    r = docs.select(
+        F.sum(3 + d % 4).alias("sp_base"),
+        F.sum(
+            F.when(d % 5 == 0, 4 + d % 3 + d % 2).otherwise(0)
+        ).alias("sp_overlap"),
+    ).head()
+    n_spans = int(r["sp_base"] or 0) + int(r["sp_overlap"] or 0)
+    media = mm.synthesize_audio_overlap_corpus(docs, overlap_every=5,
+                                               span_samples=256)
+    return mm.audio_shared_run_pairs(
+        media, span_samples=256, min_run=2, max_hamming=3,
+        n_band_rows=4 * n_spans,
+    ).orderBy("a_id")
+
+
+@_reg(
     "video_audio_contains_clip",
     """
 SELECT doc_id AS video_id, doc_id + 10000000 AS clip_id,

@@ -2076,3 +2076,26 @@ def test_video_shared_run_pairs(spark):
     # min_run=1 surfaces the single shared frame too
     got1 = mm.video_shared_run_pairs(media, min_run=1).collect()
     assert any(r["a_id"] == 4 and r["b_id"] == 5 for r in got1)
+
+
+def test_audio_shared_run_pairs(spark):
+    """The shared-run kernel on envelope spans: two clips sharing a
+    contiguous span run are reported with per-side start spans; a
+    clip equal to the shared run alone is a containment-shaped pair
+    and still surfaces as its maximal run (the operator reports the
+    RUN, unlike near-dup/containment)."""
+    span = 256
+    rng = [bytes((i * 31 + j * 7) % 256 for j in range(span * 2))
+           for i in range(6)]
+    a = b"".join(rng[:5])                 # spans 0..4
+    b = rng[5] + b"".join(rng[1:4])       # unique + a's spans 1..3
+    media = spark.createDataFrame(
+        [
+            (0, "audio", mm.encode_wav(8000, 1, a)),
+            (1, "audio", mm.encode_wav(9000, 1, b)),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    got = sorted(map(tuple, mm.audio_shared_run_pairs(
+        media, span_samples=span).collect()))
+    assert got == [(0, 1, 1, 1, 3, 0)]
