@@ -2760,7 +2760,7 @@ def video_audio_contains_clip_vs_corpus(
     new_videos: DataFrame,
     clip_sig: DataFrame | None = None,
     *,
-    span_samples: int = 1024,
+    span_samples: int | None = None,
     hop_samples: int | None = None,
     max_hamming: int = 3,
     n_band_rows: int | None = None,
@@ -2785,13 +2785,19 @@ def video_audio_contains_clip_vs_corpus(
     (/root/reference/src/langchain_memvid/video/default.py:244-286) is
     video-only, so this is an engine extension, not parity debt.
 
-    ``clip_sig`` is a persisted envelope_hash_audio_spans output (span
-    grain — ahash columns + frame_no); BOTH sides must be signed at
-    the same (span_samples, hop_samples, hash_bits) — offsets and
-    clip_frames are counted in span units (hop units when
-    ``hop_samples`` is set).  Videos without an audio stream vacuously
-    match nothing.  Strictly longer soundtracks only, matching the
-    other containment shapes.
+    ``clip_sig`` is the clip corpus at SPAN grain: the TYPED form is
+    an ``audio_span``-modality MediaSignatureStore handle (the
+    sidecar pins span_samples/hop_samples/hash_bits, so arrivals are
+    guaranteed signed at exactly the corpus table's configuration —
+    contradicting kwargs raise); the loose form is a persisted
+    envelope_hash_audio_spans output (ahash columns + frame_no, the
+    caller owns config agreement, defaults span 1024 / hop=span).
+    BOTH sides must be signed at the same
+    (span_samples, hop_samples, hash_bits) — offsets and clip_frames
+    are counted in span units (hop units when ``hop_samples`` is
+    set).  Videos without an audio stream vacuously match nothing.
+    Strictly longer soundtracks only, matching the other containment
+    shapes.
 
     Returns (video_id, clip_id, offset, clip_frames,
     max_hamming_seen)."""
@@ -2806,12 +2812,33 @@ def video_audio_contains_clip_vs_corpus(
     if hasattr(clip_sig, "signatures"):
         from langchain_memvid_spark.exceptions import ConfigError
 
-        raise ConfigError(
-            "MediaSignatureStore's audio modality signs whole-clip "
-            "envelope hashes (duration-normalized — they cannot compose "
-            "under trimming); soundtrack containment needs the SPAN-grain "
-            "table: pass envelope_hash_audio_spans(clips, ...) output"
-        )
+        store = clip_sig
+        if store.modality != "audio_span":
+            raise ConfigError(
+                f"clip_sig store must be the audio_span modality (got "
+                f"{store.modality!r}) — whole-clip envelope hashes are "
+                "duration-normalized and cannot compose under trimming; "
+                "sign the clip corpus into an audio_span store or pass "
+                "envelope_hash_audio_spans(clips, ...) output"
+            )
+        # the TYPED form: the table's own sidecar pins the span layout
+        # and width, so arrivals are guaranteed signed at exactly the
+        # configuration the corpus was (the VERDICT r9 item 3 rule,
+        # extended to the soundtrack gate); contradicting kwargs raise
+        for name, given, pinned in (
+            ("span_samples", span_samples, store.span_samples),
+            ("hop_samples", hop_samples, store.hop_samples),
+            ("hash_bits", hash_bits, store.hash_bits),
+        ):
+            if given is not None and given != pinned:
+                raise ConfigError(
+                    f"{name}={given!r} contradicts the clip span table's "
+                    f"sidecar ({name}={pinned!r} at {store.path})"
+                )
+        span_samples = store.span_samples
+        hop_samples = store.hop_samples
+        hash_bits = store.hash_bits
+        clip_sig = store.signatures()
     sig_like = [c for c in clip_sig.columns if c.startswith("ahash")]
     if not sig_like or "frame_no" not in clip_sig.columns:
         raise ValueError(
@@ -2828,6 +2855,8 @@ def video_audio_contains_clip_vs_corpus(
             f"{len(sig_like)}-long layout ({inferred}-bit)"
         )
     hash_bits = inferred
+    if span_samples is None:
+        span_samples = 1024  # the loose-form default (store form pins it)
     band_bits = 16 if hash_bits == 64 else 64
     sig_cols = sig_col_names("ahash", hash_bits)
     spans = envelope_hash_video_audio_spans(

@@ -63,6 +63,12 @@ _SIGNERS = {
     "image": ("dhash", mm.dhash_images),
     "audio": ("ahash", mm.envelope_hash_audio),
     "video": ("dhash", mm.dhash_video_frames),
+    # SPAN-grain audio (VERDICT r12 item 3's typed form): fixed-duration
+    # envelope spans — the clip-corpus table behind SOUNDTRACK/audio
+    # containment gates.  The whole-clip "audio" modality's hashes are
+    # duration-normalized and cannot compose under trimming, so the two
+    # grains are deliberately distinct modalities with distinct sidecars.
+    "audio_span": ("ahash", mm.envelope_hash_audio_spans),
 }
 
 _META_NAME = "_sigstore_meta.json"
@@ -95,10 +101,24 @@ class MediaSignatureStore:
         hash_bits: int | None = None,
         every_n: int | None = None,
         expected_items: int | None = None,
+        span_samples: int | None = None,
+        hop_samples: int | None = None,
     ):
         if modality not in _SIGNERS:
             raise ConfigError(
                 f"modality must be one of {sorted(_SIGNERS)}, got {modality!r}"
+            )
+        if modality != "audio_span" and (
+            span_samples is not None or hop_samples is not None
+        ):
+            raise ConfigError(
+                "span_samples/hop_samples apply to the audio_span modality "
+                f"only, not {modality!r}"
+            )
+        if modality == "audio_span" and every_n is not None:
+            raise ConfigError(
+                "every_n is a video-stride knob; the audio_span modality "
+                "pins (span_samples, hop_samples) instead"
             )
         self.spark = spark
         self.path = path.rstrip("/")
@@ -117,10 +137,21 @@ class MediaSignatureStore:
                 if have is not None
                 else mm.hash_bits_for_corpus(expected_items or 0)
             )
-        if every_n is None:
-            every_n = have["every_n"] if have is not None else 1
         self.hash_bits = int(hash_bits)
-        self.every_n = int(every_n)
+        if modality == "audio_span":
+            if span_samples is None:
+                span_samples = have["span_samples"] if have is not None else 1024
+            if hop_samples is None:
+                hop_samples = have["hop_samples"] if have is not None else None
+            self.span_samples = int(span_samples)
+            self.hop_samples = None if hop_samples is None else int(hop_samples)
+            self.every_n = None
+        else:
+            if every_n is None:
+                every_n = have["every_n"] if have is not None else 1
+            self.every_n = int(every_n)
+            self.span_samples = None
+            self.hop_samples = None
         if have is not None and have != self._meta_dict():
             raise ConfigError(
                 f"signature table at {self.path} was written with {have}, "
@@ -129,7 +160,7 @@ class MediaSignatureStore:
         base, self._signer = _SIGNERS[modality]
         self.sig_cols = mm.sig_col_names(base, self.hash_bits)
         fields = ["media_id long"]
-        if modality == "video":
+        if modality in ("video", "audio_span"):
             fields += ["frame_no int", "n_frames int"]
         fields += [f"{c} long" for c in self.sig_cols]
         self._schema = ", ".join(fields)
@@ -151,6 +182,17 @@ class MediaSignatureStore:
         return f"{self.path}/{_META_NAME}"
 
     def _meta_dict(self) -> dict:
+        if self.modality == "audio_span":
+            # span grain pins its own knobs; every_n is video-stride
+            # vocabulary and is deliberately absent (existing
+            # modalities keep their exact sidecar shape — old tables
+            # load unchanged)
+            return {
+                "modality": self.modality,
+                "hash_bits": self.hash_bits,
+                "span_samples": self.span_samples,
+                "hop_samples": self.hop_samples,
+            }
         return {
             "modality": self.modality,
             "hash_bits": self.hash_bits,
@@ -177,6 +219,12 @@ class MediaSignatureStore:
         if self.modality == "video":
             return self._signer(
                 media, every_n=self.every_n, salvage=salvage, hash_bits=self.hash_bits
+            )
+        if self.modality == "audio_span":
+            return self._signer(
+                media, span_samples=self.span_samples,
+                hop_samples=self.hop_samples, salvage=salvage,
+                hash_bits=self.hash_bits,
             )
         return self._signer(media, salvage=salvage, hash_bits=self.hash_bits)
 
@@ -262,7 +310,7 @@ class MediaSignatureStore:
         return mm.banded_signature_table(
             self.signatures(),
             self.sig_cols,
-            frame_grain=(self.modality == "video"),
+            frame_grain=(self.modality in ("video", "audio_span")),
         )
 
     def _actual_columns(self) -> list[str]:
@@ -288,6 +336,12 @@ class MediaSignatureStore:
         first, then ``sign_and_append`` only the keepers.  One corpus
         scan (of the 8–32 B/item signature table, not the media), zero
         corpus-side shuffle under the batch broadcast bound."""
+        if self.modality == "audio_span":
+            raise ConfigError(
+                "audio_span stores back CONTAINMENT gates (clip corpora) — "
+                "near-dup ingest gating wants the audio modality's "
+                "whole-clip, duration-invariant hashes"
+            )
         corpus_sig = self.signatures()
         if self.modality == "image":
             return mm.incremental_image_near_dup(

@@ -3364,17 +3364,22 @@ ORDER BY video_id
 def q_stream_video_audio_contains_clip(spark, sf_dir):
     """STREAMING soundtrack gate — the production form of
     video_audio_contains_clip (VERDICT r12 item 3): the KNOWN audio
-    clips are signed ONCE into a persisted span-grain envelope table,
-    then the videos arrive as a THREE-microbatch file stream; every
-    microbatch signs only its own arrivals' AUDIO TRACKS and
-    band-joins the clip table's pre-banded persisted form, groups by
-    span-offset delta, verifies the full clip run, exactly-once via
-    idempotent per-batch-partition overwrite.  Batch-split-invariant ⇒
-    the accumulated union hashes against the same closed-form
-    planted-soundtrack oracle as the batch operator."""
+    clips are signed ONCE into a persisted SPAN-GRAIN
+    MediaSignatureStore (the ``audio_span`` modality — its sidecar
+    pins span_samples/hop_samples/hash_bits, so every microbatch
+    signs arrivals' soundtracks at exactly the corpus table's
+    configuration); the videos arrive as a THREE-microbatch file
+    stream; every microbatch signs only its own arrivals' AUDIO
+    TRACKS and band-joins the clip table's pre-banded persisted form,
+    groups by span-offset delta, verifies the full clip run,
+    exactly-once via idempotent per-batch-partition overwrite.
+    Batch-split-invariant ⇒ the accumulated union hashes against the
+    same closed-form planted-soundtrack oracle as the batch
+    operator."""
     import tempfile
 
     from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
     from langchain_memvid_spark.streaming.media import (
         stream_video_audio_contains_clip,
     )
@@ -3384,11 +3389,12 @@ def q_stream_video_audio_contains_clip(spark, sf_dir):
     media = mm.synthesize_video_with_soundtrack(
         docs, clip_every=5, span_samples=256
     )
-    # the clip corpus signed once at ingest (span grain, persisted)
-    mm.envelope_hash_audio_spans(
-        media, span_samples=256
-    ).write.mode("overwrite").parquet(f"{base}/clip_spans")
-    clip_sig = spark.read.parquet(f"{base}/clip_spans")
+    # the clip corpus signed once at ingest into the TYPED span-grain
+    # store (the audio_span modality; span width pinned by sidecar)
+    store = MediaSignatureStore(
+        spark, f"{base}/clip_spans", "audio_span", span_samples=256
+    )
+    store.sign_and_append(media)
     arrivals = media.filter(F.col("media_type") == "video")
     arrivals.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
     out = stream_video_audio_contains_clip(
@@ -3396,8 +3402,7 @@ def q_stream_video_audio_contains_clip(spark, sf_dir):
         f"{base}/arrivals",
         f"{base}/matches",
         f"{base}/ckpt",
-        clip_sig=clip_sig,
-        span_samples=256,
+        clip_sig=store,
         max_files_per_trigger=1,
     )
     return out.select(

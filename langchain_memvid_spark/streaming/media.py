@@ -325,8 +325,8 @@ def stream_video_audio_contains_clip(
     media_path: str,
     out_path: str,
     checkpoint_path: str,
-    clip_sig: DataFrame,
-    span_samples: int = 1024,
+    clip_sig: "DataFrame | MediaSignatureStore",
+    span_samples: int | None = None,
     hop_samples: int | None = None,
     max_hamming: int = 3,
     max_files_per_trigger: int | None = None,
@@ -344,11 +344,18 @@ def stream_video_audio_contains_clip(
     delta, verifies the full clip run, and OVERWRITES its own
     ``batch_id=<id>`` partition for exactly-once replay.
 
-    ``clip_sig`` is a persisted envelope_hash_audio_spans output (SPAN
-    grain — the whole-clip store table cannot compose under trimming,
-    see video_audio_contains_clip_vs_corpus); BOTH sides must sign at
-    the same (span_samples, hop_samples, hash_bits).  Offsets count in
-    span units (hop units when ``hop_samples`` is set).  Silent videos
+    ``clip_sig`` is the clip corpus at SPAN grain: the TYPED form is
+    an ``audio_span``-modality MediaSignatureStore handle — the
+    sidecar pins (span_samples, hop_samples, hash_bits), so every
+    microbatch signs arrivals' soundtracks at exactly the corpus
+    table's configuration and contradicting kwargs raise (the VERDICT
+    r9 item 3 rule, extended to this gate); the loose form is a
+    persisted envelope_hash_audio_spans output (the whole-clip store
+    table cannot compose under trimming, see
+    video_audio_contains_clip_vs_corpus; defaults span 1024 /
+    hop=span).  BOTH sides must sign at the same
+    (span_samples, hop_samples, hash_bits).  Offsets count in span
+    units (hop units when ``hop_samples`` is set).  Silent videos
     vacuously match nothing.
 
     Returns a batch read of the accumulated matches
@@ -356,11 +363,28 @@ def stream_video_audio_contains_clip(
     batch_id — the partition-discovery column last, on the empty path
     too)."""
     if hasattr(clip_sig, "signatures"):
-        raise ConfigError(
-            "MediaSignatureStore's audio modality signs whole-clip "
-            "envelope hashes; the soundtrack gate needs the SPAN-grain "
-            "table — pass envelope_hash_audio_spans(clips, ...) output"
-        )
+        store = clip_sig
+        if store.modality != "audio_span":
+            raise ConfigError(
+                f"clip_sig store must be the audio_span modality (got "
+                f"{store.modality!r}) — whole-clip envelope hashes cannot "
+                "compose under trimming; sign the clip corpus into an "
+                "audio_span store or pass envelope_hash_audio_spans output"
+            )
+        for name, given, pinned in (
+            ("span_samples", span_samples, store.span_samples),
+            ("hop_samples", hop_samples, store.hop_samples),
+        ):
+            if given is not None and given != pinned:
+                raise ConfigError(
+                    f"gate {name}={given!r} contradicts the clip span "
+                    f"table's sidecar ({name}={pinned!r} at {store.path})"
+                )
+        span_samples = store.span_samples
+        hop_samples = store.hop_samples
+        clip_sig = store.signatures()
+    elif span_samples is None:
+        span_samples = 1024  # the loose-form default
     if clip_sig.isStreaming:  # pragma: no cover - contract guard
         raise ValueError("clip_sig must be a static (batch) table")
     sig_cols = _infer_sig_cols(clip_sig, "ahash", "clip_sig")

@@ -2099,3 +2099,54 @@ def test_audio_shared_run_pairs(spark):
     got = sorted(map(tuple, mm.audio_shared_run_pairs(
         media, span_samples=span).collect()))
     assert got == [(0, 1, 1, 1, 3, 0)]
+
+
+def test_audio_span_signature_store(spark, tmp_path):
+    """The audio_span store modality (the soundtrack gate's TYPED
+    form): span grain with (span_samples, hop_samples) pinned in the
+    sidecar — a reopened handle adopts them; contradicting kwargs on
+    the containment op raise; a whole-clip 'audio' store is refused
+    with the span-grain pointer; span knobs on other modalities and
+    every_n on audio_span raise; near-dup dedup_batch is refused."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    span = 256
+    rng = [bytes((i * 37 + j * 11) % 256 for j in range(span * 2))
+           for i in range(5)]
+    base, clip = b"".join(rng), b"".join(rng[1:4])
+    w, h = 8, 8
+    f = [mm.encode_png(w, h, mm._stretch_bytes(b"ss%d" % i, w * h))
+         for i in range(2)]
+    clips = spark.createDataFrame(
+        [(7, "audio", mm.encode_wav(8000, 1, clip))],
+        "media_id long, media_type string, content binary",
+    )
+    store = ss.MediaSignatureStore(
+        spark, str(tmp_path / "spans"), "audio_span", span_samples=span)
+    assert store.sign_and_append(clips) == 3  # span rows
+    arrivals = spark.createDataFrame(
+        [(100, "video", mm.encode_avi(w, h, f, 10, audio_samples=base,
+                                      audio_rate=8000))],
+        "media_id long, media_type string, content binary",
+    )
+    got = sorted(map(tuple, mm.video_audio_contains_clip_vs_corpus(
+        arrivals, clip_sig=store).collect()))
+    assert got == [(100, 7, 1, 3, 0)]
+    # reopened handle adopts the sidecar's span layout
+    s2 = ss.MediaSignatureStore(spark, str(tmp_path / "spans"), "audio_span")
+    assert (s2.span_samples, s2.hop_samples) == (span, None)
+    with pytest.raises(ConfigError, match="contradicts"):
+        mm.video_audio_contains_clip_vs_corpus(
+            arrivals, clip_sig=store, span_samples=512)
+    with pytest.raises(ConfigError, match="audio_span modality"):
+        astore = ss.MediaSignatureStore(spark, str(tmp_path / "a"), "audio")
+        mm.video_audio_contains_clip_vs_corpus(arrivals, clip_sig=astore)
+    with pytest.raises(ConfigError, match="audio_span modality only"):
+        ss.MediaSignatureStore(spark, str(tmp_path / "v"), "video",
+                               span_samples=5)
+    with pytest.raises(ConfigError, match="video-stride"):
+        ss.MediaSignatureStore(spark, str(tmp_path / "e"), "audio_span",
+                               every_n=2)
+    with pytest.raises(ConfigError, match="CONTAINMENT"):
+        store.dedup_batch(clips)

@@ -645,7 +645,24 @@ def test_stream_video_audio_contains_clip(spark, sf_dir, tmp_path):
     assert eout.count() == 0
 
     astore = MediaSignatureStore(spark, str(tmp_path / "asigs"), "audio")
-    with pytest.raises(ConfigError, match="SPAN-grain"):
+    with pytest.raises(ConfigError, match="audio_span modality"):
         stream_video_audio_contains_clip(
             spark, str(tmp_path / "arrivals"), str(tmp_path / "m3"),
             str(tmp_path / "c3"), clip_sig=astore)
+
+    # TYPED form: an audio_span store pins the span layout; the gate
+    # adopts it and a contradicting kwarg raises
+    sstore = MediaSignatureStore(
+        spark, str(tmp_path / "spanstore"), "audio_span", span_samples=256)
+    sstore.sign_and_append(media)
+    tout = stream_video_audio_contains_clip(
+        spark, str(tmp_path / "arrivals"), str(tmp_path / "m4"),
+        str(tmp_path / "c4"), clip_sig=sstore, max_files_per_trigger=1)
+    tgot = sorted((r["video_id"], r["clip_id"], r["offset"],
+                   r["clip_frames"], r["max_hamming_seen"])
+                  for r in tout.collect())
+    assert tgot == got
+    with pytest.raises(ConfigError, match="contradicts"):
+        stream_video_audio_contains_clip(
+            spark, str(tmp_path / "arrivals"), str(tmp_path / "m5"),
+            str(tmp_path / "c5"), clip_sig=sstore, span_samples=512)
