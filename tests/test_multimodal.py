@@ -1632,7 +1632,7 @@ def test_video_audio_contains_clip_vs_corpus(spark, tmp_path):
     # a whole-clip-grain audio store is the WRONG table: raise with
     # the span-grain pointer instead of silently matching nothing
     astore = ss.MediaSignatureStore(spark, str(tmp_path / "a"), "audio")
-    with pytest.raises(ConfigError, match="SPAN-grain"):
+    with pytest.raises(ConfigError, match="audio_span modality"):
         mm.video_audio_contains_clip_vs_corpus(arrivals, clip_sig=astore)
     with pytest.raises(ValueError, match="span-grain envelope|ahash"):
         mm.video_audio_contains_clip_vs_corpus(
