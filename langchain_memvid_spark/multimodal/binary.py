@@ -340,6 +340,16 @@ def encode_avi(
     (_avi_audio_samples), not the index."""
     if not 1 <= fps <= 1_000_000:
         raise ValueError(f"fps must be in [1, 1000000], got {fps}")
+    if audio_samples is not None and len(audio_samples) % 2 != 0:
+        # validate at WRITE time: an odd-length payload would round-trip
+        # through the container walk into a numpy "buffer size must be a
+        # multiple of element size" error at read time — and under
+        # salvage=True the whole video would be silently dropped
+        # (ADVICE r13)
+        raise ValueError(
+            f"audio_samples must be whole 16-bit samples (even byte "
+            f"length), got {len(audio_samples)} bytes"
+        )
     n = len(frames)
     uspf = 1_000_000 // fps
     max_size = max((len(f) for f in frames), default=0)

@@ -131,6 +131,16 @@ class MediaSignatureStore:
                 "is unknowable, refusing to adopt it (restore the sidecar "
                 "or re-sign into a fresh path)"
             )
+        if have is not None and have.get("modality") != modality:
+            # check the modality BEFORE the grain-specific sidecar reads
+            # below: an 'audio' sidecar reopened as 'audio_span' (or the
+            # reverse) used to die on have['span_samples'] /
+            # have['every_n'] with a bare KeyError instead of reaching
+            # the friendly mismatch message (ADVICE r13)
+            raise ConfigError(
+                f"signature table at {self.path} was written with {have}, "
+                f"refusing to mix with modality={modality!r}"
+            )
         if hash_bits is None:
             hash_bits = (
                 have["hash_bits"]

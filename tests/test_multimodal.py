@@ -2150,3 +2150,38 @@ def test_audio_span_signature_store(spark, tmp_path):
                                every_n=2)
     with pytest.raises(ConfigError, match="CONTAINMENT"):
         store.dedup_batch(clips)
+
+
+def test_sigstore_cross_modality_reopen_raises_config_error(spark, tmp_path):
+    """Reopening a path across span/non-span modalities reaches the
+    friendly ConfigError, not a bare KeyError on the grain-specific
+    sidecar keys (ADVICE r13): an 'audio' sidecar opened as
+    'audio_span' used to die on have['span_samples'], and an
+    'audio_span' sidecar opened as 'audio' on have['every_n']."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import sigstore as ss
+
+    clips = spark.createDataFrame(
+        [(1, "audio", mm.encode_wav(8000, 1, bytes(range(200)) * 10))],
+        "media_id long, media_type string, content binary",
+    )
+    whole = ss.MediaSignatureStore(spark, str(tmp_path / "w"), "audio")
+    whole.sign_and_append(clips)
+    with pytest.raises(ConfigError, match="refusing to mix"):
+        ss.MediaSignatureStore(spark, str(tmp_path / "w"), "audio_span")
+    spans = ss.MediaSignatureStore(
+        spark, str(tmp_path / "s"), "audio_span", span_samples=256)
+    spans.sign_and_append(clips)
+    with pytest.raises(ConfigError, match="refusing to mix"):
+        ss.MediaSignatureStore(spark, str(tmp_path / "s"), "audio")
+
+
+def test_encode_avi_rejects_odd_audio_payload():
+    """encode_avi validates the soundtrack payload at WRITE time
+    (ADVICE r13): an odd byte length is not whole 16-bit samples and
+    used to surface only as an opaque numpy reshape error at read time
+    (silently dropping the video under salvage=True)."""
+    w, h = 8, 8
+    f = [mm.encode_png(w, h, mm._stretch_bytes(b"odd", w * h))]
+    with pytest.raises(ValueError, match="even byte length"):
+        mm.encode_avi(w, h, f, 10, audio_samples=b"\x01\x02\x03")
