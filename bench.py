@@ -137,7 +137,22 @@ EXTENDED = [
     # frame/span runs — the media analog of the text span-dedup family)
     "video_shared_runs",
     "audio_shared_runs",
+    # round-14 operator: the streaming shared-run gate (arrivals vs a
+    # persisted corpus — licensed-segment detection on an upload stream)
+    "stream_video_shared_runs",
 ]
+
+# Media end-to-end rows are FIXTURE-DOMINATED and load-sensitive: the
+# r13 artifacts carried a documented 1.2–1.4x invocation spread on the
+# same code (SCALE.md round-13), which a regression hunt could chase as
+# a phantom.  These rows record the MIN of two in-session reps
+# (VERDICT r13 item 5); the gate-only ladder tools in tools/ remain the
+# stable basis for kernel-scaling claims.  Non-media rows stay
+# single-pass so the frozen headline basis is untouched.
+MEDIA_MIN_OF_2 = frozenset(
+    n for n in EXTENDED
+    if any(k in n for k in ("image", "video", "audio", "media", "sigstore"))
+)
 
 
 def vector_grid(spark, sf_dir: str) -> dict[str, float]:
@@ -256,10 +271,16 @@ def main() -> None:
     extended: dict[str, float] = {}
     for name in EXTENDED:
         qd = QUERIES[name]
-        t0 = time.time()
-        n = qd.fn(spark, sf_dir).count()
-        extended[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {extended[name]}s ({n} rows)", file=sys.stderr)
+        best = None
+        reps = 2 if name in MEDIA_MIN_OF_2 else 1
+        for _ in range(reps):
+            t0 = time.time()
+            n = qd.fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        extended[name] = best
+        tag = " (min of 2)" if reps == 2 else ""
+        print(f"# {name}: {extended[name]}s ({n} rows){tag}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -275,6 +296,11 @@ def main() -> None:
         # operators appear under `extended` only, so round-over-round
         # `value` comparisons need no membership archaeology
         "headline_set": "frozen-20-since-r2",
+        # media extended rows are fixture-dominated and carried a
+        # documented 1.2-1.4x invocation spread; they record min-of-2
+        # in-session reps since r14 (VERDICT r13 item 5) — gate-only
+        # ladder tools remain the kernel-scaling basis
+        "media_basis": "min-of-2-since-r14",
         "notes": _run_notes(sf_dir),
     }
     print(json.dumps(payload))

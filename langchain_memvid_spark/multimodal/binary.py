@@ -320,6 +320,7 @@ def encode_avi(
     fps: int,
     audio_samples: bytes | None = None,
     audio_rate: int = 8000,
+    audio_channels: int = 1,
 ) -> bytes:
     """Minimal spec-valid AVI: RIFF('AVI ') → LIST hdrl (avih + one
     'vids' stream with strh/strf) → LIST movi ('00dc' chunk per frame,
@@ -330,25 +331,38 @@ def encode_avi(
     form; a soundtrack adds its own closed-form chunks).
 
     ``audio_samples`` (VERDICT r12 item 3) adds a SOUNDTRACK: a second
-    'auds' stream (strh + WAVEFORMATEX strf — PCM 16-bit mono at
-    ``audio_rate``) and one word-aligned '01wb' chunk in movi holding
-    the raw little-endian samples.  avih's dwStreams becomes 2.  idx1
-    stays VIDEO-ONLY by design — the engine's own walkers are the
-    consumers and parse_avi_info cross-checks idx1 against the '00dc'
-    count, so indexing audio would break every existing container's
-    validation contract; the audio track is reached by the chunk walk
-    (_avi_audio_samples), not the index."""
+    'auds' stream (strh + WAVEFORMATEX strf — PCM 16-bit at
+    ``audio_rate``, ``audio_channels`` interleaved channels, mono
+    default with byte-identical output to the pre-multichannel writer)
+    and one word-aligned '01wb' chunk in movi holding the raw
+    little-endian samples.  avih's dwStreams becomes 2.  idx1 stays
+    VIDEO-ONLY by design — the engine's own walkers are the consumers
+    and parse_avi_info cross-checks idx1 against the '00dc' count, so
+    indexing audio would break every existing container's validation
+    contract; the audio track is reached by the chunk walk
+    (_avi_audio_samples), not the index.
+
+    CHANNEL CONTRACT (VERDICT r13 missing #2): every reader in the
+    engine channel-AVERAGES multichannel PCM before the envelope hash
+    (_wav_samples / _avi_audio_samples mean fold), so a stereo upload
+    whose channels carry the same program produces span signatures
+    byte-identical to the mono source — a stereo video's track matches
+    a mono clip corpus with zero configuration."""
     if not 1 <= fps <= 1_000_000:
         raise ValueError(f"fps must be in [1, 1000000], got {fps}")
-    if audio_samples is not None and len(audio_samples) % 2 != 0:
-        # validate at WRITE time: an odd-length payload would round-trip
-        # through the container walk into a numpy "buffer size must be a
-        # multiple of element size" error at read time — and under
-        # salvage=True the whole video would be silently dropped
-        # (ADVICE r13)
+    if audio_channels < 1:
+        raise ValueError(f"audio_channels must be >= 1, got {audio_channels}")
+    frame_bytes_per_block = 2 * audio_channels
+    if audio_samples is not None and len(audio_samples) % frame_bytes_per_block:
+        # validate at WRITE time: a payload that is not whole 16-bit
+        # sample blocks would round-trip through the container walk
+        # into a numpy "buffer size must be a multiple of element
+        # size" error at read time — and under salvage=True the whole
+        # video would be silently dropped (ADVICE r13)
         raise ValueError(
-            f"audio_samples must be whole 16-bit samples (even byte "
-            f"length), got {len(audio_samples)} bytes"
+            f"audio_samples must be whole 16-bit sample blocks "
+            f"({frame_bytes_per_block} bytes at {audio_channels} "
+            f"channel(s), even byte length), got {len(audio_samples)} bytes"
         )
     n = len(frames)
     uspf = 1_000_000 // fps
@@ -375,20 +389,21 @@ def encode_avi(
 
     strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     if has_audio:
-        n_samp = len(audio_samples) // 2
+        n_blocks = len(audio_samples) // frame_bytes_per_block
         astrh = (
             b"auds" + b"\x00\x00\x00\x00"
             + struct.pack(
                 "<IHHIIIIIIII",
-                0, 0, 0, 0, 1, audio_rate, 0, n_samp,
-                len(audio_samples), 0xFFFFFFFF, 2,
+                0, 0, 0, 0, 1, audio_rate, 0, n_blocks,
+                len(audio_samples), 0xFFFFFFFF, frame_bytes_per_block,
             )
             + struct.pack("<HHHH", 0, 0, 0, 0)
         )
-        # WAVEFORMATEX: PCM(1), mono, rate, byte rate, block align 2,
-        # 16 bits per sample
+        # WAVEFORMATEX: PCM(1), channel count, rate, byte rate, block
+        # align (2 bytes x channels), 16 bits per sample
         astrf = struct.pack(
-            "<HHIIHH", 1, 1, audio_rate, audio_rate * 2, 2, 16
+            "<HHIIHH", 1, audio_channels, audio_rate,
+            audio_rate * frame_bytes_per_block, frame_bytes_per_block, 16,
         )
         strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
@@ -929,11 +944,11 @@ def dhash_images(
             yield pd.DataFrame(out)
 
     schema = ", ".join(["media_id long"] + [f"{c} long" for c in cols])
-    return (
-        media.filter(F.col("media_type") == "image")
-        .select(F.col(id_col), "content")
-        .mapInPandas(sign, schema)
+    # non-optional widen at the signer choke point (VERDICT r13 item 1)
+    src = widen_for_decode(
+        media.filter(F.col("media_type") == "image").select(F.col(id_col), "content")
     )
+    return src.mapInPandas(sign, schema)
 
 
 # Skew guard for the media band joins (VERDICT r8 item 2): a (band,
@@ -1416,7 +1431,9 @@ def dhash_video_frames(
         + [f"{c} long" for c in cols]
         + (["seq_key binary"] if with_seq_key else [])
     )
-    return media.filter(F.col("media_type") == "video").mapInPandas(sign, schema)
+    # non-optional widen at the signer choke point (VERDICT r13 item 1)
+    src = widen_for_decode(media.filter(F.col("media_type") == "video"))
+    return src.mapInPandas(sign, schema)
 
 
 # widen_for_decode thresholds: a media frame with at least this many
@@ -1427,6 +1444,54 @@ def dhash_video_frames(
 _WIDEN_MIN_BYTES = 8 << 20
 _WIDEN_MIN_ROWS = 8192
 
+# Logical-plan nodes whose presence marks a COMPUTED frame: any probe
+# action on such a frame (count / agg / spark_partition_id scan)
+# executes the whole Python-eval upstream once — a full fixture
+# synthesis or decode pass spent on a probe (ADVICE r13).  Computed
+# frames therefore take the plan-count-only branch below: trust a wide
+# plan, repartition a narrow one unconditionally (no probes).
+_PY_EVAL_MARKERS = (
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInArrow",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "PythonUDTF",
+)
+
+
+def _analyzed_plan_str(df: DataFrame) -> str | None:
+    """The analyzed logical plan as text (None when the JVM handle is
+    unavailable — callers fall back to the probe ladder)."""
+    try:
+        return df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - py4j/connect fallback
+        return None
+
+
+def _static_num_partitions(df: DataFrame) -> int:
+    """Plan-estimate partition count WITHOUT materializing AQE stages:
+    under AQE, ``.rdd`` on a computed plan carrying a limit
+    materializes the limit stage — a real Spark job at
+    plan-CONSTRUCTION time, breaking the zero-jobs lazy-planning
+    contract (test_media_dedup_plan_construction_runs_zero_jobs).
+    Reading the count with AQE momentarily disabled keeps the
+    conversion static.  The flip only affects THIS frame's memoized
+    conversion; callers always derive new frames for the real work, so
+    their jobs still run under AQE."""
+    spark = df.sparkSession
+    try:
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:  # pragma: no cover - conf unavailable
+        aqe = None
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return df.rdd.getNumPartitions()
+    finally:
+        if aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
 
 def widen_for_decode(media: DataFrame) -> DataFrame:
     """Widen a NARROW media frame to the session's core count before a
@@ -1434,25 +1499,49 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
     media r12): a frame read from one or two parquet files arrives in
     one or two input partitions, so the Arrow signer — the dominant
     cost of every media operator — runs near-single-threaded no matter
-    how many cores the cluster has.  The streaming gates apply this to
-    every microbatch (streaming/media.py); BATCH callers whose media
-    comes from a few files (a small scrape directory, a single-file
-    ingest drop) should wrap their input in this before any
-    near-dup/containment operator.  The repartition shuffles the blobs
-    once — decode dwarfs that IO for any input past the thresholds
-    (byte sum ≥ 8 MB or row count ≥ 8192) — and a GENUINELY wide input
-    returns unchanged, so at real scale (more files than cores) this
-    is one row-count-only probe job, no shuffle.  'Wide' is judged by
-    NON-EMPTY partitions, not the plan's split count — a
-    single-row-group 157 MB file plans as 32 splits with 30 of them
-    empty and the signer runs 2-3 threads (the r13 measured term
-    behind the clip gate's 17× at 100×, tools/probe_sign_parallel.py).
-    File-backed frames use metadata-only size probes; a foreachBatch
-    frame (no files) probes the batch bytes directly with one agg over
-    length(content) (ADVICE r12 — the file-byte probe was silently
-    dead there, so byte-heavy low-row microbatches never widened)."""
+    how many cores the cluster has.  Every signer entry point
+    (dhash_images, dhash_video_frames, envelope_hash_audio[_spans],
+    envelope_hash_video_audio_spans) applies this automatically
+    (VERDICT r13 item 1 — the protection was streaming-only before,
+    and the few-large-file batch shape silently ran 2-3 threads), so
+    batch operators, streaming microbatches, and store ingest all get
+    the same guarantee with ONE probe site.  The repartition shuffles
+    the blobs once — decode dwarfs that IO for any input past the
+    thresholds (byte sum ≥ 8 MB or row count ≥ 8192) — and a GENUINELY
+    wide input returns unchanged, so at real scale (more files than
+    cores) this is one row-count-only probe job, no shuffle.
+
+    Policy by frame class (the analyzed plan decides):
+
+    - a COMPUTED frame (Python-eval upstream — mapInPandas synthesis,
+      Arrow UDFs) takes a plan-count-only guard: probing it would
+      execute the whole upstream once (ADVICE r13), so a wide plan is
+      trusted and a narrow one repartitions unconditionally — the
+      shuffle is bounded by blobs that were about to feed an Arrow
+      decode anyway, and a narrow computed frame otherwise pins the
+      WHOLE decode to one thread (the plan-count trust means a
+      computed frame INHERITING hollowness from its source scan is not
+      re-detected here — the documented trade for zero probe jobs);
+    - everything else (file scans, localCheckpoint/foreachBatch
+      LogicalRDDs, explicit repartitions) keeps the measured r13 probe
+      ladder below.
+
+    For the probe ladder, 'wide' is judged by NON-EMPTY partitions,
+    not the plan's split count — a single-row-group 157 MB file plans
+    as 32 splits with 30 of them empty and the signer runs 2-3 threads
+    (the r13 measured term behind the clip gate's 17× at 100×,
+    tools/probe_sign_parallel.py).  File-backed frames use
+    metadata-only size probes; a foreachBatch frame (no files) probes
+    the batch bytes directly with one agg over length(content)
+    (ADVICE r12 — the file-byte probe was silently dead there, so
+    byte-heavy low-row microbatches never widened)."""
     spark = media.sparkSession
     n = spark.sparkContext.defaultParallelism
+    plan = _analyzed_plan_str(media)
+    if plan is not None and any(m in plan for m in _PY_EVAL_MARKERS):
+        if _static_num_partitions(media) >= n:
+            return media
+        return media.repartition(n)
     if media.rdd.getNumPartitions() >= n:
         # the partition COUNT lies for low-row-group parquet: a 157 MB
         # single-file fixture plans as 32 splits but parquet cannot
@@ -1523,7 +1612,8 @@ def banded_signature_table(
     instead of K times (VERDICT r11 item 1; note the r12 measured
     decomposition — SCALE.md round-12 — found the gates' dominant
     per-batch constant was actually signing parallelism, fixed by
-    `_widen_batch`; this pre-band removes the smaller corpus-side
+    `widen_for_decode` — now applied inside every signer entry point
+    (r14); this pre-band removes the smaller corpus-side
     rescan+re-explode term.  At 10⁹ corpus items the banded table is
     4× ~30 B/row, well inside a cluster's aggregate MEMORY_AND_DISK
     cache).  Batch callers with many batches against one corpus can
@@ -2521,6 +2611,11 @@ def video_shared_run_pairs(
     if n_band_rows is None:
         sigs = sigs.localCheckpoint(eager=True)
         n_band_rows = sigs.count() * n_bands
+    else:
+        # the (band, val) SELF-join references the signed table on both
+        # sides — uncached, the decode+hash signer subtree evaluates
+        # twice per run (ADVICE r13; mirrors the containment ops)
+        sigs = sigs.cache()
     return _shared_run_pairs_from_sigs(
         sigs, sig_cols, min_run, max_hamming, n_band_rows, band_bits
     )
@@ -2656,8 +2751,216 @@ def audio_shared_run_pairs(
         if n_band_rows is None:
             sigs = sigs.localCheckpoint(eager=True)
             n_band_rows = sigs.count() * 4
+        else:
+            # self-join: cache or the signer subtree runs twice
+            # (ADVICE r13; mirrors the containment ops)
+            sigs = sigs.cache()
     return _shared_run_pairs_from_sigs(
         sigs, sig_cols, min_run, max_hamming, n_band_rows, band_bits
+    )
+
+
+def video_shared_runs_vs_corpus(
+    new_videos: DataFrame,
+    corpus_sig=None,
+    *,
+    min_run: int = 2,
+    max_hamming: int = 3,
+    every_n: int | None = None,
+    n_band_rows: int | None = None,
+    salvage: bool = False,
+    hash_bits: int | None = None,
+    corpus_bands: DataFrame | None = None,
+    n_corpus_band_rows: int | None = None,
+) -> DataFrame:
+    """PARTIAL-OVERLAP detection in the BATCH-VS-CORPUS shape (VERDICT
+    r13 item 3): arriving videos are checked for sharing any contiguous
+    frame RUN with a KNOWN corpus — licensed-segment detection over an
+    upload stream, the production form of video_shared_run_pairs.  The
+    near-dup gate refuses this shape (equal n_frames required) and the
+    containment gate refuses it too (the FULL shorter video must be
+    inside); a shared run that is a proper sub-run of BOTH sides only
+    surfaces here.
+
+    ``corpus_sig`` is the persisted signature table at FRAME grain
+    (dhash_video_frames output, or — the typed form — a VIDEO-modality
+    MediaSignatureStore handle whose sidecar pins hash_bits/every_n;
+    contradicting kwargs raise ConfigError).  The 100 TB shape mirrors
+    the other vs-corpus kernels: the arrival batch signs once, the
+    broadcast side is picked from EXACT counts (batch first, then
+    corpus, else sort-merge), candidates come from the (band, val)
+    equi-join grouped by the frame-offset delta — never all-pairs —
+    and runs fall out DECLARATIVELY with the gaps-and-islands window
+    (one output-proportional shuffle on (video, corpus, delta)).
+
+    With a strided corpus (``every_n`` > 1) both sides sign the same
+    stride; runs count SAMPLED frames at stride spacing and only
+    offsets ≡ 0 (mod every_n) are detectable — the same documented
+    stride contract as clip containment (dense signing is the
+    arbitrary-offset escape hatch).  An arrival identical to a corpus
+    item reports its full length as one maximal run.
+
+    Returns (video_id, corpus_id, video_start, corpus_start,
+    run_frames, max_hamming_seen) — one row per maximal shared run of
+    ≥ ``min_run`` aligned frames (starts are each side's first
+    frame_no of the run)."""
+    from langchain_memvid_spark.operators.dedup import check_pigeonhole
+
+    check_pigeonhole(max_hamming, n_bands=4)
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    if corpus_sig is None:
+        raise ValueError("pass corpus_sig (a signature table or store handle)")
+    if hasattr(corpus_sig, "signatures"):
+        store = corpus_sig
+        from langchain_memvid_spark.exceptions import ConfigError
+
+        if store.modality != "video":
+            raise ConfigError(
+                f"corpus_sig store must be the video modality, got "
+                f"{store.modality!r}"
+            )
+        for name, given, pinned in (
+            ("hash_bits", hash_bits, store.hash_bits),
+            ("every_n", every_n, store.every_n),
+        ):
+            if given is not None and given != pinned:
+                raise ConfigError(
+                    f"{name}={given!r} contradicts the corpus signature "
+                    f"table's sidecar ({name}={pinned!r} at {store.path})"
+                )
+        hash_bits, every_n = store.hash_bits, store.every_n
+        corpus_sig = store.signatures()
+    else:
+        sig_like = [c for c in corpus_sig.columns if c.startswith("dhash")]
+        if not sig_like or "frame_no" not in corpus_sig.columns:
+            raise ValueError(
+                f"corpus_sig must be a frame-grain table with dhash columns "
+                f"and frame_no (got {corpus_sig.columns}) — pass "
+                "dhash_video_frames output or a video MediaSignatureStore"
+            )
+        inferred = 64 * len(sig_like)
+        if hash_bits is not None and hash_bits != inferred:
+            from langchain_memvid_spark.exceptions import ConfigError
+
+            raise ConfigError(
+                f"hash_bits={hash_bits} contradicts corpus_sig's "
+                f"{len(sig_like)}-long layout ({inferred}-bit)"
+            )
+        hash_bits = inferred
+    if every_n is None:
+        every_n = 1
+    band_bits = 16 if hash_bits == 64 else 64
+    sig_cols = sig_col_names("dhash", hash_bits)
+    frames = dhash_video_frames(
+        new_videos, every_n=every_n, salvage=salvage, hash_bits=hash_bits
+    )
+    if n_band_rows is None:
+        frames = frames.localCheckpoint(eager=True)
+        n_band_rows = frames.count() * 4
+    else:
+        frames = frames.cache()
+    return _shared_runs_vs_corpus_from_sigs(
+        frames, corpus_sig, sig_cols, band_bits, min_run, max_hamming,
+        every_n, n_band_rows, corpus_bands, n_corpus_band_rows,
+    )
+
+
+def _shared_runs_vs_corpus_from_sigs(
+    frames: DataFrame,
+    corpus_sig: DataFrame,
+    sig_cols: list[str],
+    band_bits: int,
+    min_run: int,
+    max_hamming: int,
+    every_n: int,
+    n_band_rows: int,
+    corpus_bands: DataFrame | None,
+    n_corpus_band_rows: int | None,
+) -> DataFrame:
+    """The batch-vs-corpus shared-run JOIN+ISLANDS body — the
+    _shared_run_pairs_from_sigs gaps-and-islands kernel with the
+    self-join replaced by an arrivals×corpus band join (and therefore
+    no a<b canonicalization: the two sides are distinct tables), plus
+    the vs-corpus exact-count broadcast pick shared with
+    _contains_clip_vs_corpus_verify."""
+    from pyspark.sql import Window
+
+    from langchain_memvid_spark.operators.dedup import (
+        _PAIR_BROADCAST_ROW_LIMIT,
+        hamming_band_table,
+        hamming_distance_col,
+    )
+
+    n_bands = 4
+    a_sig = [f"__a{j}" for j in range(len(sig_cols))]
+    b_sig = [f"__b{j}" for j in range(len(sig_cols))]
+    fb = hamming_band_table(
+        frames.select("media_id", "frame_no", *sig_cols),
+        sig_cols, n_bands=n_bands, band_bits=band_bits,
+    ).select(
+        F.col("media_id").alias("video_id"),
+        F.col("frame_no").alias("a_fno"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, a_sig)],
+        "band", "val",
+    )
+    if corpus_bands is None:
+        corpus_bands = hamming_band_table(
+            corpus_sig.select("media_id", "frame_no", *sig_cols),
+            sig_cols, n_bands=n_bands, band_bits=band_bits,
+        )
+    # else: pre-banded frame-grain corpus persisted by the gate
+    cb = corpus_bands.select(
+        F.col("media_id").alias("corpus_id"),
+        F.col("frame_no").alias("b_fno"),
+        *[F.col(c).alias(al) for c, al in zip(sig_cols, b_sig)],
+        "band", "val",
+    )
+    if n_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+        joined = cb.join(F.broadcast(fb), ["band", "val"])
+    else:
+        # batch too big to broadcast: broadcast the CORPUS side if IT
+        # fits, else sort-merge (see _contains_clip_vs_corpus_verify)
+        if n_corpus_band_rows is None:
+            n_corpus_band_rows = n_bands * corpus_sig.count()
+        if n_corpus_band_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+            joined = fb.join(F.broadcast(cb), ["band", "val"])
+        else:
+            joined = cb.hint("merge").join(fb, ["band", "val"])
+    hits = (
+        joined.select(
+            "video_id", "corpus_id", "b_fno",
+            (F.col("a_fno") - F.col("b_fno")).alias("delta"),
+            hamming_distance_col(a_sig, b_sig).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a true aligned pair can arrive on up to n_bands band rows:
+        # keep one per aligned frame (min hamming — deterministic,
+        # band-independent)
+        .groupBy("video_id", "corpus_id", "delta", "b_fno")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+    w = Window.partitionBy("video_id", "corpus_id", "delta").orderBy("b_fno")
+    runs = (
+        hits.withColumn(
+            "__island",
+            (F.col("b_fno") / F.lit(every_n)).cast("long")
+            - F.row_number().over(w),
+        )
+        .groupBy("video_id", "corpus_id", "delta", "__island")
+        .agg(
+            F.count("*").alias("run_frames"),
+            F.min("b_fno").alias("b_start"),
+            F.max("hamming").alias("max_hamming_seen"),
+        )
+        .filter(F.col("run_frames") >= min_run)
+    )
+    return runs.select(
+        "video_id", "corpus_id",
+        (F.col("b_start") + F.col("delta")).cast("int").alias("video_start"),
+        F.col("b_start").cast("int").alias("corpus_start"),
+        F.col("run_frames").cast("int").alias("run_frames"),
+        "max_hamming_seen",
     )
 
 
@@ -2807,7 +3110,10 @@ def video_audio_contains_clip_vs_corpus(
     are counted in span units (hop units when ``hop_samples`` is
     set).  Videos without an audio stream vacuously match nothing.
     Strictly longer soundtracks only, matching the other containment
-    shapes.
+    shapes.  Multichannel soundtracks are channel-AVERAGED before the
+    envelope hash (the documented channel contract — see
+    envelope_hash_video_audio_spans), so stereo uploads match a mono
+    clip corpus with zero configuration.
 
     Returns (video_id, clip_id, offset, clip_frames,
     max_hamming_seen)."""
@@ -3208,11 +3514,11 @@ def envelope_hash_audio(
             yield pd.DataFrame(out)
 
     schema = ", ".join(["media_id long"] + [f"{c} long" for c in cols])
-    return (
-        media.filter(F.col("media_type") == "audio")
-        .select(F.col(id_col), "content")
-        .mapInPandas(sign, schema)
+    # non-optional widen at the signer choke point (VERDICT r13 item 1)
+    src = widen_for_decode(
+        media.filter(F.col("media_type") == "audio").select(F.col(id_col), "content")
     )
+    return src.mapInPandas(sign, schema)
 
 
 def envelope_hash_audio_spans(
@@ -3316,11 +3622,11 @@ def envelope_hash_audio_spans(
         + [f"{c} long" for c in cols]
         + (["seq_key binary"] if with_seq_key else [])
     )
-    return (
-        media.filter(F.col("media_type") == "audio")
-        .select("media_id", "content")
-        .mapInPandas(sign, schema)
+    # non-optional widen at the signer choke point (VERDICT r13 item 1)
+    src = widen_for_decode(
+        media.filter(F.col("media_type") == "audio").select("media_id", "content")
     )
+    return src.mapInPandas(sign, schema)
 
 
 def envelope_hash_video_audio_spans(
@@ -3344,7 +3650,15 @@ def envelope_hash_video_audio_spans(
     A structurally valid container with NO audio stream yields no span
     rows (it vacuously contains no audio clip — the zero-frame-AVI
     rule); an unparseable container or a non-PCM/non-16-bit track
-    raises unless ``salvage`` drops it."""
+    raises unless ``salvage`` drops it.
+
+    CHANNEL CONTRACT (VERDICT r13 missing #2): a multichannel track is
+    channel-AVERAGED before the envelope hash (_avi_audio_samples mean
+    fold), so a stereo upload whose channels carry the same program
+    signs byte-identically to the mono source and matches a mono clip
+    corpus with zero configuration; a genuinely two-program stereo mix
+    signs as its mono fold — the single documented rule on every audio
+    read path."""
     if span_samples < 1:
         raise ValueError(f"span_samples must be >= 1, got {span_samples}")
     hop = span_samples if hop_samples is None else hop_samples
@@ -3401,11 +3715,11 @@ def envelope_hash_video_audio_spans(
         ["media_id long", "frame_no int", "n_frames int"]
         + [f"{c} long" for c in cols]
     )
-    return (
-        media.filter(F.col("media_type") == "video")
-        .select("media_id", "content")
-        .mapInPandas(sign, schema)
+    # non-optional widen at the signer choke point (VERDICT r13 item 1)
+    src = widen_for_decode(
+        media.filter(F.col("media_type") == "video").select("media_id", "content")
     )
+    return src.mapInPandas(sign, schema)
 
 
 def audio_contains_clip_pairs(

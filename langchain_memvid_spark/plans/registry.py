@@ -3462,6 +3462,65 @@ def q_stream_video_contains_clip(spark, sf_dir):
 
 
 @_reg(
+    "stream_video_shared_runs",
+    """
+SELECT doc_id + 10000000 AS video_id, doc_id AS corpus_id,
+       (1 + doc_id % 3)::INT AS video_start,
+       (doc_id % 2)::INT AS corpus_start,
+       (2 + doc_id % 2)::INT AS run_frames,
+       0::INT AS max_hamming_seen
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY video_id
+""",
+)
+def q_stream_video_shared_runs(spark, sf_dir):
+    """STREAMING shared-run gate (VERDICT r13 item 3 — the production
+    form of video_shared_runs): arriving uploads are checked for
+    sharing any contiguous frame RUN with a persisted corpus
+    (licensed-segment detection on an upload stream) — the
+    partial-overlap shape the near-dup gate (equal lengths) and
+    containment gate (full clip inside) both refuse.  The corpus is
+    signed ONCE into a VIDEO MediaSignatureStore at frame grain; the
+    uploads arrive as a THREE-microbatch file stream; every microbatch
+    signs only its own arrivals, band-joins the corpus table's
+    pre-banded persisted form, and collapses maximal runs with the
+    gaps-and-islands window — exactly-once via idempotent
+    per-batch-partition overwrite.  Arrival-vs-corpus verdicts are
+    batch-split-invariant, so the accumulated union hashes against
+    the overlap fixture's closed form: every 5th doc's variant upload
+    shares frames o..o+L−1 (o = d%2, L = 2+d%2) of base d behind
+    p = 1+d%3 unique prefix frames ⇒ exactly
+    {(d+OFFSET, d, p, o, L, 0)}."""
+    import tempfile
+
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+    from langchain_memvid_spark.streaming.media import stream_video_shared_runs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="stream_vsr_")
+    media = mm.synthesize_video_overlap_corpus(docs, overlap_every=5)
+    store = MediaSignatureStore(spark, f"{base}/csigs", "video")
+    store.sign_and_append(
+        media.filter(F.col("media_id") < mm.VARIANT_ID_OFFSET)
+    )
+    arrivals = media.filter(F.col("media_id") >= mm.VARIANT_ID_OFFSET)
+    arrivals.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
+    out = stream_video_shared_runs(
+        spark,
+        f"{base}/arrivals",
+        f"{base}/matches",
+        f"{base}/ckpt",
+        corpus_sig=store,
+        max_files_per_trigger=1,
+    )
+    return out.select(
+        "video_id", "corpus_id", "video_start", "corpus_start",
+        "run_frames", "max_hamming_seen",
+    ).orderBy("video_id")
+
+
+@_reg(
     "sigstore_takedown",
     """
 SELECT CAST(-1 AS BIGINT) AS media_id, TRUE AS is_dup,
@@ -6468,63 +6527,66 @@ _DRIVER_GREEN = {
     # CORRECTNESS_r12.json: 50 full hash passes, zero failures.  New
     # names not already listed above:
     "audio_contains_clip_hop",
+    # CORRECTNESS_r13.json: 50 full hash passes, zero failures.  New
+    # names not already listed above:
+    "video_shared_runs", "audio_shared_runs", "video_audio_contains_clip",
+    "stream_video_audio_contains_clip",
 }
 
 
-# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 13:
+# Queries whose OUTPUT, ORACLE, or IMPLEMENTATION changed in round 14:
 # their old driver rows don't reflect current code, so they must land
 # inside the driver's ~50-query budget.  ONLY names whose change has
 # actually landed belongs here.
 _CHANGED_THIS_ROUND = (
-    # round 13: widen_for_decode now judges wideness by NON-EMPTY
-    # partitions (the hollow single-row-group split stall behind the
-    # clip gate's 17x at 100x — VERDICT r12 item 1) and probes
-    # foreachBatch bytes with a length(content) agg (ADVICE r12);
-    # stream_media_dedup_vs_corpus additionally materializes its band
-    # cache before microbatch 1 (VERDICT r12 item 6); the vs-corpus
-    # clip kernel's join+verify body moved into the shared
-    # _contains_clip_vs_corpus_verify (audio-track containment reuses
-    # it).  Outputs unchanged; the per-batch plans changed.
-    # NOT listed: queries whose ops only share encode_avi, which
-    # gained optional soundtrack params — audio-less output is
-    # byte-identical (pinned by test_multimodal's byte-stable check).
-    "stream_media_ingest_gate",
-    "stream_video_contains_image",
-    "stream_video_contains_clip",
+    # round 14: (a) widen_for_decode moved INSIDE the five signer entry
+    # points (VERDICT r13 item 1 — the protection was streaming-only),
+    # with a plan-count-only guard for COMPUTED frames (ADVICE r13:
+    # probing a mapInPandas frame executes its upstream), so every
+    # batch media operator's plan gained the auto-widen; (b) the
+    # shared-run ops cache their signed table in the n_band_rows branch
+    # (ADVICE r13: the self-join evaluated the signer subtree twice).
+    # Outputs are partition-invariant and unchanged everywhere; the
+    # REPRESENTATIVE changed subset fronted here is the two cache-fix
+    # queries plus one batch-containment widen representative — the
+    # rest of the media family re-greens via the r15 rotation (the
+    # VERDICT r13 item 2 budget rule: 46 rotation + 3 changed + 1
+    # pending = exactly 50, zero headroom — r15 must trim first).
+    "video_shared_runs",
+    "audio_shared_runs",
+    "video_contains_clip",
 )
 
 
 # Stale-green rotation: greens whose newest driver row is oldest come
-# first.  After round 12 the newest-signal distribution is 43 queries
-# at r9, then 46 at r10, 46 at r11, 50 at r12 — zero failures as
-# latest state anywhere.  Round 13 re-greens the ENTIRE r9 block —
-# 3 changed + 1 pending (video_audio_contains_clip) + 43 rotation
-# = 47 ≤ the ~50 budget (checked by _reorder_for_driver), after which
-# nothing's newest driver row is older than r10.
+# first.  After round 13 the newest-signal distribution is 46 queries
+# at r10, then 46 at r11, 47 at r12, 50 at r13 — zero failures as
+# latest state anywhere.  Round 14 re-greens the ENTIRE r10 block —
+# 3 changed + 1 pending (stream_video_shared_runs) + 46 rotation
+# = exactly 50 = the budget (checked by _reorder_for_driver), after
+# which nothing's newest driver row is older than r11.  ZERO headroom:
+# the next added query must trim the rotation tail first.
 _STALE_ROTATION = (
-    # newest signal is r9 — media dedup / incremental / stream / vs
-    # surface first, relational queries last
-    "knn_batch", "vs_similarity_join", "vs_point_lookup",
-    "vs_semi_join", "payload_roundtrip",
-    "image_near_dup_wide", "audio_near_dup_wide",
-    "image_exact_dup_groups", "audio_exact_dup_groups",
-    "incremental_image_dedup",
-    "incremental_audio_dedup", "incremental_video_dedup",
-    "ivf_batch_search", "approx_distinct_stats",
-    "chunk_documents", "chunk_dedup", "distinct_counts",
-    "stream_tumbling_counts", "stream_session_windows",
-    "stream_user_lifetime", "stream_click_purchase_join",
-    "stream_sliding_activity", "stream_similarity_join",
-    "salted_skew_join", "bucketed_colocated_join",
-    "tfidf_top_terms", "vocab_top_terms",
-    "orders_grouping_sets", "priority_balance_full_outer",
-    "building_without_urgent_except", "cheapest_parts_per_type",
-    "top_customers_per_nation", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q5_regional_revenue", "q8_market_share",
-    "q12_priority_by_returnflag", "q14_promo_revenue_share",
-    "q15_top_suppliers", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
+    # newest signal is r10 — media/vs/stream surface first,
+    # relational queries last
+    "image_near_dup", "video_near_dup", "audio_near_dup",
+    "video_exact_dup_groups", "mmr_search",
+    "vs_relevance_scores", "vs_metadata_filter_typed",
+    "vs_storage_stats", "knn_topk", "ivf_search",
+    "minhash_signatures", "minhash_band_pairs",
+    "dedup_exact", "ngram_jaccard", "simhash", "simhash_near_pairs",
+    "embedding_cosine_pairs", "embedding_quantization",
+    "text_token_counts", "text_quality", "text_lang_id",
+    "text_fingerprint", "stream_near_dedup",
+    "stream_dedup_within_watermark", "udtf_bigram_counts",
+    "decontaminate", "pretrain_pipeline_v2", "pretrain_pipeline_stats",
+    "events_hourly", "events_json_stats", "events_sessionize",
+    "dense_hourly_counts", "cohort_retention", "filtered_aggregates",
+    "per_user_zscore", "order_age_buckets", "part_name_string_ops",
+    "orders_rollup", "orders_unpivot", "running_revenue",
+    "rolling_30d_revenue", "scalar_showcase", "sql_interface_demo",
+    "customer_quartiles", "customers_without_orders",
+    "q21_sole_late_supplier",
 )
 
 

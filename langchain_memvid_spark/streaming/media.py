@@ -69,22 +69,15 @@ def _persisted_corpus_bands(
     ).persist()
 
 
-def _widen_batch(batch_df: DataFrame) -> DataFrame:
-    """Widen a NARROW microbatch to the session's core count before
-    the decode-heavy signer (binary.widen_for_decode — the
-    `_shingle_rows` rule, found r12 by decomposing the gate-only
-    ladder: a file-stream microbatch is one file → one-ish input
-    partition, so the Arrow signer — the gates' dominant per-batch
-    cost — ran near-single-threaded per microbatch; the r11 SCALE.md
-    decomposition misattributed this constant to the corpus band
-    rebuild).  Note inputFiles() is EMPTY on a foreachBatch frame
-    (measured r12), so the helper probes batch bytes directly with one
-    agg over length(content) — rows + byte sum in a single pass —
-    instead of the file-metadata probe (ADVICE r12: the old bytes
-    guard was silently dead here, so a few-large-blob microbatch — the
-    decode-heavy shape widening targets — never widened under the
-    8192-row gate)."""
-    return mm.widen_for_decode(batch_df)
+#  Microbatch widening (the r12 `_widen_batch` wrapper) moved INTO the
+#  signer entry points (binary.widen_for_decode — VERDICT r13 item 1):
+#  every gate's per-batch signer call now probes and widens its own
+#  input with the SAME decision ladder (a foreachBatch frame is a
+#  LogicalRDD, so it takes the rows+bytes content-agg probe exactly as
+#  before), and batch callers get the identical protection for free.
+#  One probe site instead of N call sites; a second gate-level probe
+#  here would double the per-microbatch probe job (the r13 A/B showed
+#  two sequential probes cost more than one).
 
 
 def _infer_sig_cols(sig: DataFrame, base: str, what: str) -> list:
@@ -186,7 +179,6 @@ def stream_media_dedup_vs_corpus(
     corpus_bands.count()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = _widen_batch(batch_df)
         kwargs = dict(
             corpus_sig=corpus_sig,
             corpus_bands=corpus_bands,
@@ -287,7 +279,7 @@ def stream_video_contains_clip(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = mm.video_contains_clip_vs_corpus(
-            _widen_batch(batch_df),
+            batch_df,
             clip_sig=clip_sig,
             corpus_bands=corpus_bands,
             n_corpus_band_rows=n_corpus_band_rows,
@@ -317,6 +309,109 @@ def stream_video_contains_clip(
             [],
             "video_id BIGINT, clip_id BIGINT, offset INT, "
             "clip_frames INT, max_hamming_seen INT, batch_id INT",
+        )
+
+
+def stream_video_shared_runs(
+    spark: SparkSession,
+    media_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    corpus_sig: "DataFrame | MediaSignatureStore",
+    min_run: int = 2,
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+    salvage: bool = False,
+    every_n: int | None = None,
+) -> DataFrame:
+    """STREAMING shared-run gate (VERDICT r13 item 3): arriving videos
+    are checked for sharing any contiguous frame RUN with the persisted
+    corpus — licensed-segment / co-derivative-upload detection, the
+    production form of video_shared_run_pairs.  Near-dup refuses this
+    shape (equal lengths) and containment refuses it too (full clip
+    inside); the partial overlap only surfaces here.  Same
+    idempotent-foreachBatch recipe as the other media gates: each
+    microbatch signs ONLY its own arrivals, band-joins the corpus
+    table's PRE-BANDED persisted form, groups candidates by
+    frame-offset delta, collapses maximal runs with the
+    gaps-and-islands window, and OVERWRITES its own ``batch_id=<id>``
+    partition for exactly-once replay.
+
+    ``corpus_sig`` is a persisted dhash_video_frames output at frame
+    grain or — the typed form — a VIDEO-modality MediaSignatureStore
+    handle (width and stride pinned by the table's own sidecar).
+    Arrival-vs-corpus verdicts are batch-split-invariant: each arrival
+    is judged against the fixed corpus only (arrivals are NOT compared
+    to each other — that cross-batch shape is the batch self-join
+    operator's job), so the accumulated output equals the batch
+    vs-corpus operator's on the union of arrivals.
+
+    Returns a batch read of the accumulated runs
+    (video_id, corpus_id, video_start, corpus_start, run_frames,
+    max_hamming_seen, batch_id — the partition-discovery column last,
+    on the empty path too)."""
+    if hasattr(corpus_sig, "signatures"):
+        store = corpus_sig
+        if store.modality != "video":
+            raise ConfigError(
+                f"corpus_sig store must be the video modality, got "
+                f"{store.modality!r}"
+            )
+        if every_n is not None and every_n != store.every_n:
+            raise ConfigError(
+                f"gate every_n={every_n!r} contradicts the corpus table's "
+                f"sidecar (every_n={store.every_n!r} at {store.path})"
+            )
+        every_n = store.every_n
+        corpus_sig = store.signatures()
+    if corpus_sig.isStreaming:  # pragma: no cover - contract guard
+        raise ValueError("corpus_sig must be a static (batch) table")
+    stream = _read_table_stream(
+        spark, media_path, MEDIA_STREAM_SCHEMA, max_files_per_trigger
+    )
+    corpus_bands = _persisted_corpus_bands(
+        corpus_sig,
+        _infer_sig_cols(corpus_sig, "dhash", "corpus_sig"),
+        frame_grain=True,
+    )
+    # once per stream: materializes the band cache + feeds the
+    # per-batch broadcast-side pick (see stream_video_contains_clip)
+    n_corpus_band_rows = corpus_bands.count()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = mm.video_shared_runs_vs_corpus(
+            batch_df,
+            corpus_sig=corpus_sig,
+            corpus_bands=corpus_bands,
+            n_corpus_band_rows=n_corpus_band_rows,
+            min_run=min_run,
+            max_hamming=max_hamming,
+            every_n=every_n,
+            salvage=salvage,
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        corpus_bands.unpersist()
+    try:
+        return spark.read.parquet(out_path)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        if cond != "PATH_NOT_FOUND":
+            raise
+        return spark.createDataFrame(
+            [],
+            "video_id BIGINT, corpus_id BIGINT, video_start INT, "
+            "corpus_start INT, run_frames INT, max_hamming_seen INT, "
+            "batch_id INT",
         )
 
 
@@ -398,7 +493,7 @@ def stream_video_audio_contains_clip(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = mm.video_audio_contains_clip_vs_corpus(
-            _widen_batch(batch_df),
+            batch_df,
             clip_sig=clip_sig,
             span_samples=span_samples,
             hop_samples=hop_samples,
@@ -491,7 +586,7 @@ def stream_video_contains_image(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = mm.video_contains_image_pairs(
-            _widen_batch(batch_df),
+            batch_df,
             image_sig=image_sig,
             corpus_bands=corpus_bands,
             n_corpus_band_rows=n_corpus_band_rows,

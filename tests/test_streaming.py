@@ -599,6 +599,61 @@ def test_stream_video_contains_image(spark, sf_dir, tmp_path):
             str(tmp_path / "c3"), image_sig=astore)
 
 
+def test_stream_video_shared_runs(spark, sf_dir, tmp_path):
+    """Streaming shared-run gate (VERDICT r13 item 3): accumulated
+    runs across microbatches equal the batch vs-corpus operator's on
+    the union of arrivals (batch-split-invariant — arrivals are judged
+    against the fixed corpus only), and match the overlap fixture's
+    closed form; empty source returns the typed frame with batch_id
+    LAST; a non-video store raises."""
+    from langchain_memvid_spark.exceptions import ConfigError
+    from langchain_memvid_spark.multimodal import binary as mm
+    from langchain_memvid_spark.multimodal.sigstore import MediaSignatureStore
+    from langchain_memvid_spark.streaming.media import stream_video_shared_runs
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = mm.synthesize_video_overlap_corpus(docs, overlap_every=5)
+    bases = media.filter(F.col("media_id") < mm.VARIANT_ID_OFFSET)
+    variants = media.filter(F.col("media_id") >= mm.VARIANT_ID_OFFSET)
+    store = MediaSignatureStore(spark, str(tmp_path / "rsigs"), "video")
+    store.sign_and_append(bases)
+    variants.repartition(3).write.parquet(str(tmp_path / "arrivals"))
+    out = stream_video_shared_runs(
+        spark, str(tmp_path / "arrivals"), str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"), corpus_sig=store, max_files_per_trigger=1)
+    assert out.columns == ["video_id", "corpus_id", "video_start",
+                           "corpus_start", "run_frames",
+                           "max_hamming_seen", "batch_id"]
+    got = sorted((r["video_id"], r["corpus_id"], r["video_start"],
+                  r["corpus_start"], r["run_frames"], r["max_hamming_seen"])
+                 for r in out.collect())
+    want = sorted(map(tuple, mm.video_shared_runs_vs_corpus(
+        variants, corpus_sig=store.signatures()).collect()))
+    assert got == want
+    # the overlap fixture's closed form: every 5th doc's variant
+    # shares frames o..o+L-1 (o=d%2, L=2+d%2) behind p=1+d%3 prefix
+    assert got == sorted(
+        (d + mm.VARIANT_ID_OFFSET, d, 1 + d % 3, d % 2, 2 + d % 2, 0)
+        for d in range(0, 60, 5))
+
+    # empty source: typed empty frame, batch_id last
+    spark.createDataFrame([], "media_id long, media_type string, content binary"
+                          ).write.parquet(str(tmp_path / "none"))
+    eout = stream_video_shared_runs(
+        spark, str(tmp_path / "none"), str(tmp_path / "m2"),
+        str(tmp_path / "c2"), corpus_sig=store)
+    assert eout.columns == ["video_id", "corpus_id", "video_start",
+                            "corpus_start", "run_frames",
+                            "max_hamming_seen", "batch_id"]
+    assert eout.count() == 0
+
+    astore = MediaSignatureStore(spark, str(tmp_path / "asigs"), "audio")
+    with pytest.raises(ConfigError, match="video modality"):
+        stream_video_shared_runs(
+            spark, str(tmp_path / "arrivals"), str(tmp_path / "m3"),
+            str(tmp_path / "c3"), corpus_sig=astore)
+
+
 def test_stream_video_audio_contains_clip(spark, sf_dir, tmp_path):
     """Streaming SOUNDTRACK gate (VERDICT r12 item 3's production
     form): accumulated matches across microbatches equal the batch
