@@ -1514,14 +1514,20 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
     Policy by frame class (the analyzed plan decides):
 
     - a COMPUTED frame (Python-eval upstream — mapInPandas synthesis,
-      Arrow UDFs) takes a plan-count-only guard: probing it would
-      execute the whole upstream once (ADVICE r13), so a wide plan is
-      trusted and a narrow one repartitions unconditionally — the
-      shuffle is bounded by blobs that were about to feed an Arrow
-      decode anyway, and a narrow computed frame otherwise pins the
-      WHOLE decode to one thread (the plan-count trust means a
+      Arrow UDFs) takes a ZERO-JOB guard: probing it would execute the
+      whole upstream once (ADVICE r13), so a wide plan is trusted, and
+      a narrow one widens iff its SOURCE scan's file bytes (filesystem
+      metadata, not a Spark job) reach _WIDEN_MIN_BYTES/8 — source
+      bytes lower-bound the computed blobs for synthesis/decode shapes
+      (media pipelines expand compressed source text ≥ ~8x into
+      blobs), and the r14 A/B showed the unconditional form taxing
+      tiny fixtures 1.05-1.15x at sf0.1 for no decode win.  A sourced
+      frame below the floor stays narrow; a computed frame with NO
+      source files (in-memory fixtures) widens — unknown provenance
+      defaults to protection, and its shuffle is bounded by what the
+      driver already materialized.  (The plan-count trust means a
       computed frame INHERITING hollowness from its source scan is not
-      re-detected here — the documented trade for zero probe jobs);
+      re-detected here — the documented trade for zero probe jobs.)
     - everything else (file scans, localCheckpoint/foreachBatch
       LogicalRDDs, explicit repartitions) keeps the measured r13 probe
       ladder below.
@@ -1541,6 +1547,16 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
     if plan is not None and any(m in plan for m in _PY_EVAL_MARKERS):
         if _static_num_partitions(media) >= n:
             return media
+        try:
+            from langchain_memvid_spark.sources import fs as hfs
+
+            files = media.inputFiles()
+            if files:
+                src_bytes = sum(hfs.data_bytes(spark, f) for f in files)
+                if src_bytes < _WIDEN_MIN_BYTES // 8:
+                    return media
+        except Exception:  # unprobeable source: widen (protection wins)
+            pass
         return media.repartition(n)
     if media.rdd.getNumPartitions() >= n:
         # the partition COUNT lies for low-row-group parquet: a 157 MB

@@ -2010,6 +2010,14 @@ def test_signer_auto_widens_narrow_input(spark, tmp_path, monkeypatch):
     widened = mm.widen_for_decode(synth)
     assert widened.rdd.getNumPartitions() == n
     assert mm.widen_for_decode(widened) is widened
+    # a computed frame from a TINY file source stays narrow: source
+    # bytes lower-bound the computed blobs, and the r14 A/B showed the
+    # unconditional widen taxing small fixtures for no decode win
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    sourced = mm.synthesize_image_corpus(
+        spark.read.parquet(str(tmp_path / "docs")), variant_every=None
+    )
+    assert mm.widen_for_decode(sourced) is sourced
     # and the containment op inherits the protection end-to-end: a
     # narrow file-backed video drop signs wide through
     # video_contains_clip_pairs' signer without any caller-side wrap
