@@ -1436,13 +1436,47 @@ def dhash_video_frames(
     return src.mapInPandas(sign, schema)
 
 
-# widen_for_decode thresholds: a media frame with at least this many
-# stored bytes OR this many blobs (one decode each) gets the
-# full-width shuffle; anything smaller stays put — for a trivial
-# input the repartition's task overhead exceeds the decode it
-# parallelizes (A/B-measured at sf0.1, SCALE.md round-12).
-_WIDEN_MIN_BYTES = 8 << 20
-_WIDEN_MIN_ROWS = 8192
+# widen_for_decode sizing: the probe ladder derives a TARGET partition
+# count from measured bytes/rows instead of the old binary
+# 8 MB-or-8192-rows → full-core-count rule (optimization r14: a 2.6 MB
+# / 1667-blob microbatch stayed narrow under the old thresholds and
+# signed serially in 0.50 s, while a right-sized repartition signed it
+# in 0.31 s — the binary rule wasted the probe's own measurement).
+# One task per ~512 KB of blob bytes or ~256 blobs keeps every task
+# ≥ tens of ms of decode work (measured ~5 MB/s single-thread decode
+# against ~5 ms local task overhead), capped at the session core
+# count — so a trivial input still stays put, a mid-size input gets
+# proportional width, and anything ≥ ~16 MB gets the full width the
+# old rule reserved for 8 MB+.
+_WIDEN_BYTES_PER_TASK = 512 << 10
+_WIDEN_ROWS_PER_TASK = 256
+# below BOTH floors the frame stays narrow no matter what the unit
+# math says: the r14 A/B showed small signature-store batches
+# (~1 MB / ~1.4 k blobs, many signer calls per query) paying a
+# repartition stage per call for negligible decode win (1.1–1.2×
+# regressions on the sigstore lifecycle queries), while the ≥2 MB
+# microbatch shapes kept their measured win
+_WIDEN_FLOOR_BYTES = 2 << 20
+_WIDEN_FLOOR_ROWS = 2048
+# computed-frame (zero-job) branch floor: a mapInPandas-synthesized
+# frame widens only when its SOURCE scan's file bytes reach this —
+# source bytes lower-bound the computed blobs (see docstring below)
+_WIDEN_SRC_MIN_BYTES = 1 << 20
+
+
+def _widen_target(n: int, nbytes: int | None, nrows: int | None) -> int:
+    """Size-derived repartition width: one task per
+    _WIDEN_BYTES_PER_TASK of payload or _WIDEN_ROWS_PER_TASK blobs,
+    whichever asks for more, capped at the core count."""
+    import math
+
+    if (nbytes or 0) < _WIDEN_FLOOR_BYTES and (nrows or 0) < _WIDEN_FLOOR_ROWS:
+        return 1
+    t = max(
+        math.ceil((nbytes or 0) / _WIDEN_BYTES_PER_TASK),
+        math.ceil((nrows or 0) / _WIDEN_ROWS_PER_TASK),
+    )
+    return min(n, t)
 
 # Logical-plan nodes whose presence marks a COMPUTED frame: any probe
 # action on such a frame (count / agg / spark_partition_id scan)
@@ -1506,10 +1540,14 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
     and the few-large-file batch shape silently ran 2-3 threads), so
     batch operators, streaming microbatches, and store ingest all get
     the same guarantee with ONE probe site.  The repartition shuffles
-    the blobs once — decode dwarfs that IO for any input past the
-    thresholds (byte sum ≥ 8 MB or row count ≥ 8192) — and a GENUINELY
-    wide input returns unchanged, so at real scale (more files than
-    cores) this is one row-count-only probe job, no shuffle.
+    the blobs once — decode dwarfs that IO whenever the probe asks for
+    width — and a GENUINELY wide input returns unchanged, so at real
+    scale (more files than cores) this is one row-count-only probe
+    job, no shuffle.  The width is SIZE-DERIVED (optimization r14):
+    one task per ~512 KB of payload or ~256 blobs, capped at the core
+    count, so a trivial input stays put, a mid-size microbatch gets
+    proportional width instead of staying serial under the old binary
+    8 MB / 8192-row rule, and a big input gets every core.
 
     Policy by frame class (the analyzed plan decides):
 
@@ -1517,7 +1555,7 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
       Arrow UDFs) takes a ZERO-JOB guard: probing it would execute the
       whole upstream once (ADVICE r13), so a wide plan is trusted, and
       a narrow one widens iff its SOURCE scan's file bytes (filesystem
-      metadata, not a Spark job) reach _WIDEN_MIN_BYTES/8 — source
+      metadata, not a Spark job) reach _WIDEN_SRC_MIN_BYTES — source
       bytes lower-bound the computed blobs for synthesis/decode shapes
       (media pipelines expand compressed source text ≥ ~8x into
       blobs), and the r14 A/B showed the unconditional form taxing
@@ -1553,12 +1591,13 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
             files = media.inputFiles()
             if files:
                 src_bytes = sum(hfs.data_bytes(spark, f) for f in files)
-                if src_bytes < _WIDEN_MIN_BYTES // 8:
+                if src_bytes < _WIDEN_SRC_MIN_BYTES:
                     return media
         except Exception:  # unprobeable source: widen (protection wins)
             pass
         return media.repartition(n)
-    if media.rdd.getNumPartitions() >= n:
+    cur = media.rdd.getNumPartitions()
+    if cur >= n:
         # the partition COUNT lies for low-row-group parquet: a 157 MB
         # single-file fixture plans as 32 splits but parquet cannot
         # split below a row-group boundary, so 30 of them are EMPTY
@@ -1568,22 +1607,31 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
         # partitions before trusting the plan — the probe reads zero
         # data columns (row-count-only scan), so it is metadata-grade
         try:
-            nonempty = (
+            cur = (
                 media.select(F.spark_partition_id().alias("__pid"))
                 .distinct()
                 .count()
             )
         except Exception:
-            nonempty = 0  # unprobeable: assume hollow, fall through
-        if nonempty >= n:
+            cur = 0  # unprobeable: assume hollow, fall through
+        if cur >= n:
             return media
+    # size-derive the target width from what the probes measure (the
+    # r14 optimization: the old binary wide/narrow rule either left a
+    # mid-size batch serial or paid full-core task overhead — the
+    # probe already knows bytes+rows, so use them)
     try:
         from langchain_memvid_spark.sources import fs as hfs
 
         files = media.inputFiles()
         if files:
             size = sum(hfs.data_bytes(spark, f) for f in files)
-            wide = size >= _WIDEN_MIN_BYTES or media.count() >= _WIDEN_MIN_ROWS
+            target = _widen_target(n, size, None)
+            if target < n:
+                # bytes alone don't ask for full width: row count can
+                # (many tiny blobs decode-bound on per-row overhead) —
+                # footer-only on parquet, so the job is metadata-grade
+                target = _widen_target(n, size, media.count())
         elif "content" in media.columns:
             # foreachBatch frames have NO files (inputFiles() is [],
             # measured r12), so the file-byte probe was silently dead
@@ -1600,15 +1648,12 @@ def widen_for_decode(media: DataFrame) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.length("content")).alias("b"),
             ).head()
-            wide = (
-                int(row["b"] or 0) >= _WIDEN_MIN_BYTES
-                or int(row["n"]) >= _WIDEN_MIN_ROWS
-            )
+            target = _widen_target(n, int(row["b"] or 0), int(row["n"]))
         else:
-            wide = media.count() >= _WIDEN_MIN_ROWS
+            target = _widen_target(n, None, media.count())
     except Exception:  # probe failure: widen unconditionally
-        wide = True
-    return media.repartition(n) if wide else media
+        target = n
+    return media.repartition(target) if target > max(cur, 1) else media
 
 
 def banded_signature_table(

@@ -1947,6 +1947,30 @@ def test_widen_for_decode_thresholds(spark, sf_dir, tmp_path):
     assert mm.widen_for_decode(wide) is wide
 
 
+def test_widen_for_decode_size_derived_width(spark):
+    """Optimization r14: the probe ladder derives a PROPORTIONAL
+    target width from measured bytes/rows instead of the old binary
+    narrow-or-full-cores rule — a mid-size single-partition frame
+    (here ~3 MB / 12 blobs, i.e. bytes-bound and past the work floor)
+    widens to
+    ceil(bytes / _WIDEN_BYTES_PER_TASK) partitions, strictly between
+    1 and the core count, so small microbatches neither sign serially
+    nor pay full-core task overhead."""
+    n = spark.sparkContext.defaultParallelism
+    blob = bytes(bytearray(range(256)) * 1024)  # 256 KiB per blob
+    rows = [(i, "image", blob) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    ).coalesce(1).localCheckpoint()  # LogicalRDD: the foreachBatch shape
+    assert df.rdd.getNumPartitions() == 1
+    out = mm.widen_for_decode(df)
+    got = out.rdd.getNumPartitions()
+    import math
+
+    want = min(n, math.ceil(12 * len(blob) / mm._WIDEN_BYTES_PER_TASK))
+    assert got == want and got > 1
+
+
 def test_widen_for_decode_hollow_partitions(spark, tmp_path):
     """The r13 signer-parallelism regression: a big single-row-group
     parquet file PLANS as >= core-count splits but parquet cannot split
@@ -1996,7 +2020,10 @@ def test_signer_auto_widens_narrow_input(spark, tmp_path, monkeypatch):
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "imgs"))
     narrow = spark.read.parquet(str(tmp_path / "imgs"))
     assert narrow.rdd.getNumPartitions() < n
-    monkeypatch.setattr(mm, "_WIDEN_MIN_ROWS", 10)
+    # shrink the rows-per-task unit (and its floor) so 60 tiny blobs
+    # ask for full width
+    monkeypatch.setattr(mm, "_WIDEN_ROWS_PER_TASK", 1)
+    monkeypatch.setattr(mm, "_WIDEN_FLOOR_ROWS", 10)
     sig = mm.dhash_images(narrow)
     assert sig.rdd.getNumPartitions() == n, "signer did not auto-widen"
     assert sig.count() == 60
