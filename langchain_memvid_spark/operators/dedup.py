@@ -53,6 +53,41 @@ SIMHASH_BITS = 32
 # the sf10 run — SCALE.md).
 _PAIR_BROADCAST_ROW_LIMIT = 1_000_000
 
+# Shuffled-hash middle tier for corpus×corpus pair joins (optimization
+# r14, guide §3.1): between "small enough to broadcast" and "must take
+# the always-safe SMJ" there is a wide band where building a
+# per-partition hash table skips BOTH sort passes — measured 0.85→0.74 s
+# at sf0.1 and 3.99→3.04 s at sf1 on the shingle pair join (min of
+# reps, alternating).  The build side is safe when its PER-PARTITION
+# slice is bounded: rows / shuffle-partitions under this limit keeps
+# the hash table ≈ tens of MB at ~30 B/row.  Above it (or when the
+# exact count is unknown) the pick falls back to SMJ, the only
+# always-safe shape.
+_SHJ_BUILD_ROWS_PER_PARTITION = 2_000_000
+
+
+def _pair_join_left(
+    a: DataFrame, n_rows: int | None, allow_broadcast: bool = True
+) -> DataFrame:
+    """Three-tier side pick for a corpus×corpus equi-join, from an
+    EXACT row count (never planner estimates — the RDD-backed signer
+    plans fool them, see the sf10 broadcast-OOM note above): broadcast
+    under _PAIR_BROADCAST_ROW_LIMIT, shuffled-hash while the
+    per-partition build stays bounded, else merge (SMJ).
+    ``allow_broadcast=False`` skips straight to the shuffled-hash tier
+    — for wide-row sides (the shingle table's 24 B rows measured
+    slower broadcast than SHJ end-to-end in the r14 A/B)."""
+    if n_rows is not None:
+        if allow_broadcast and n_rows <= _PAIR_BROADCAST_ROW_LIMIT:
+            return F.broadcast(a)
+        try:
+            parts = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            parts = 0
+        if parts > 0 and n_rows / parts <= _SHJ_BUILD_ROWS_PER_PARTITION:
+            return a.hint("shuffle_hash")
+    return a.hint("merge")
+
 # Random-hyperplane LSH for embedding vectors (sign-of-dot-product,
 # Charikar 2002). Weights are small ints from a fixed multiplicative-
 # hash formula — pure Python, reproducible, and inlineable as literals
@@ -245,14 +280,16 @@ def _pair_overlap_counts(sh: DataFrame) -> DataFrame:
     checkpointed by the caller)."""
     a = sh.select(F.col("doc_id").alias("a_id"), "shh", F.col("n_sh").alias("na"))
     b = sh.select(F.col("doc_id").alias("b_id"), "shh", F.col("n_sh").alias("nb"))
-    # merge hint: BOTH sides are the corpus-sized shingle table by
-    # construction, but the localCheckpoint turns it into an RDD-backed
-    # plan whose size estimate fools the static planner into
-    # broadcasting one side — at 100x bench scale (26M shingle rows)
-    # that OOMs the driver. Found by the sf10 ladder run; SMJ is the
-    # only join that is always safe here.
+    # Join pick (optimization r14): the blanket merge hint — added when
+    # the static planner's estimate for the RDD-backed checkpoint
+    # nearly broadcast 26 M shingle rows at sf10 — left the always-safe
+    # SMJ paying two corpus sorts at every scale.  `sh` is checkpointed
+    # by construction, so an EXACT count is one cheap narrow job, and
+    # the three-tier pick (broadcast / shuffled-hash / merge) keeps the
+    # OOM protection while dropping the sorts whenever the build side's
+    # per-partition slice is bounded.
     return (
-        a.hint("merge")
+        _pair_join_left(a, sh.count(), allow_broadcast=False)
         .join(b, "shh")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
@@ -693,6 +730,7 @@ def minhash_band_pairs(
     rows_per_band: int = 2,
     text_col: str = "text",
     sig: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands of `rows_per_band`
     values), bucket docs by (band_id, band values), join within buckets.
@@ -706,6 +744,7 @@ def minhash_band_pairs(
     text column it was signed with, so pass the same sig everywhere
     (a sig built with a different k/text_col would silently yield that
     other configuration's candidate pairs)."""
+    given_sig = sig is not None
     if sig is None:
         sig = minhash_signatures(documents, k, text_col)
     n = len(MINHASH_PERMS)
@@ -724,16 +763,26 @@ def minhash_band_pairs(
         )
         for band_id in range(0, n // rows_per_band)
     ]
+    # cache: both self-join sides reference the bucket table, so
+    # without it the mapInPandas minhash signer evaluates twice per
+    # run (optimization r14 — the ADVICE r13 double-signing shape);
+    # lazy cache, zero extra jobs
     bucketed = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    ).cache()
     a = bucketed.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     b = bucketed.select(F.col("doc_id").alias("b_id"), "band", "bucket")
-    # merge hint: both sides are the full banded-signature table (an
-    # RDD-backed mapInPandas product with unreliable size stats) — the
-    # same sf10 broadcast-OOM hazard as the shingle pair join
+    # Three-tier pick from an EXACT count (the planner's stats for the
+    # RDD-backed mapInPandas product are unreliable — the sf10
+    # broadcast-OOM hazard): band rows = n_docs × n_bands.  The count
+    # is EAGER at plan-build time — pass n_docs to skip it when the
+    # input's lineage is expensive to count.  When ``sig`` was given,
+    # documents is ignored by contract — count the signature table
+    # (callers checkpoint it, so the count is a cheap narrow job).
+    if n_docs is None:
+        n_docs = (sig if given_sig else documents).count()
     return (
-        a.hint("merge")
+        _pair_join_left(a, n_docs * len(band_structs))
         .join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
@@ -1013,13 +1062,19 @@ def embedding_lsh_candidates(
                 ]
             )
         ).alias("bv"),
-    ).select("vid", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select("vid", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")).cache()
+    # cache: both self-join sides reference the band table — without it
+    # the mapInPandas GEMM signer evaluates twice per run (optimization
+    # r14, the ADVICE r13 double-signing shape); lazy cache, zero extra
+    # jobs.  Join pick: three-tier from the exact count (band rows =
+    # n × n_bands) instead of the blanket always-safe merge — the count
+    # is EAGER at plan-build when band_bits didn't already pay it.
     a = bands.select(F.col("vid").alias("a_id"), "band", "val")
     b = bands.select(F.col("vid").alias("b_id"), "band", "val")
-    # merge hint: see the shingle pair join — never broadcast a
-    # corpus-sized band table
+    if n is None:
+        n = embeddings.count()
     return (
-        a.hint("merge")
+        _pair_join_left(a, n * n_bands)
         .join(b, ["band", "val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
@@ -1368,7 +1423,13 @@ def simhash_near_pairs(
     n_bands, band_bits = 4, SIMHASH_BITS // 4
     check_pigeonhole(max_hamming, n_bands)
     sh = simhash(documents, text_col)
-    bands = hamming_band_table(sh, ["simhash"], n_bands=n_bands, band_bits=band_bits)
+    # cache: the self-join references the band table on BOTH sides, so
+    # without it the mapInPandas signer subtree evaluates twice per run
+    # (the ADVICE r13 finding on the shared-run ops, same shape here) —
+    # lazy cache, zero extra jobs, first side's scan fills it
+    bands = hamming_band_table(
+        sh, ["simhash"], n_bands=n_bands, band_bits=band_bits
+    ).cache()
     a = bands.select(
         F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "band", "val"
     )
@@ -1382,20 +1443,16 @@ def simhash_near_pairs(
     # n_bands rows per doc, so one cheap count of the input (metadata-
     # only on a parquet scan) picks the strategy precisely instead of
     # trusting the static planner's default stats for the RDD-backed
-    # simhash plan: explicit broadcast under the row bound, explicit
-    # SMJ (the only always-safe shape for corpus x corpus) above it.
+    # simhash plan: the three-tier _pair_join_left pick (broadcast /
+    # shuffled-hash / always-safe SMJ, optimization r14).
     # The count is EAGER at plan-build time — pass n_docs when the
     # input is a derived frame whose lineage is expensive to count (or
     # when composing plans without executing them) to skip the job.
     if n_docs is None:
         n_docs = documents.count()
-    left = (
-        F.broadcast(a)
-        if n_docs * n_bands <= _PAIR_BROADCAST_ROW_LIMIT
-        else a.hint("merge")
-    )
     return (
-        left.join(b, ["band", "val"])
+        _pair_join_left(a, n_docs * n_bands)
+        .join(b, ["band", "val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
