@@ -2586,21 +2586,21 @@ def _contains_clip_vs_corpus_verify(
             joined = cb.hint("merge").join(fb, ["band", "val"])
     offset = F.col("a_fno") - F.col("b_fno")
     b_ns = F.ceil(F.col("b_nf") / F.lit(every_n)).cast("int")
-    hits = (
-        joined.filter(
-            (F.col("a_nf") > F.col("b_nf"))
-            & (offset >= 0)
-            & (offset <= F.col("a_nf") - F.col("b_nf"))
-            & (offset % every_n == 0)
-        )
-        .select(
-            "video_id", "clip_id",
-            offset.cast("int").alias("offset"),
-            "b_fno", "b_nf",
-            b_ns.alias("b_ns"),
-            hamming_distance_col(a_sig, b_sig).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    # single where + single select (not filter→select→filter): this
+    # plan is rebuilt once per streaming microbatch, and each DataFrame
+    # op pays its own driver-side analysis pass (optimization r14)
+    hits = joined.where(
+        (F.col("a_nf") > F.col("b_nf"))
+        & (offset >= 0)
+        & (offset <= F.col("a_nf") - F.col("b_nf"))
+        & (offset % every_n == 0)
+        & (hamming_distance_col(a_sig, b_sig) <= max_hamming)
+    ).select(
+        "video_id", "clip_id",
+        offset.cast("int").alias("offset"),
+        "b_fno", "b_nf",
+        b_ns.alias("b_ns"),
+        hamming_distance_col(a_sig, b_sig).alias("hamming"),
     )
     return (
         hits.groupBy("video_id", "clip_id", "offset", "b_ns", "b_nf")
@@ -2608,7 +2608,7 @@ def _contains_clip_vs_corpus_verify(
             F.countDistinct("b_fno").alias("ok_frames"),
             F.max("hamming").alias("max_hamming_seen"),
         )
-        .filter(F.col("ok_frames") == F.col("b_ns"))
+        .where(F.col("ok_frames") == F.col("b_ns"))
         .select(
             "video_id", "clip_id", "offset",
             F.col("b_nf").alias("clip_frames"),

@@ -4787,12 +4787,17 @@ def q_pipeline(spark, sf_dir):
     fuses the filter+chunk into the scan projection; the only shuffles
     are the distinct-count aggregations."""
     d = _t(spark, sf_dir, "documents")
-    q = textops.quality_scores(d)
-    kept = d.join(
-        q.filter((F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.7)).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    # The quality signals are PURE PER-ROW projections
+    # (functions/text.py quality_score_cols), so the left-semi join
+    # against quality_scores(d) — two corpus scans + a hash exchange —
+    # computes the same doc set as an inline filter on the one scan
+    # (optimization r14, guide §2.4: remove shuffles outright).  The
+    # filter expressions are the exact rounded columns quality_scores
+    # selects, so the kept set is identical.
+    from langchain_memvid_spark.functions.text import quality_score_cols
+
+    qc = quality_score_cols(F.col("text"))
+    kept = d.filter((qc["n_tokens"] >= 20) & (qc["quality_score"] >= 0.7))
     chunks = textops.chunk_documents(kept).withColumn(
         "fp", F.sha2(F.regexp_replace(F.trim(F.lower("chunk_text")), r"\s+", " "), 256)
     )
@@ -4977,13 +4982,18 @@ def q_pipeline_v2(spark, sf_dir):
     distinct counts — the repetition/decontamination stages add no new
     scan of the corpus text."""
     d = _t(spark, sf_dir, "documents")
-    q = textops.quality_scores(d).filter(
-        (F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.7)
-    )
+    # quality is a pure per-row projection → inline filter instead of a
+    # left-semi join (one corpus scan and one exchange fewer — the same
+    # r14 rewrite as pretrain_pipeline_stats); the repetition gate is a
+    # Python-scan signal and decontamination is join-based, so those
+    # two stay semi-joins.
+    from langchain_memvid_spark.functions.text import quality_score_cols
+
+    qc = quality_score_cols(F.col("text"))
     rep = textops.repetition_stats(d).filter(F.col("dup_2gram_frac") <= 0.1)
     dec = textops.decontaminate(d).filter(F.col("contaminated") == 0)
     kept = (
-        d.join(q.select("doc_id"), "doc_id", "left_semi")
+        d.filter((qc["n_tokens"] >= 20) & (qc["quality_score"] >= 0.7))
         .join(rep.select("doc_id"), "doc_id", "left_semi")
         .join(dec.select("doc_id"), "doc_id", "left_semi")
     )
