@@ -65,17 +65,20 @@ def _bm25_contribs(
     dld = docs.withColumn("dl", F.col("n_tokens"))
     # corpus stats over ALL docs (not just matching ones)
     stats = dld.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    # cache: tf feeds BOTH the df_ broadcast build and the main join —
-    # without it the tokenize+explode+groupBy subtree (the corpus-scan
-    # term of every BM25 plan) evaluates twice per run (optimization
-    # r14, same double-evaluation shape as the pair self-joins).  The
-    # cached table is tiny: one row per (matching doc, query term).
+    # tf feeds BOTH the df_ broadcast build and the main join, so the
+    # tokenize+explode+groupBy subtree appears twice in the plan — but
+    # caching it here is a MEASURED loss (optimization r14 isolated
+    # A/B: bm25_topk 1.67x, bm25_batch 1.34x, hybrid_rrf 1.19x SLOWER
+    # with .cache()): the df_ side is a separate broadcast-build job,
+    # and the serialized fill + InMemoryRelation read costs more than
+    # the second evaluation of the cheap filtered subtree. Left
+    # uncached on purpose — see OPTIMIZATION_r14.md negative results.
     tf = (
         dld.select("doc_id", "dl", F.explode("__toks").alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
-    ).cache()
+    )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
