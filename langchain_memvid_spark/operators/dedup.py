@@ -358,13 +358,28 @@ def knn_graph(
             6,
         ),
     )
+    # symmetrize with ONE explode instead of a two-branch union: the
+    # union referenced `pairs` on both branches, so the candidate join
+    # + (a,b) pair aggregation subtree was evaluated twice per run
+    # (r14 plan audit: 2 ShuffledHashJoin + 6 Exchange for one logical
+    # pair pass); explode emits both edge directions from a single
+    # evaluation — same row multiset, half the pair-side work
     edges = pairs.select(
-        F.col("a_id").alias("doc_id"), F.col("b_id").alias("nbr_id"), "jaccard"
-    ).unionByName(
-        pairs.select(
-            F.col("b_id").alias("doc_id"), F.col("a_id").alias("nbr_id"), "jaccard"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("doc_id"),
+                    F.col("b_id").alias("nbr_id"),
+                    F.col("jaccard"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("doc_id"),
+                    F.col("a_id").alias("nbr_id"),
+                    F.col("jaccard"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.doc_id", "__e.nbr_id", "__e.jaccard")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("jaccard").desc(), F.col("nbr_id").asc()
     )
@@ -1512,9 +1527,26 @@ def dedup_clusters(
             return labels
         if algorithm != "propagate":
             raise ValueError(f"unknown algorithm {algorithm!r}: use 'propagate' or 'star'")
+        # symmetrize with ONE explode instead of a two-branch union:
+        # the union referenced `edges_ab` on both branches, so the
+        # candidate band join + dropDuplicates ran twice during the
+        # cache fill (the band table below it is cached, but the pair
+        # join above it was not shared); explode emits both directions
+        # from a single evaluation of the pair subtree
         edges = (
-            edges_ab.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-            .unionByName(edges_ab.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+            edges_ab.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+                        ),
+                        F.struct(
+                            F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+                        ),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.src", "__e.dst")
             .cache()
         )
         labels = _propagate(documents, edges, max_iter)
