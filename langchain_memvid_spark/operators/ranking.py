@@ -65,21 +65,26 @@ def _bm25_contribs(
     dld = docs.withColumn("dl", F.col("n_tokens"))
     # corpus stats over ALL docs (not just matching ones)
     stats = dld.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    # tf feeds BOTH the df_ broadcast build and the main join, so the
-    # tokenize+explode+groupBy subtree appears twice in the plan — but
-    # caching it here is a MEASURED loss (optimization r14 isolated
-    # A/B: bm25_topk 1.67x, bm25_batch 1.34x, hybrid_rrf 1.19x SLOWER
-    # with .cache()): the df_ side is a separate broadcast-build job,
-    # and the serialized fill + InMemoryRelation read costs more than
-    # the second evaluation of the cheap filtered subtree. Left
-    # uncached on purpose — see OPTIMIZATION_r14.md negative results.
     tf = (
         dld.select("doc_id", "dl", F.explode("__toks").alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df(term) as a window count over tf: tf is grouped by
+    # (doc_id, dl, term) and dl is functionally dependent on doc_id, so
+    # per term its row count IS countDistinct(doc_id). The former
+    # groupBy("term")+broadcast-join formulation referenced tf on a
+    # second branch, re-evaluating the whole scan+tokenize+explode
+    # subtree (column pruning diverges between the branches, so
+    # ReuseExchange never fires) — a full extra corpus pass. Caching tf
+    # instead is a MEASURED loss (optimization r14 isolated A/B:
+    # bm25_topk 1.67x, bm25_batch 1.34x, hybrid_rrf 1.19x SLOWER with
+    # .cache()). The window trades that O(corpus) second pass for a
+    # spill-safe per-term partition of df(term) post-filter rows —
+    # bounded by the matching docs the query must process downstream
+    # anyway, and the term set is the (tiny, literal) query vocabulary.
+    df_w = Window.partitionBy("term")
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
@@ -92,7 +97,7 @@ def _bm25_contribs(
         )
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", contrib.alias("__c"))
     )

@@ -846,7 +846,11 @@ def test_bm25_scores_stays_distributed(spark):
     """The scoring pipeline (pre-top-k) must stay distributed. The ONE
     allowed SinglePartition is the grand-total (N, avgdl) merge, which
     is map-side partial-aggregated first — the exchange carries one
-    row per partition, then broadcasts back. No global windows."""
+    row per partition, then broadcasts back. The df(term) window must
+    be keyed by term (never an empty partition spec, which would move
+    the corpus to one task), and df-via-window means the tokenize
+    subtree is scanned once, not twice: exactly TWO parquet scans total
+    (tf + the stats pass), not three."""
     from langchain_memvid_spark.operators.ranking import bm25_scores
     from langchain_memvid_spark.sources.catalog import load_table
 
@@ -854,7 +858,8 @@ def test_bm25_scores_stays_distributed(spark):
     plan = _plan(bm25_scores(docs))
     assert plan.count("SinglePartition") == 1
     assert "partial_avg" in plan  # the scalar agg IS map-side combined
-    assert "Window" not in plan
+    assert "hashpartitioning(term" in plan  # df window keyed by term
+    assert plan.count("Scan parquet") == 2  # tf subtree evaluated once
 
 
 def test_rrf_fuse_full_outer_and_exact_scores(spark):
