@@ -825,6 +825,15 @@ def q11_important_stock(
     per_part = supply.groupBy("l_partkey").agg(
         F.sum(_dec("l_extendedprice")).alias("part_value")
     )
+    # per_part feeds BOTH the grand-total build and the filter side;
+    # the branches prune differently so ReuseExchange never fires and
+    # the lineitem semi-join + aggregation subtree ran TWICE (r14 plan
+    # audit: 6 scans, 0 ReusedExchange). Checkpoint the POST-reduction
+    # frame (one short row per part — lineitem/|parts|-fold smaller
+    # than its input) so the expensive pass runs once; same remedy as
+    # unigram_logprob_scores' LM table. A global window would need
+    # SinglePartition over every part row — worse, see docstring.
+    per_part = per_part.localCheckpoint(eager=True)
     total = per_part.agg(
         F.sum("part_value").alias("total_value"), F.count("*").alias("n_parts")
     )
