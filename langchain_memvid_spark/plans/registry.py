@@ -4314,9 +4314,21 @@ def q_tfidf(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
-    scored = tf.join(df_, "term").select(
+    # df(term) as a term-keyed window count over tf (the bm25
+    # window-df rewrite, optimization r14): tf is grouped by
+    # (doc_id, term), so per term its ROW COUNT equals
+    # countDistinct(doc_id) over tok.  The former groupBy+join
+    # formulation referenced `tok` on a second branch — column pruning
+    # diverges, ReuseExchange never fires, and the whole
+    # scan+tokenize+explode pass ran TWICE.  No new skew: the old
+    # countDistinct plan already exchanged the distinct (term, doc_id)
+    # pairs by term alone before its per-term count, so the hottest
+    # term's rows concentrated in one task either way — the window
+    # just drops the second corpus pass and the tf-by-term join
+    # exchange (plan: Scan parquet 2 -> 1, Exchange 4 -> 3, join gone).
+    wdf = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(wdf)).select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
