@@ -325,23 +325,32 @@ def remove_duplicate_spans(
     """
     docs = _tokenized(documents, text_col, id_col)
     win = _dup_windows(docs, w)
-    # cross-doc duplicated hashes with their globally-first occurrence
-    duph = (
-        win.groupBy("__h")
-        .agg(
-            F.countDistinct("doc_id").alias("__docs"),
-            F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
-                "__keeper"
-            ),
-        )
-        .filter(F.col("__docs") > 1)
-        .select("__h", "__keeper")
-    )
+    # cross-doc duplicated hashes with their globally-first occurrence,
+    # as ONE hash-keyed window pass over `win` (optimization r14): the
+    # former groupBy(__h)+join-back referenced `win` on two branches —
+    # pruning diverges, ReuseExchange never fires — so the whole
+    # scan+tokenize+window-hash pass ran TWICE, and the join re-shuffled
+    # `win` by __h anyway.  countDistinct is not a window function, but
+    # "appears in >1 doc" ⟺ min(doc_id) ≠ max(doc_id) over the hash —
+    # exact, and both are window-legal.  Same concentration as before:
+    # the join already exchanged every win row by __h alone.
+    w_h = Window.partitionBy("__h")
     to_remove = (
-        win.join(duph, "__h")
+        win.select(
+            "doc_id",
+            "pos",
+            F.min(
+                F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+            ).over(w_h).alias("__keeper"),
+            F.min("doc_id").over(w_h).alias("__dmin"),
+            F.max("doc_id").over(w_h).alias("__dmax"),
+        )
         .filter(
-            (F.col("doc_id") != F.col("__keeper.d"))
-            | (F.col("pos") != F.col("__keeper.p"))
+            (F.col("__dmin") != F.col("__dmax"))
+            & (
+                (F.col("doc_id") != F.col("__keeper.d"))
+                | (F.col("pos") != F.col("__keeper.p"))
+            )
         )
         .select("doc_id", "pos")
     )
@@ -394,13 +403,21 @@ def duplicate_spans(
     """
     docs = _tokenized(documents, text_col, id_col)
     win = _dup_windows(docs, w)
-    duph = (
-        win.groupBy("__h")
-        .agg(F.countDistinct("doc_id").alias("__docs"))
-        .filter(F.col("__docs") > 1)
-        .select("__h")
+    # "window appears in another doc" as a hash-keyed window predicate
+    # (min(doc_id) ≠ max(doc_id) ⟺ countDistinct(doc_id) > 1) — one
+    # evaluation of `win` instead of the groupBy+join-back's two; see
+    # remove_duplicate_spans above for the full rationale.
+    w_h = Window.partitionBy("__h")
+    dup = (
+        win.select(
+            "doc_id",
+            "pos",
+            F.min("doc_id").over(w_h).alias("__dmin"),
+            F.max("doc_id").over(w_h).alias("__dmax"),
+        )
+        .filter(F.col("__dmin") != F.col("__dmax"))
+        .select("doc_id", "pos")
     )
-    dup = win.join(duph, "__h").select("doc_id", "pos")
     spans = _span_islands(dup, w)
     perdoc = spans.groupBy("doc_id").agg(
         F.sum("n_win").alias("__ndw"),

@@ -173,13 +173,22 @@ def decontaminate(
     downstream filter is a plain predicate."""
     from langchain_memvid_spark.operators.dedup import _shingle_rows
 
-    sh = _shingle_rows(documents, k, text_col).withColumn("shh", F.xxhash64("sh"))
+    # eval/train doc filters pushed BELOW the Python shingle scan
+    # (optimization r14, guide §4.2 — the fixture-prune rule applied to
+    # the one text operator that still filtered above its mapInPandas):
+    # _shingle_rows is a per-row generator, so shingling a filtered doc
+    # set is row-identical to filtering its output, and the two
+    # branches used to EACH evaluate the full-corpus shingle scan
+    # (2 full Python passes); disjoint pre-filtered inputs make the
+    # total exactly one corpus pass, split 1/eval_mod : rest.
     ev = (
-        sh.filter(F.col("doc_id") % eval_mod == 0)
-        .select("shh")
+        _shingle_rows(documents.filter(F.col("doc_id") % eval_mod == 0), k, text_col)
+        .select(F.xxhash64("sh").alias("shh"))
         .distinct()
     )
-    train_sh = sh.filter(F.col("doc_id") % eval_mod != 0)
+    train_sh = _shingle_rows(
+        documents.filter(F.col("doc_id") % eval_mod != 0), k, text_col
+    ).withColumn("shh", F.xxhash64("sh"))
     hits = (
         train_sh.join(F.broadcast(ev) if broadcast_eval else ev, "shh")
         .groupBy("doc_id")
@@ -576,10 +585,19 @@ def bigram_logprob_scores(
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
-    cx = bg.groupBy("w1").agg(F.count("*").alias("__cx"))
     if n_bigrams is None:
         c2 = c2.localCheckpoint(eager=True)
         n_bigrams = c2.count()
+    # context counts DERIVED from the bigram LM: cx(w1) = Σ_w2 c2 (the
+    # count of bigrams starting at w1 is the sum of its per-(w1,w2)
+    # counts — exact integer identity).  The former direct
+    # bg.groupBy("w1") referenced `bg` on a second branch, re-running
+    # the whole scan+tokenize+bigram-zip pass (pruning diverges, so
+    # ReuseExchange never fires); the checkpointed c2 already holds
+    # everything cx needs, so the second corpus pass drops to a tiny
+    # aggregation of the LM itself (optimization r14 — the same
+    # derive-from-the-materialized-reduction remedy as unigram/q11).
+    cx = c2.groupBy("w1").agg(F.sum("__c2").alias("__cx"))
     if n_bigrams <= _VOCAB_BROADCAST_ROW_LIMIT:
         c2, cx = F.broadcast(c2), F.broadcast(cx)
     p = F.col("__c2").cast("double") / F.col("__cx").cast("double")
