@@ -5285,18 +5285,25 @@ def q_dense_hourly(spark, sf_dir):
     broadcast left join; at 100 TB the spine side is still only
     hours × types rows."""
     ev = _t(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
-    )
-    types = ev.select("event_type").distinct()
+    # ONE events pass (optimization r14): the hourly aggregate already
+    # carries everything the spine bounds and the type dimension need —
+    # bounds because date_trunc is monotone (min over truncated hours ==
+    # the truncated global min ts, same for max), types because `actual`
+    # groups by event_type.  The former three separate aggregations
+    # (global bounds, distinct types, hourly counts) each re-scanned
+    # events; `actual` is post-reduction (hours × types rows), so the
+    # checkpoint that lets all three consumers share it is tiny — the
+    # q11/unigram materialize-the-reduction remedy.
     actual = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
+    bounds = actual.agg(F.min("hour").alias("t0"), F.max("hour").alias("t1"))
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = actual.select("event_type").distinct()
     return (
         spine.crossJoin(types)
         .join(actual, ["hour", "event_type"], "left")
