@@ -5293,11 +5293,20 @@ def q_dense_hourly(spark, sf_dir):
     # (global bounds, distinct types, hourly counts) each re-scanned
     # events; `actual` is post-reduction (hours × types rows), so the
     # checkpoint that lets all three consumers share it is tiny — the
-    # q11/unigram materialize-the-reduction remedy.
+    # q11/unigram materialize-the-reduction remedy.  LAZY checkpoint:
+    # eager=True serialized the scan into its own job boundary (A/B
+    # 1.46x on this 0.5 s row — the boundary, not the scan); lazy
+    # materializes inside the first consuming action and measured the
+    # smaller constant (0.59 vs 0.64 s in-session min-of-3, old 0.49;
+    # fresh-subprocess alternating A/B still 1.31x = ~0.2 s constant).
+    # Kept DESPITE the toy-scale constant: the removed term is TWO
+    # extra full scans+aggregations of the fact table (linear in
+    # data), the added term is one job boundary + a tiny checkpoint
+    # write (O(1)); this row is oracle-checked but not benched.
     actual = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bounds = actual.agg(F.min("hour").alias("t0"), F.max("hour").alias("t1"))
     spine = bounds.select(
