@@ -649,14 +649,26 @@ def edit_distance_pairs(
 
     Output: (a_id, b_id, a_str, b_str, edit_distance), a_id < b_id.
     """
-    if min_len is None:
-        row = df.select(F.min(F.length(F.col(str_col)))).head()
-        min_len = row[0] if row and row[0] is not None else 0
+    # ONE pass over the source text (optimization r14): `s` is the
+    # post-reduction key projection — (id, key string, length), ~a few
+    # dozen bytes/row regardless of document size — but it was
+    # referenced FIVE times (the min-length probe, both sides of the
+    # candidate self-join, and the two verify join-backs), and the key
+    # is an expression over the full text column, so every reference
+    # re-read and re-transformed the corpus text (expression pushdown
+    # cannot skip the text bytes).  localCheckpoint materializes the
+    # tiny key table once; every consumer — including the min-length
+    # probe, which is the same value since slen == length(str_col) —
+    # reads the checkpoint.  The q11/unigram materialize-the-reduction
+    # remedy; at 100 TB this drops four full text-column passes.
     s = df.select(
         F.col(id_col).alias("sid"),
         F.col(str_col).alias("s"),
         F.length(F.col(str_col)).alias("slen"),
-    )
+    ).localCheckpoint()
+    if min_len is None:
+        row = s.select(F.min("slen")).head()
+        min_len = row[0] if row and row[0] is not None else 0
     if blocking == "segments":
         if min_len < max_d + 1:
             raise ValueError(

@@ -2506,6 +2506,25 @@ import itertools as _it
 _STREAM_SEQ = _it.count()
 
 
+def _overlap_jobs(*thunks):
+    """Run independent driver-side actions as CONCURRENT Spark jobs
+    (optimization guide §2.6: actions are only sequential because the
+    driver calls them sequentially).  The streaming-gate fixtures each
+    pay TWO prep actions before the stream starts — sign the corpus
+    into its signature store, and write the arrivals parquet — writes
+    to disjoint paths with no data dependency, each an
+    overhead-dominated stage (tiny tasks on 32 cores, per-job latency
+    dominates).  FIFO scheduling back-fills the second job's tasks
+    into the first's tail, so the two fixture stages overlap instead
+    of serializing.  Exceptions propagate; returns only when EVERY
+    job finished (a barrier before the dependent stream starts)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _stream_events(spark, sf_dir):
     from langchain_memvid_spark.streaming import events as _ev
 
@@ -2949,9 +2968,17 @@ def q_stream_media_ingest_gate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="stream_media_gate_")
     store = MediaSignatureStore(spark, f"{base}/sigs", "image")
-    store.sign_and_append(mm.synthesize_image_corpus(docs, variant_every=None))
-    batch = mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
-    batch.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
+    # the two fixture actions are independent writes to disjoint paths
+    # — run them as concurrent jobs (optimization r14, guide §2.6)
+    _overlap_jobs(
+        lambda: store.sign_and_append(
+            mm.synthesize_image_corpus(docs, variant_every=None)
+        ),
+        lambda: mm.synthesize_image_batch(docs, variant_every=7, novel_remainder=3)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(f"{base}/arrivals"),
+    )
     out = stream_media_dedup_vs_corpus(
         spark,
         f"{base}/arrivals",
@@ -3086,9 +3113,16 @@ def q_stream_video_contains_image(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="stream_vci_")
     store = MediaSignatureStore(spark, f"{base}/isigs", "image")
-    store.sign_and_append(mm.synthesize_image_corpus(docs, variant_every=None))
-    videos = mm.synthesize_video_with_planted_images(docs, plant_every=5)
-    videos.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
+    # independent fixture actions → concurrent jobs (r14, guide §2.6)
+    _overlap_jobs(
+        lambda: store.sign_and_append(
+            mm.synthesize_image_corpus(docs, variant_every=None)
+        ),
+        lambda: mm.synthesize_video_with_planted_images(docs, plant_every=5)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(f"{base}/arrivals"),
+    )
     out = stream_video_contains_image(
         spark,
         f"{base}/arrivals",
@@ -3411,15 +3445,21 @@ def q_stream_video_audio_contains_clip(spark, sf_dir):
     store = MediaSignatureStore(
         spark, f"{base}/clip_spans", "audio_span", span_samples=256
     )
-    store.sign_and_append(
-        mm.synthesize_video_with_soundtrack(
-            docs.filter(F.col("doc_id") % 5 == 0),
-            clip_every=5,
-            span_samples=256,
-        ).filter(F.col("media_type") == "audio")
+    # the sign-side store write and the arrivals write are independent
+    # → concurrent jobs (optimization r14, guide §2.6)
+    _overlap_jobs(
+        lambda: store.sign_and_append(
+            mm.synthesize_video_with_soundtrack(
+                docs.filter(F.col("doc_id") % 5 == 0),
+                clip_every=5,
+                span_samples=256,
+            ).filter(F.col("media_type") == "audio")
+        ),
+        lambda: media.filter(F.col("media_type") == "video")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(f"{base}/arrivals"),
     )
-    arrivals = media.filter(F.col("media_type") == "video")
-    arrivals.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
     out = stream_video_audio_contains_clip(
         spark,
         f"{base}/arrivals",
@@ -3473,13 +3513,20 @@ def q_stream_video_contains_clip(spark, sf_dir):
     # (optimization r14, guide §4.2: pass the Python boundary only the
     # rows it needs — the media_id filter cannot push below
     # mapInPandas).  Identical clip rows, oracle-checked.
-    store.sign_and_append(
-        mm.synthesize_video_clip_corpus(
-            docs.filter(F.col("doc_id") % 5 == 0), clip_every=5
-        ).filter(F.col("media_id") >= mm.VARIANT_ID_OFFSET)
+    # the sign-side store write and the arrivals write are independent
+    # (disjoint paths, disjoint synth inputs) → concurrent jobs
+    # (optimization r14, guide §2.6)
+    _overlap_jobs(
+        lambda: store.sign_and_append(
+            mm.synthesize_video_clip_corpus(
+                docs.filter(F.col("doc_id") % 5 == 0), clip_every=5
+            ).filter(F.col("media_id") >= mm.VARIANT_ID_OFFSET)
+        ),
+        lambda: corpus.filter(F.col("media_id") < mm.VARIANT_ID_OFFSET)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(f"{base}/arrivals"),
     )
-    arrivals = corpus.filter(F.col("media_id") < mm.VARIANT_ID_OFFSET)
-    arrivals.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
     out = stream_video_contains_clip(
         spark,
         f"{base}/arrivals",
@@ -3533,19 +3580,25 @@ def q_stream_video_shared_runs(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="stream_vsr_")
     media = mm.synthesize_video_overlap_corpus(docs, overlap_every=5)
     store = MediaSignatureStore(spark, f"{base}/csigs", "video")
-    store.sign_and_append(
-        media.filter(F.col("media_id") < mm.VARIANT_ID_OFFSET)
-    )
     # arrival side = the VARIANT uploads only — emitted solely for docs
     # with doc_id % 5 == 0 (per-row mapInPandas fixture), so the
     # arrival-side synth encodes 1/5 of the docs instead of building
     # every base video and filtering it away afterwards (optimization
     # r14, guide §4.2: the media_id filter cannot push below
-    # mapInPandas).  Identical variant rows, oracle-checked.
-    arrivals = mm.synthesize_video_overlap_corpus(
-        docs.filter(F.col("doc_id") % 5 == 0), overlap_every=5
-    ).filter(F.col("media_id") >= mm.VARIANT_ID_OFFSET)
-    arrivals.repartition(3).write.mode("overwrite").parquet(f"{base}/arrivals")
+    # mapInPandas).  Identical variant rows, oracle-checked.  The two
+    # fixture actions are independent → concurrent jobs (guide §2.6).
+    _overlap_jobs(
+        lambda: store.sign_and_append(
+            media.filter(F.col("media_id") < mm.VARIANT_ID_OFFSET)
+        ),
+        lambda: mm.synthesize_video_overlap_corpus(
+            docs.filter(F.col("doc_id") % 5 == 0), overlap_every=5
+        )
+        .filter(F.col("media_id") >= mm.VARIANT_ID_OFFSET)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(f"{base}/arrivals"),
+    )
     out = stream_video_shared_runs(
         spark,
         f"{base}/arrivals",
