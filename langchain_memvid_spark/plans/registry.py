@@ -5440,12 +5440,21 @@ def q_cohort(spark, sf_dir):
     (both partial-agg'd) + one broadcast join — the retention matrix
     never touches event grain after the first pass."""
     ev = _t(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    # ONE events pass (optimization r14): `firsts` used to be its own
+    # full groupBy(user_id) scan of events, but the user/day activity
+    # reduction already carries everything it needs — date_trunc is
+    # monotone, so min over a user's DISTINCT truncated days equals the
+    # truncated min ts (the dense_hourly_counts argument).  Checkpoint
+    # the tiny post-reduction frame (distinct user × day rows) LAZILY
+    # (eager=True costs a separate job boundary, measured there) and
+    # both consumers — the firsts aggregate and the join probe side —
+    # read it instead of re-scanning the fact table.
+    activity = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("active_day"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    activity = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
-    ).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
     j = activity.join(firsts, "user_id").withColumn(
         "day_offset", F.datediff("active_day", "cohort_day").cast("int")
     )
