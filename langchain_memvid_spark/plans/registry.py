@@ -5180,7 +5180,19 @@ def q_q21(spark, sf_dir):
         "late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
     )
-    per_pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("pair_late"))
+    # per_pair feeds BOTH the per-order rollup and the join probe, and
+    # the two branches prune differently, so without a checkpoint the
+    # whole lineitem scan + orders join + pair aggregation ran twice
+    # (audit_dup_scans: lineitem x2, orders x2).  The checkpointed frame
+    # is the post-reduction (order, supplier) grain — three narrow
+    # columns — while the removed term is a second full pass over the
+    # fact table; lazy so it materializes inside the first action
+    # (the dense_hourly/cohort adjudication).
+    per_pair = (
+        flagged.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("pair_late"))
+        .localCheckpoint(eager=False)
+    )
     per_order = per_pair.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"), F.sum("pair_late").alias("n_late_supp")
     )
