@@ -191,6 +191,57 @@ def vector_grid(spark, sf_dir: str) -> dict[str, float]:
     return grid
 
 
+def _rig_health() -> str:
+    """One-line scheduler-wakeup latency stamp (VERDICT r14 item 3: a
+    bench without a rig-health record cannot be compared across rounds
+    — the r14 driver run was 2x degraded vs its own 8-core run and only
+    the separately-run probe proved it was the host).  Inlines the
+    measurement from tools/probe_host_latency.py: loopback TCP and
+    socketpair ping-pong RTTs (healthy rig ~10 us; the documented
+    degraded state shows 30-700 us) plus a CPU spin sanity check."""
+    import socket
+    import threading
+
+    def _pingpong(make_pair) -> float:
+        """Mean round-trip microseconds over n one-byte echoes."""
+        a, b = make_pair()
+        n = 300
+
+        def echo():
+            for _ in range(n):
+                b.sendall(b.recv(1))
+
+        t = threading.Thread(target=echo, daemon=True)
+        t.start()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            a.sendall(b"x")
+            a.recv(1)
+        dt = time.perf_counter() - t0
+        t.join(timeout=5)
+        a.close()
+        b.close()
+        return dt / n * 1e6
+
+    def _tcp_pair():
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        c = socket.create_connection(srv.getsockname())
+        s, _ = srv.accept()
+        srv.close()
+        c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return c, s
+
+    try:
+        tcp = _pingpong(_tcp_pair)
+        pair = _pingpong(socket.socketpair)
+        return f"rig: tcp_rtt_us={tcp:.1f} pair_rtt_us={pair:.1f}"
+    except Exception:  # the stamp must never fail the bench
+        return "rig: probe-failed"
+
+
 def _run_notes(sf_dir: str) -> str:
     """Per-run conditions stamp (VERDICT r5 #1: a bench without its own
     run record can't have its regressions adjudicated)."""
@@ -209,6 +260,8 @@ def _run_notes(sf_dir: str) -> str:
     return (
         f"single-pass run at {stamp} on commit {head}, "
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], {sf_dir}; "
+        f"{_rig_health()} (healthy reference ~10 us, see "
+        "tools/probe_host_latency.py); "
         "sf0.001 warmup removes Python-worker spin-up; single-run numbers "
         "remain load-sensitive (documented up-to-14x host-noise history -- "
         "see BENCH_r04 notes and SCALE.md; adjudicate regressions with the "
@@ -342,7 +395,23 @@ def main() -> None:
                 if (m := re.search(r"BENCH_r(\d+)\.json$", f))
             ]
             n = (max(rounds) + 1) if rounds else 0
-        full = os.path.join(repo, f"bench_r{n}_full.json")
+        # VERDICT r14 item 3 (bench artifact hygiene): never clobber an
+        # existing artifact — the r14 driver's runs overwrote the
+        # committed healthy-rig bench_r14_full.json in place, and its
+        # 8-core run round-auto-bumped onto bench_r15_full.json.  An
+        # explicit output path wins; otherwise the canonical per-round
+        # name is used only while free, after which runs get unique
+        # timestamped names next to it.
+        full = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+        if not full:
+            full = os.path.join(repo, f"bench_r{n}_full.json")
+            if os.path.exists(full):
+                import datetime
+
+                ts = datetime.datetime.now(datetime.timezone.utc).strftime(
+                    "%Y%m%dT%H%M%SZ"
+                )
+                full = os.path.join(repo, f"bench_r{n}_full.{ts}.json")
         with open(full, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
         print(f"# full artifact: {full}", file=sys.stderr)

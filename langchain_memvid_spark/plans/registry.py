@@ -5187,7 +5187,13 @@ def q_q21(spark, sf_dir):
     # is the post-reduction (order, supplier) grain — three narrow
     # columns — while the removed term is a second full pass over the
     # fact table; lazy so it materializes inside the first action
-    # (the dense_hourly/cohort adjudication).
+    # (the dense_hourly/cohort adjudication).  Caveat that the 100 TB
+    # argument carries (ADVICE r14): localCheckpoint blocks are
+    # executor-local and UNREPLICATED — an executor loss mid-query
+    # fails the query instead of recomputing from lineage; the trade
+    # is deliberate (the frame is tiny and the query short-lived, so
+    # re-running the whole query on that rare loss costs less than a
+    # guaranteed second fact-table pass on every run).
     per_pair = (
         flagged.groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("pair_late"))
